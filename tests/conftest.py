@@ -1,0 +1,19 @@
+"""Test config: run the suite on the CPU backend with 8 virtual devices so
+multi-chip sharding is exercised without TPU hardware (improvement over the
+reference, whose TP tests require a real multi-socket host —
+SURVEY.md §4 / tests/model-test/run_tp.sh)."""
+
+import os
+
+# Force CPU regardless of inherited JAX_PLATFORMS (the dev box exports
+# JAX_PLATFORMS=axon for the real-TPU tunnel; tests must not use it).
+os.environ["JAX_PLATFORMS"] = os.environ.get("NST_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

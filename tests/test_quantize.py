@@ -1,0 +1,125 @@
+"""Quantizer round-trip tests.
+
+Modeled on the reference's kernel UT strategy: build known-distribution
+random weights, quantize, dequantize, check error bounds
+(bestla/bestla/ut/bestla_prologue_b.cpp UT_BlockQunatize_INT8 and friends).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_speed_tpu.ops import QSpec, QType, named_qspec
+from neural_speed_tpu.ops.quantize import (
+    QTensor,
+    dequantize,
+    pack_codes,
+    quantize,
+    unpack_codes,
+)
+
+K, N = 256, 64
+
+
+def _rand(k=K, n=N, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), (k, n), jnp.float32) * 0.1
+
+
+@pytest.mark.parametrize("bits", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_pack_roundtrip(bits):
+    rng = np.random.default_rng(bits)
+    codes = jnp.asarray(rng.integers(0, 2**bits, size=(K, N)), dtype=jnp.uint8)
+    planes = pack_codes(codes, bits)
+    out = unpack_codes(planes, bits, K)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 5, 6, 7, 8])
+@pytest.mark.parametrize("symmetric", [True, False])
+@pytest.mark.parametrize("group", [-1, 32, 128])
+def test_int_roundtrip_error(bits, symmetric, group):
+    w = _rand()
+    spec = QSpec(QType.INT, bits, group, symmetric)
+    qt = quantize(w, spec)
+    wd = dequantize(qt)
+    err = float(jnp.max(jnp.abs(w - wd)))
+    # RTN max error is scale/2 per element; bound via the max group scale.
+    smax = float(jnp.max(qt.effective_scales()))
+    assert err <= smax * 0.51 + 1e-6, (bits, symmetric, group, err, smax)
+
+
+def test_int8_sym_exact_codes():
+    """Known-scale weights must round-trip exactly (mirrors
+    UT_BlockQunatize_INT8, ut/bestla_prologue_b.cpp:11-75)."""
+    rng = np.random.default_rng(0)
+    scale = 0.01
+    ints = rng.integers(-127, 128, size=(K, N))
+    ints[0, :] = 127  # pin per-column absmax so the RTN scale is exact
+    w = jnp.asarray(ints * scale, jnp.float32)
+    spec = QSpec(QType.INT, 8, -1, True)
+    qt = quantize(w, spec)
+    wd = dequantize(qt)
+    np.testing.assert_allclose(np.asarray(wd), np.asarray(w), rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["nf4", "fp4"])
+def test_lut_roundtrip(name):
+    w = _rand(seed=3)
+    spec = named_qspec(name, group_size=64)
+    qt = quantize(w, spec)
+    wd = dequantize(qt)
+    # LUT quant error bounded by half the largest LUT gap x group absmax
+    wg = np.asarray(w).reshape(K // 64, 64, N)
+    absmax = np.abs(wg).max(axis=1, keepdims=True)
+    err = np.abs(np.asarray(wd).reshape(K // 64, 64, N) - wg)
+    assert (err <= absmax * 0.20 + 1e-6).all()
+
+
+def test_fp8_roundtrip():
+    w = _rand(seed=4)
+    spec = named_qspec("fp8", group_size=128)
+    qt = quantize(w, spec)
+    wd = dequantize(qt)
+    rel = float(jnp.sqrt(jnp.mean((w - wd) ** 2)) / jnp.sqrt(jnp.mean(w**2)))
+    assert rel < 0.05
+
+
+def test_double_quant():
+    w = _rand(seed=5)
+    spec = QSpec(QType.INT, 4, 32, True, double_quant=True)
+    qt = quantize(w, spec)
+    assert qt.scales.dtype == jnp.int8 and qt.sscale is not None
+    wd = dequantize(qt)
+    rel = float(jnp.sqrt(jnp.mean((w - wd) ** 2)) / jnp.sqrt(jnp.mean(w**2)))
+    assert rel < 0.06  # int4 g32 alone is ~3-4%; dq adds ~1e-2 relative
+
+
+def test_bf16_scales():
+    w = _rand(seed=6)
+    qt = quantize(w, QSpec(QType.INT, 4, 128, True, scale_dtype="bfloat16"))
+    assert qt.scales.dtype == jnp.bfloat16
+    wd = dequantize(qt)
+    rel = float(jnp.sqrt(jnp.mean((w - wd) ** 2)) / jnp.sqrt(jnp.mean(w**2)))
+    assert rel < 0.05
+
+
+def test_pytree():
+    qt = quantize(_rand(), named_qspec("int4"))
+    leaves, treedef = jax.tree_util.tree_flatten(qt)
+    qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(qt2, QTensor) and qt2.spec == qt.spec
+
+    # jit through a QTensor argument
+    @jax.jit
+    def f(q):
+        return dequantize(q).sum()
+
+    assert jnp.isfinite(f(qt))
+
+
+def test_memory_footprint():
+    w = _rand(1024, 1024)
+    qt = quantize(w, named_qspec("int4", group_size=128))
+    # int4 packed = K*N/2 bytes + scales
+    assert qt.nbytes() <= 1024 * 1024 // 2 + 8 * 1024 * 4 + 64
