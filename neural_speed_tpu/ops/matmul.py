@@ -63,15 +63,6 @@ def qmatmul_xla(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
 # order i (planar layout), each sub-band dequantized then MXU-dotted.
 
 
-def _dequant_block(wblk, sblk, zblk, spec: QSpec, band: int, kw: int, cdt):
-    """Dequantize one packed sub-band block [KW, BN] -> [KW*?..] natural K.
-
-    wblk: packed uint32 [KW_words, BN] for a single 4/2/1-width plane set is
-    handled by caller; here wblk is the raw uint32 rows of the plane.
-    """
-    raise NotImplementedError  # composed inline in kernels below
-
-
 def _unpack_band(word_blk, width: int, band: int):
     """Extract sub-band `band` codes from packed words: [KW, BN] -> [KW, BN]."""
     mask = jnp.uint32((1 << width) - 1)
@@ -109,7 +100,6 @@ def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, *, spec: QSpec,
     groups_per_band = kw // g if g <= kw else 1
     for band in range(e):
         if width == 8:
-            codes = w_ref[:].astype(jnp.int32) + (0 if spec.symmetric else 0)
             codes = w_ref[:].astype(jnp.int32)
         else:
             codes = _unpack_band(w_ref[:], width, band).astype(jnp.int32)
@@ -164,9 +154,17 @@ def _pallas_supported(qt: QTensor) -> bool:
         return False
     if spec.is_fp8:
         return False  # XLA handles fp8 astype well already
-    if spec.is_lut:
-        return True
-    return spec.bits in (1, 2, 4, 8)
+    if not (spec.is_lut or spec.bits in (1, 2, 4, 8)):
+        return False
+    # group structure must align with sub-bands: each band covers K/e rows
+    # and group slicing inside the kernel assumes g | K/e (or one group).
+    k = qt.shape[0]
+    g = spec.effective_group(k)
+    e = 1 if spec.bits == 8 and not spec.is_lut else 32 // (4 if spec.is_lut else spec.bits)
+    kw = k // e
+    if g < k and (g > kw or kw % g):
+        return False
+    return True
 
 
 def _choose_bn(n: int) -> int:
@@ -183,8 +181,9 @@ def _choose_bm(m: int) -> int:
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
-def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
+                       interpret: bool = False) -> jax.Array:
     """x: [M, K] -> [M, N] via fused Pallas kernel."""
     spec = qt.spec
     k, n = qt.shape
@@ -216,39 +215,30 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
     if spec.is_lut:
         kern = functools.partial(_gemm_kernel_lut, spec=spec, k=k, g=g, cdt=cdt,
                                  bm=bm, bn=bn)
-        out = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-            grid=grid,
-            in_specs=[x_spec, w_spec, s_spec],
-            out_specs=o_spec,
-            cost_estimate=cost,
-        )(x.astype(cdt), wq, scales)
+        in_specs = [x_spec, w_spec, s_spec]
+        args = (x.astype(cdt), wq, scales)
     elif qt.zeros is not None:
         z_spec = pl.BlockSpec((qt.zeros.shape[0], bn), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
         kern = functools.partial(_gemm_kernel_int, spec=spec, k=k, g=g, cdt=cdt,
                                  bm=bm, bn=bn)
-        out = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-            grid=grid,
-            in_specs=[x_spec, w_spec, s_spec, z_spec],
-            out_specs=o_spec,
-            cost_estimate=cost,
-        )(x.astype(cdt), wq, scales, qt.zeros)
+        in_specs = [x_spec, w_spec, s_spec, z_spec]
+        args = (x.astype(cdt), wq, scales, qt.zeros)
     else:
-        def kern_nz(x_ref, w_ref, s_ref, o_ref):
+        def kern(x_ref, w_ref, s_ref, o_ref):
             _gemm_kernel_int(x_ref, w_ref, s_ref, None, o_ref, spec=spec, k=k,
                              g=g, cdt=cdt, bm=bm, bn=bn)
-        out = pl.pallas_call(
-            kern_nz,
-            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-            grid=grid,
-            in_specs=[x_spec, w_spec, s_spec],
-            out_specs=o_spec,
-            cost_estimate=cost,
-        )(x.astype(cdt), wq, scales)
+        in_specs = [x_spec, w_spec, s_spec]
+        args = (x.astype(cdt), wq, scales)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
     return out.astype(out_dtype)
 
 
@@ -258,21 +248,24 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
 
 
 def qmatmul(x: jax.Array, qt: QTensor, out_dtype=None,
-            force_xla: bool = False) -> jax.Array:
+            force_xla: bool = False, interpret: bool = False) -> jax.Array:
     """Quantized matmul  x @ dequant(qt):  [..., K] -> [..., N].
 
     Dispatch mirrors the reference's runtime core selection
     (core/layers/inner_product.cpp:28-150): packed-weight spec + backend
     decide the kernel; unsupported combos fall back to the XLA path.
+    `interpret=True` forces the Pallas kernel in interpreter mode (tests).
     """
-    if force_xla or not _use_pallas() or not _pallas_supported(qt):
+    use_pallas = (interpret or _use_pallas()) and _pallas_supported(qt)
+    if force_xla or not use_pallas:
         return qmatmul_xla(x, qt, out_dtype)
     lead = x.shape[:-1]
     m = 1
     for d in lead:
         m *= d
     x2 = x.reshape(m, x.shape[-1])
-    out = _qmatmul_pallas_2d(x2, qt, out_dtype=out_dtype or x.dtype)
+    out = _qmatmul_pallas_2d(x2, qt, out_dtype=out_dtype or x.dtype,
+                             interpret=interpret)
     return out.reshape(*lead, qt.shape[1])
 
 

@@ -1,0 +1,106 @@
+"""Fused dequant-matmul correctness: Pallas (interpret) vs XLA vs fp32.
+
+Mirrors the reference kernel UT comparing JIT kernels against kernel_ref
+scalar code (bestla/bestla/ut/bestla_gemm.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_speed_tpu.ops import QSpec, QType, named_qspec
+from neural_speed_tpu.ops.matmul import qmatmul, qmatmul_int8, qmatmul_xla
+from neural_speed_tpu.ops.quantize import dequantize, quantize
+
+M, K, N = 16, 256, 128
+
+
+def _setup(spec, seed=0, m=M, k=K, n=N):
+    kx, kw = jax.random.split(jax.random.PRNGKey(seed))
+    x = jax.random.normal(kx, (m, k), jnp.float32)
+    w = jax.random.normal(kw, (k, n), jnp.float32) * 0.1
+    qt = quantize(w, spec)
+    return x, w, qt
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        QSpec(QType.INT, 4, 64, True),
+        QSpec(QType.INT, 4, 32, False),
+        QSpec(QType.INT, 8, 128, True),
+        QSpec(QType.INT, 2, 32, True),
+        named_qspec("nf4", group_size=32),
+        named_qspec("fp4", group_size=32),
+    ],
+    ids=["i4sym", "i4asym", "i8", "i2", "nf4", "fp4"],
+)
+def test_pallas_matches_xla(spec):
+    x, w, qt = _setup(spec)
+    ref = qmatmul_xla(x, qt)
+    out = qmatmul(x, qt, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_xla_matches_exact_dequant():
+    spec = QSpec(QType.INT, 4, 64, True)
+    x, w, qt = _setup(spec)
+    ref = x @ dequantize(qt)
+    out = qmatmul_xla(x, qt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_gemv_shape():
+    """Decode-shaped m=1 input (the reference GEMV fast path,
+    bestla_wrapper.h:344-402)."""
+    spec = QSpec(QType.INT, 4, 64, True)
+    x, w, qt = _setup(spec, m=1)
+    out = qmatmul(x, qt, interpret=True)
+    ref = qmatmul_xla(x, qt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_batched_leading_dims():
+    spec = QSpec(QType.INT, 4, 64, True)
+    x, w, qt = _setup(spec)
+    xb = x.reshape(2, M // 2, K)
+    out = qmatmul(xb, qt, force_xla=True)
+    assert out.shape == (2, M // 2, N)
+
+
+def test_bf16_activation():
+    spec = QSpec(QType.INT, 4, 64, True)
+    x, w, qt = _setup(spec)
+    out = qmatmul(x.astype(jnp.bfloat16), qt, interpret=True)
+    ref = qmatmul_xla(x.astype(jnp.bfloat16), qt)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=3e-2,
+        atol=3e-2
+    )
+
+
+def test_int8_compute_path():
+    """comp_int8 analogue: dynamic activation quant; error vs fp32 compute
+    bounded by int8 activation resolution."""
+    spec = QSpec(QType.INT, 4, 64, True)
+    x, w, qt = _setup(spec)
+    ref = qmatmul_xla(x, qt)
+    out = qmatmul_int8(x, qt)
+    denom = float(jnp.sqrt(jnp.mean(ref**2)))
+    rel = float(jnp.sqrt(jnp.mean((out - ref) ** 2))) / max(denom, 1e-8)
+    assert rel < 0.02, rel
+
+
+def test_quant_error_propagates_reasonably():
+    """End-to-end sanity: int4 matmul output within a few % of fp32 matmul."""
+    spec = QSpec(QType.INT, 4, 32, True)
+    x, w, qt = _setup(spec)
+    exact = x @ w
+    out = qmatmul_xla(x, qt)
+    denom = float(jnp.sqrt(jnp.mean(exact**2)))
+    rel = float(jnp.sqrt(jnp.mean((out - exact) ** 2))) / denom
+    assert rel < 0.15, rel  # int4 g32 RTN weight error is ~0.10 rel RMSE

@@ -92,7 +92,12 @@ def test_double_quant():
     assert qt.scales.dtype == jnp.int8 and qt.sscale is not None
     wd = dequantize(qt)
     rel = float(jnp.sqrt(jnp.mean((w - wd) ** 2)) / jnp.sqrt(jnp.mean(w**2)))
-    assert rel < 0.06  # int4 g32 alone is ~3-4%; dq adds ~1e-2 relative
+    # int4 g32 RTN alone is ~0.096 rel RMSE; double-quant must add <0.5% extra
+    base = quantize(w, QSpec(QType.INT, 4, 32, True))
+    rel_base = float(
+        jnp.sqrt(jnp.mean((w - dequantize(base)) ** 2)) / jnp.sqrt(jnp.mean(w**2))
+    )
+    assert rel < rel_base + 0.005
 
 
 def test_bf16_scales():
@@ -101,7 +106,7 @@ def test_bf16_scales():
     assert qt.scales.dtype == jnp.bfloat16
     wd = dequantize(qt)
     rel = float(jnp.sqrt(jnp.mean((w - wd) ** 2)) / jnp.sqrt(jnp.mean(w**2)))
-    assert rel < 0.05
+    assert rel < 0.15  # int4 g128 RTN is ~0.11 rel RMSE; bf16 scales add <1%
 
 
 def test_pytree():
