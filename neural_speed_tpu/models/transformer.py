@@ -1,0 +1,274 @@
+"""Shared functional decoder — the TPU-native analogue of the reference's
+per-arch C++ graph builders (neural_speed/models/<arch>/<arch>.cpp).
+
+One pure function `forward()` covers all decoder archs via ArchConfig; the
+reference's per-arch peculiarities (SURVEY.md §2.4) are config knobs.  The
+graph is built so everything under `jax.jit` is static-shaped:
+
+  * tokens `[B, T]` with explicit `positions [B, T]` (continuous batching
+    concatenates unrelated requests — llama.cpp:64-90 / :329-349);
+  * KV append via the cache's per-slot positions;
+  * attention masking by per-slot `kv_lens` (no data-dependent shapes).
+
+Params are a plain dict pytree; linear leaves are either a `QTensor`
+(weight-only quantized, fed to the fused dequant-matmul kernels) or a
+dense array — matching the reference's mixed quantized/fp graphs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import kv_cache as kvc
+from ..ops.attention import alibi_slopes, attention
+from ..ops.matmul import qmatmul
+from ..ops.norms import layer_norm, rms_norm
+from ..ops.quantize import QTensor
+from ..ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
+from .arch import ArchConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def linear(x: jax.Array, p: Params) -> jax.Array:
+    """p = {"w": QTensor | [K, N] array, "b": optional [N]}."""
+    w = p["w"]
+    if isinstance(w, QTensor):
+        out = qmatmul(x, w)
+    else:
+        out = jnp.matmul(
+            x, w.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    b = p.get("b")
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def norm(x: jax.Array, p: Params, cfg: ArchConfig) -> jax.Array:
+    w = p["weight"]
+    if cfg.norm == "rms":
+        if cfg.gemma_norm:
+            return rms_norm(x, w.astype(jnp.float32) + 1.0, cfg.norm_eps)
+        return rms_norm(x, w, cfg.norm_eps)
+    return layer_norm(x, w, p.get("bias"), cfg.norm_eps)
+
+
+_ACTS = {
+    "silu": jax.nn.silu,
+    "gelu": jax.nn.gelu,
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_exact": lambda x: jax.nn.gelu(x, approximate=False),
+    "relu": jax.nn.relu,
+}
+
+
+def ffn(x: jax.Array, p: Params, cfg: ArchConfig,
+        act: Optional[str] = None) -> jax.Array:
+    """Gated (SiLU/GELU-mul, fused ne_ffn_silu/ne_ffn_gelu_mul parity) or
+    classic 2-matmul MLP (ne_ffn_add_gelu)."""
+    a = _ACTS[act or cfg.act]
+    if cfg.gated_ffn:
+        return linear(a(linear(x, p["gate"])) * linear(x, p["up"]), p["down"])
+    return linear(a(linear(x, p["up"])), p["down"])
+
+
+def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig) -> jax.Array:
+    """Top-k expert mixing (mixtral/grok; llama.cpp:620-689 ne_mul_mat_id).
+
+    Round-1 strategy: compute every expert densely and weight by the
+    router's top-k mask — correct and jit-static; grouped (megablocks-style)
+    dispatch is a planned perf step.
+    """
+    m = cfg.moe
+    router_logits = linear(x, p["router"]).astype(jnp.float32)  # [B,T,E]
+    topv, topi = jax.lax.top_k(router_logits, m.top_k)
+    probs = jax.nn.softmax(topv, axis=-1)  # normalize over selected experts
+    onehot = jax.nn.one_hot(topi, m.num_experts, dtype=jnp.float32)  # [B,T,k,E]
+    weights = jnp.einsum("btk,btke->bte", probs, onehot)
+    out = jnp.zeros_like(x, shape=x.shape).astype(jnp.float32)
+    for e in range(m.num_experts):
+        contrib = ffn(x, p["experts"][e], cfg).astype(jnp.float32)
+        out = out + contrib * weights[..., e : e + 1]
+    return out.astype(x.dtype)
+
+
+def _logn_scale(positions: jax.Array, train_ctx: int) -> jax.Array:
+    """qwen logn attention scaling (qwen.cpp:58-59): queries past the train
+    context are scaled by log_n(pos)/log_n(ctx)."""
+    pos = jnp.maximum(positions.astype(jnp.float32), 1.0)
+    scale = jnp.log(pos + 1.0) / math.log(train_ctx)
+    return jnp.maximum(scale, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# decoder layer
+# ---------------------------------------------------------------------------
+
+
+def decoder_layer(
+    x: jax.Array,
+    lp: Params,
+    cfg: ArchConfig,
+    layer_idx: int,
+    cache: kvc.KVCache,
+    positions: jax.Array,
+    kv_lens: jax.Array,
+    inv_freq: Optional[jax.Array],
+    mscale: float,
+    slopes: Optional[jax.Array],
+    block_positions: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, kvc.KVCache]:
+    b, t, _ = x.shape
+    h, hkv, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    attn_in = norm(x, lp["attn_norm"], cfg)
+
+    q = linear(attn_in, lp["q"]).reshape(b, t, h, d)
+    k = linear(attn_in, lp["k"]).reshape(b, t, hkv, d)
+    v = linear(attn_in, lp["v"]).reshape(b, t, hkv, d)
+    if cfg.clip_qkv:
+        q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+        k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+        v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
+
+    if cfg.rope_style in ("neox", "gptj"):
+        cos, sin = rope_cos_sin(positions, inv_freq, mscale)
+        q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rot_dim)
+        k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rot_dim)
+    elif cfg.rope_style == "chatglm":
+        from ..ops.rope import rope_2d_chatglm
+
+        bp = block_positions if block_positions is not None else (
+            jnp.zeros_like(positions)
+        )
+        q = rope_2d_chatglm(q, positions, bp, cfg.rope_base)
+        k = rope_2d_chatglm(k, positions, bp, cfg.rope_base)
+
+    if cfg.logn_attn:
+        q = q * _logn_scale(positions, cfg.max_position_embeddings)[
+            ..., None, None
+        ].astype(q.dtype)
+
+    cache = kvc.append_layer(cache, layer_idx, k, v, positions)
+    k_all, v_all = kvc.read_layer(cache, layer_idx, x.dtype)
+
+    attn_out = attention(
+        q, k_all, v_all, positions, kv_lens,
+        scale=cfg.attn_scale if cfg.attn_scale is not None
+        else 1.0 / math.sqrt(d),
+        causal=True,
+        alibi=slopes,
+        logit_softcap=cfg.logit_softcap,
+    )
+    attn_out = linear(attn_out.reshape(b, t, h * d), lp["o"])
+    if cfg.post_attn_norm:
+        attn_out = norm(attn_out, lp["post_attn_norm"], cfg)
+
+    if cfg.parallel_residual:
+        # gptj.cpp:184-232 / gptneox par_res / phi: x + attn(n(x)) + ffn(n'(x))
+        if cfg.shared_parallel_norm:
+            ffn_in = attn_in
+        else:
+            ffn_in = norm(x, lp["ffn_norm"], cfg)
+        if cfg.moe is not None:
+            ffn_out = moe_ffn(ffn_in, lp["moe"], cfg)
+        else:
+            ffn_out = ffn(ffn_in, lp["ffn"], cfg)
+        if cfg.post_ffn_norm:
+            ffn_out = norm(ffn_out, lp["post_ffn_norm"], cfg)
+        return x + attn_out + ffn_out, cache
+
+    if cfg.deepnorm_alpha is not None:
+        # chatglm-1 (GLM-130B deepnorm): residual scaled by alpha
+        h1 = attn_in * cfg.deepnorm_alpha + attn_out
+    else:
+        h1 = x + attn_out
+
+    ffn_in = norm(h1, lp["ffn_norm"], cfg)
+    if cfg.moe is not None:
+        mp = lp["moe"]
+        z = ffn_in
+        if cfg.moe.pre_norm:
+            z = norm(z, mp["pre_norm"], cfg)
+        ffn_out = moe_ffn(z, mp, cfg)
+        if cfg.moe.post_norm:
+            ffn_out = norm(ffn_out, mp["post_norm"], cfg)
+    else:
+        ffn_out = ffn(ffn_in, lp["ffn"], cfg)
+    if cfg.post_ffn_norm:
+        ffn_out = norm(ffn_out, lp["post_ffn_norm"], cfg)
+
+    if cfg.deepnorm_alpha is not None:
+        return ffn_in * cfg.deepnorm_alpha + ffn_out, cache
+    return h1 + ffn_out, cache
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    cfg: ArchConfig,
+    token_ids: jax.Array,            # [B, T]
+    positions: jax.Array,            # [B, T]
+    cache: kvc.KVCache,
+    kv_lens: jax.Array,              # [B] total valid kv AFTER this step
+    block_positions: Optional[jax.Array] = None,
+    logits_dtype=jnp.float32,
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """Full decoder step: embeds `token_ids`, runs all layers appending to
+    `cache`, returns logits `[B, T, vocab]` and the updated cache.
+
+    Parity: llama_model_eval_internal and friends (llama.cpp:53-788)."""
+    x = params["embed"]["weight"][token_ids]
+    if cfg.embed_scale != 1.0:
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
+    if cfg.embedding_ln:
+        x = layer_norm(
+            x, params["embed_ln"]["weight"], params["embed_ln"].get("bias"),
+            cfg.norm_eps,
+        )
+    if cfg.learned_pos:
+        # opt.cpp:99-110: learned absolute positions with offset
+        x = x + params["pos_embed"]["weight"][positions + cfg.pos_offset]
+
+    inv_freq, mscale = None, 1.0
+    if cfg.rope_style in ("neox", "gptj"):
+        rot = cfg.rot_dim or cfg.head_dim
+        inv_freq, mscale = rope_inv_freq(
+            rot, cfg.rope_base, cfg.rope_scaling, seq_len=cache.max_len
+        )
+    slopes = alibi_slopes(cfg.n_heads) if cfg.use_alibi else None
+
+    for i, lp in enumerate(params["layers"]):
+        x, cache = decoder_layer(
+            x, lp, cfg, i, cache, positions, kv_lens, inv_freq, mscale,
+            slopes, block_positions,
+        )
+
+    if cfg.final_norm:
+        x = norm(x, params["final_norm"], cfg)
+
+    head = params.get("lm_head")
+    if head is None or cfg.tie_word_embeddings:
+        emb = params["embed"]["weight"]
+        logits = jnp.matmul(
+            x, emb.T.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+    else:
+        logits = linear(x, head).astype(jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    return logits.astype(logits_dtype), cache

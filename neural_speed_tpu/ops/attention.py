@@ -1,0 +1,126 @@
+"""Attention: GQA/MQA, causal + ALiBi + tanh-softcap masks, quantized KV.
+
+Parity (reference):
+  * core/layers/mha_dense.{h,cpp} + mha_dense_wrapper.h — fused flash
+    attention over fp32/bf16/int8 KV with GQA, causal, alibi and tanh30
+    ("NE_ATTN_FLAG_IS_ALIBI8", "NE_ATTN_FLAG_IS_TANH30") mask flags.
+  * Continuous batching semantics: each query token carries an absolute
+    position; each batch slot carries a KV length (llama.cpp:329-349,
+    model_utils.cpp split_inputs_into_groups).
+
+This module provides the XLA reference implementation (`attention_ref`) —
+masked softmax attention that XLA compiles well — and the dispatch entry
+`attention` that the Pallas flash kernels (ops/flash.py) plug into on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # large-negative instead of -inf: keeps softmax NaN-free
+                # for fully-masked (padding) rows
+
+
+def alibi_slopes(n_heads: int) -> jnp.ndarray:
+    """Standard ALiBi slope schedule (parity: ne_alibi, ne_layers.c; used by
+    mpt/bloom/baichuan-13b graphs)."""
+    def pow2slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        return jnp.asarray(pow2slopes(n_heads), jnp.float32)
+    closest = 2 ** math.floor(math.log2(n_heads))
+    base = pow2slopes(closest)
+    extra = pow2slopes(2 * closest)[0::2][: n_heads - closest]
+    return jnp.asarray(base + extra, jnp.float32)
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """[B, S, H_kv, D] -> [B, S, H_kv*n_rep, D] (GQA head sharing)."""
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(
+        b, s, h * n_rep, d
+    )
+
+
+def attention_ref(
+    q: jax.Array,                 # [B, T, H, D]
+    k: jax.Array,                 # [B, S, H_kv, D]
+    v: jax.Array,                 # [B, S, H_kv, D]
+    q_positions: jax.Array,       # [B, T] absolute positions of queries
+    kv_lens: jax.Array,           # [B] valid KV length per slot
+    scale: Optional[float] = None,
+    causal: bool = True,
+    alibi: Optional[jax.Array] = None,    # [H] slopes or None
+    logit_softcap: float = 0.0,           # grok: 30*tanh(x/30)
+    out_dtype=None,
+) -> jax.Array:
+    """Masked softmax attention, fp32 accumulation."""
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    h_kv = k.shape[2]
+    n_rep = h // h_kv
+    out_dtype = out_dtype or q.dtype
+
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    kf = _repeat_kv(k, n_rep).astype(jnp.float32)
+    vf = _repeat_kv(v, n_rep).astype(jnp.float32)
+    qf = q.astype(jnp.float32) * scale
+
+    # [B, H, T, S]
+    logits = jnp.einsum("bthd,bshd->bhts", qf, kf)
+    if logit_softcap > 0.0:
+        logits = logit_softcap * jnp.tanh(logits / logit_softcap)
+
+    kpos = jnp.arange(s)[None, None, :]                  # [1, 1, S]
+    valid = kpos < kv_lens[:, None, None]                # [B, 1, S]
+    if causal:
+        valid = valid & (kpos <= q_positions[:, :, None])  # [B, T, S]
+    else:
+        valid = jnp.broadcast_to(valid, (b, t, s))
+    if alibi is not None:
+        dist = kpos.astype(jnp.float32) - q_positions[:, :, None].astype(
+            jnp.float32
+        )  # [B, T, S], <= 0 where causal-valid
+        bias = alibi[None, :, None, None] * dist[:, None, :, :]
+        logits = logits + bias
+    logits = jnp.where(valid[:, None, :, :], logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, vf)
+    return out.astype(out_dtype)
+
+
+def attention(
+    q, k, v, q_positions, kv_lens, *, scale=None, causal=True, alibi=None,
+    logit_softcap=0.0, out_dtype=None, use_flash: Optional[bool] = None,
+):
+    """Dispatch: Pallas flash kernels on TPU, XLA reference elsewhere.
+
+    Parity: mha_dense.cpp:31-80 dtype/flag dispatch +
+    bestla_reordered_attn_fp32_support fallback logic.
+    """
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    if use_flash:
+        try:
+            from . import flash
+
+            return flash.flash_attention(
+                q, k, v, q_positions, kv_lens, scale=scale, causal=causal,
+                alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,
+            )
+        except NotImplementedError:
+            pass
+    return attention_ref(
+        q, k, v, q_positions, kv_lens, scale=scale, causal=causal,
+        alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,
+    )

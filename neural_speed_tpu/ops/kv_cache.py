@@ -1,0 +1,216 @@
+"""KV cache: batched slots, optional int8 quantization, beam reorder,
+StreamingLLM eviction, shift-RoPE ring buffer.
+
+Parity (reference):
+  * model_utils.cpp:61-194 kv_cache_init — per-layer K/V for batch x beam
+    slots, fp16/fp32 or the opaque BesTLA reordered layout.  Here: one
+    stacked array per tensor `[L, B, S_max, H_kv, D]`; the "reordered tile
+    layout" is unnecessary on TPU (lane layout handles it), and the
+    quantized variant stores int8 codes + per-(token, head) scales, which
+    the flash kernels dequantize on the fly.
+  * model_utils.cpp:1959-2310 model_kv_cache_seq_cpy / beam reorder —
+    replaced by a batch-axis gather (`reorder`): no memcpy, XLA turns it
+    into a cheap device copy (SURVEY.md §7 "beam reorder = KV block-index
+    gather").
+  * main_pybind.cpp:573-587 StreamingLLM discard (`evict`) and
+    llama.cpp:437-446 shift-RoPE ring (`shift_ring`).
+
+Sequence positions are explicit (`lengths` per slot) because continuous
+batching mixes prefill/decode slots at unrelated offsets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .rope import apply_rope, rope_cos_sin
+
+KV_SCALE_EPS = 1e-8
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Stacked KV cache.
+
+    k, v       : [L, B, S, H_kv, D]  (dtype = `dtype`, or int8 when quantized)
+    k_scale,
+    v_scale    : [L, B, S, H_kv, 1] f32 per-token-per-head scales (quantized
+                 only, else None)
+    lengths    : [B] int32 — tokens currently stored per slot (== n_past)
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: Optional[jax.Array]
+    v_scale: Optional[jax.Array]
+    lengths: jax.Array
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.k_scale, self.v_scale, self.lengths), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- static helpers --------------------------------------------------
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def layers(self) -> int:
+        return self.k.shape[0]
+
+
+def init_cache(layers: int, batch: int, max_len: int, kv_heads: int,
+               head_dim: int, dtype=jnp.bfloat16,
+               quantized: bool = False) -> KVCache:
+    """Parity: kv_cache_init (model_utils.cpp:61-194); `quantized=True` is
+    the analogue of KV_MEM_TYPE_AUTO choosing the BesTLA int8 layout."""
+    shape = (layers, batch, max_len, kv_heads, head_dim)
+    if quantized:
+        k = jnp.zeros(shape, jnp.int8)
+        v = jnp.zeros(shape, jnp.int8)
+        ks = jnp.zeros(shape[:-1] + (1,), jnp.float32)
+        vs = jnp.zeros(shape[:-1] + (1,), jnp.float32)
+    else:
+        k = jnp.zeros(shape, dtype)
+        v = jnp.zeros(shape, dtype)
+        ks = vs = None
+    return KVCache(k, v, ks, vs, jnp.zeros((batch,), jnp.int32))
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(token, head) sym int8 quant: x [..., D] -> codes, scale [..., 1]."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                               keepdims=True), KV_SCALE_EPS)
+    scale = amax / 127.0
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return codes.astype(jnp.int8), scale
+
+
+def append_layer(cache: KVCache, layer: int, k_new: jax.Array,
+                 v_new: jax.Array, positions: jax.Array) -> KVCache:
+    """Write `[B, T, H, D]` new keys/values at `positions` `[B, T]`.
+
+    Parity: ne_flash_attn_update_k/v incremental append
+    (core/layers/mha_dense.cpp:182-400).  Positions may differ per slot
+    (continuous batching).  Out-of-range positions (padding) are clamped to
+    the last slot and masked out by attention via `lengths`.
+    """
+    b, t = positions.shape
+    bidx = jnp.arange(b)[:, None]
+    pos = jnp.clip(positions, 0, cache.max_len - 1)
+    if cache.quantized:
+        kc, ks = quantize_kv(k_new)
+        vc, vs = quantize_kv(v_new)
+        k = cache.k.at[layer, bidx, pos].set(kc)
+        v = cache.v.at[layer, bidx, pos].set(vc)
+        k_scale = cache.k_scale.at[layer, bidx, pos].set(ks)
+        v_scale = cache.v_scale.at[layer, bidx, pos].set(vs)
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
+    k = cache.k.at[layer, bidx, pos].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[layer, bidx, pos].set(v_new.astype(cache.v.dtype))
+    return dataclasses.replace(cache, k=k, v=v)
+
+
+def read_layer(cache: KVCache, layer: int,
+               dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+    """Dequantized view `[B, S, H, D]` of one layer (XLA attention path; the
+    Pallas flash kernels read the int8 codes directly instead)."""
+    k = cache.k[layer]
+    v = cache.v[layer]
+    if cache.quantized:
+        k = k.astype(jnp.float32) * cache.k_scale[layer]
+        v = v.astype(jnp.float32) * cache.v_scale[layer]
+    return k.astype(dtype), v.astype(dtype)
+
+
+def set_lengths(cache: KVCache, lengths: jax.Array) -> KVCache:
+    return dataclasses.replace(cache, lengths=lengths.astype(jnp.int32))
+
+
+def advance(cache: KVCache, counts: jax.Array) -> KVCache:
+    return dataclasses.replace(
+        cache, lengths=cache.lengths + counts.astype(jnp.int32)
+    )
+
+
+def reorder(cache: KVCache, src_slots: jax.Array) -> KVCache:
+    """Beam-search KV reorder: new slot b takes old slot src_slots[b].
+
+    Parity: beam_search_kv_cache_reorder / model_kv_cache_seq_cpy
+    (model_utils.cpp:2239-2310, 2058) — gather instead of block memcpy."""
+    take = lambda a: None if a is None else jnp.take(a, src_slots, axis=1)
+    return KVCache(
+        take(cache.k), take(cache.v), take(cache.k_scale),
+        take(cache.v_scale), jnp.take(cache.lengths, src_slots, axis=0),
+    )
+
+
+def evict(cache: KVCache, n_keep: int, n_discard: int) -> KVCache:
+    """StreamingLLM discard: keep the first `n_keep` sink tokens, drop the
+    next `n_discard`, slide the rest down (parity: main_pybind.cpp:573-587).
+    Static shapes: the tail is rolled down; stale tail slots are masked by
+    the reduced `lengths`.  NOTE: with plain (non-shift) RoPE the caller
+    must re-evaluate the slid tokens, exactly like the reference."""
+
+    def slide(a):
+        if a is None:
+            return None
+        head = a[:, :, :n_keep]
+        tail = a[:, :, n_keep + n_discard:]
+        pad = a[:, :, -n_discard:]  # stale; masked via lengths
+        return jnp.concatenate([head, tail, pad], axis=2)
+
+    return KVCache(
+        slide(cache.k), slide(cache.v), slide(cache.k_scale),
+        slide(cache.v_scale),
+        jnp.maximum(cache.lengths - n_discard, n_keep),
+    )
+
+
+def shift_ring(cache: KVCache, n_keep: int, n_discard: int,
+               inv_freq: jax.Array, style: str = "neox",
+               rot_dim: Optional[int] = None) -> KVCache:
+    """Shift-RoPE ring-buffer eviction: like `evict`, but K is stored RoPE'd,
+    so the slid tokens are re-rotated by -n_discard positions instead of
+    being re-evaluated (parity: ne_rope_shift_inplace + kv_self.cossin,
+    llama.cpp:437-446,551-558; docs/infinite_inference.md)."""
+    out = evict(cache, n_keep, n_discard)
+    if out.quantized:
+        # dequantize -> rotate -> requantize the shifted span
+        kf = out.k.astype(jnp.float32) * out.k_scale
+        delta = jnp.full(kf.shape[1:3], -n_discard, jnp.int32)  # [B, S]
+        mask = (jnp.arange(out.max_len)[None, :] >= n_keep)
+        delta = jnp.where(mask, delta, 0)
+        kr = _rotate_stack(kf, delta, inv_freq, style, rot_dim)
+        kc, ks = quantize_kv(kr)
+        return dataclasses.replace(out, k=kc, k_scale=ks)
+    delta = jnp.full(out.k.shape[1:3], -n_discard, jnp.int32)
+    mask = (jnp.arange(out.max_len)[None, :] >= n_keep)
+    delta = jnp.where(mask, delta, 0)
+    kr = _rotate_stack(out.k.astype(jnp.float32), delta, inv_freq, style,
+                       rot_dim)
+    return dataclasses.replace(out, k=kr.astype(out.k.dtype))
+
+
+def _rotate_stack(k: jax.Array, delta: jax.Array, inv_freq: jax.Array,
+                  style: str, rot_dim: Optional[int]) -> jax.Array:
+    """k: [L, B, S, H, D]; delta: [B, S] -> rotated k."""
+    cos, sin = rope_cos_sin(delta, inv_freq)  # [B, S, half]
+    return apply_rope(k, cos[None], sin[None], style=style, rot_dim=rot_dim)

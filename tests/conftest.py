@@ -17,3 +17,13 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# The CPU backend's default matmul precision emulates TPU bf16 passes
+# (~7e-2 abs error on f32 matmuls); tests compare exact math.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: XLA-on-CPU compiles here are ~0.5s per tiny
+# executable; caching them makes repeat test runs fast.
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
