@@ -307,10 +307,13 @@ def falcon_arch(hf: Dict[str, Any]) -> ArchConfig:
     """falcon.cpp:75-153: MQA/GQA, parallel residual (one norm for 7B, two
     for 40B), no biases on qkv, gelu mlp."""
     n_heads = hf["num_attention_heads"]
-    n_kv = hf.get("num_kv_heads", hf.get("n_head_kv", 1))
-    if not hf.get("multi_query", True):
-        n_kv = n_heads
     new_decoder = hf.get("new_decoder_architecture", False)
+    if new_decoder:  # falcon-40b/180b: true GQA group count
+        n_kv = hf.get("num_kv_heads") or hf.get("n_head_kv", 8)
+    elif hf.get("multi_query", True):
+        n_kv = 1
+    else:
+        n_kv = n_heads
     return ArchConfig(
         name="falcon",
         vocab_size=hf["vocab_size"],
@@ -322,8 +325,9 @@ def falcon_arch(hf: Dict[str, Any]) -> ArchConfig:
         max_position_embeddings=2048,
         norm="ln",
         norm_eps=hf.get("layer_norm_epsilon", 1e-5),
-        rope_style="neox",
+        rope_style="none" if hf.get("alibi", False) else "neox",
         rope_base=hf.get("rope_theta", 10000.0),
+        use_alibi=hf.get("alibi", False),
         act="gelu",
         gated_ffn=False,
         parallel_residual=hf.get("parallel_attn", True),

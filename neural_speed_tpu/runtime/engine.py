@@ -1,0 +1,150 @@
+"""Generation engine: jitted prefill/decode steps + generate loops.
+
+Parity: the reference's L4 generation runtime (model_utils.cpp model_eval
+dispatch + main_pybind.cpp evaluate_/generate loops), redesigned for XLA:
+everything under jit has static shapes — prefill uses padded length
+buckets, decode is a fixed-slot single-token step with donated KV
+(SURVEY.md §7 "ragged continuous batching under jit").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.arch import ArchConfig
+from ..models.transformer import forward
+from ..ops import kv_cache as kvc
+
+
+def pad_to_bucket(length: int, buckets: Tuple[int, ...]) -> int:
+    """Choose the padded prefill length (static-shape bucketing)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+DEFAULT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def prefill_step(
+    params: Dict[str, Any],
+    cfg: ArchConfig,
+    cache: kvc.KVCache,
+    token_ids: jax.Array,     # [B, T] padded with 0s
+    lengths: jax.Array,       # [B] true prompt lengths
+    start_pos: jax.Array,     # [B] position offset (0 for fresh prompts)
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """Evaluate a padded prompt chunk; returns logits at the last *real*
+    token of each row `[B, vocab]` and the updated cache."""
+    b, t = token_ids.shape
+    pos = start_pos[:, None] + jnp.arange(t)[None, :]
+    # padding tokens are parked past the end; attention masks them via
+    # kv_lens, and append clamps their cache slot writes
+    in_range = jnp.arange(t)[None, :] < lengths[:, None]
+    pos = jnp.where(in_range, pos, cache.max_len - 1)
+    kv_lens = start_pos + lengths
+    logits, cache = forward(params, cfg, token_ids, pos, cache, kv_lens)
+    last = jnp.clip(lengths - 1, 0, t - 1)
+    last_logits = jnp.take_along_axis(
+        logits, last[:, None, None], axis=1
+    )[:, 0]
+    cache = kvc.set_lengths(cache, kv_lens)
+    return last_logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def decode_step(
+    params: Dict[str, Any],
+    cfg: ArchConfig,
+    cache: kvc.KVCache,
+    tokens: jax.Array,        # [B] last sampled token per slot
+    active: jax.Array,        # [B] bool — slots still generating
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """One decode token for every active slot (the HOT path —
+    llama.cpp:53 model_eval_internal per-token equivalent)."""
+    lens = cache.lengths
+    pos = jnp.where(active, lens, cache.max_len - 1)[:, None]  # [B,1]
+    kv_lens = lens + active.astype(jnp.int32)
+    logits, cache = forward(
+        params, cfg, tokens[:, None], pos, cache, kv_lens
+    )
+    cache = kvc.set_lengths(cache, kv_lens)
+    return logits[:, 0], cache
+
+
+class Engine:
+    """Owns params + cache + jitted steps for one model instance."""
+
+    def __init__(self, params: Dict[str, Any], cfg: ArchConfig,
+                 max_batch: int = 1, max_len: int = 2048,
+                 kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
+                 buckets: Tuple[int, ...] = DEFAULT_BUCKETS):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.kv_dtype = kv_dtype
+        self.kv_quantized = kv_quantized
+        self.buckets = tuple(b for b in buckets if b <= max_len) or (max_len,)
+        if self.buckets[-1] < max_len:
+            self.buckets = self.buckets + (max_len,)
+        self.cache = self.new_cache()
+
+    def new_cache(self) -> kvc.KVCache:
+        return kvc.init_cache(
+            self.cfg.n_layers, self.max_batch, self.max_len,
+            self.cfg.n_kv_heads, self.cfg.head_dim, self.kv_dtype,
+            self.kv_quantized,
+        )
+
+    # -- single-prompt convenience (Model.generate parity) ---------------
+    def prefill(self, prompts: List[List[int]]) -> jax.Array:
+        """Prefill `prompts` into slots 0..B-1; returns last-token logits."""
+        b = len(prompts)
+        assert b <= self.max_batch
+        maxlen = max(len(p) for p in prompts)
+        t = pad_to_bucket(maxlen, self.buckets)
+        ids = np.zeros((self.max_batch, t), np.int32)
+        lens = np.zeros((self.max_batch,), np.int32)
+        for i, p in enumerate(prompts):
+            ids[i, : len(p)] = p
+            lens[i] = len(p)
+        self.cache = kvc.set_lengths(
+            self.cache, jnp.zeros((self.max_batch,), jnp.int32)
+        )
+        logits, self.cache = prefill_step(
+            self.params, self.cfg, self.cache, jnp.asarray(ids),
+            jnp.asarray(lens), jnp.zeros((self.max_batch,), jnp.int32),
+        )
+        return logits
+
+    def decode(self, tokens: jax.Array, active: jax.Array) -> jax.Array:
+        logits, self.cache = decode_step(
+            self.params, self.cfg, self.cache, tokens, active
+        )
+        return logits
+
+    def generate_greedy(self, prompt: List[int], max_new_tokens: int,
+                        eos_id: Optional[int] = None) -> List[int]:
+        """Single-sequence greedy decode (tests / simple API)."""
+        logits = self.prefill([prompt])
+        out = []
+        tok = int(jnp.argmax(logits[0]))
+        active = jnp.zeros((self.max_batch,), bool).at[0].set(True)
+        for _ in range(max_new_tokens):
+            out.append(tok)
+            if eos_id is not None and tok == eos_id:
+                break
+            logits = self.decode(
+                jnp.full((self.max_batch,), tok, jnp.int32), active
+            )
+            tok = int(jnp.argmax(logits[0]))
+        return out
