@@ -1,0 +1,118 @@
+"""Benchmark: Llama-2-7B-shaped int4-g128 decode on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's best published decode rate — 24.2 tok/s on a
+56-core SPR socket (docs/fused_attention.md:111, BASELINE.md).
+
+Extra context (prefill TTFT, memory) goes to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_DECODE_TOKS = 24.2  # docs/fused_attention.md:111 (41.27 ms/tok)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--prompt", type=int, default=1975)  # reference's prompt
+    ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny shapes for a smoke run")
+    args = ap.parse_args()
+
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops import kv_cache as kvc
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.runtime.engine import decode_n_steps, prefill_step
+    from neural_speed_tpu.utils.synthetic import llama2_7b_arch, synth_params
+
+    if args.small:
+        cfg = ArchConfig(
+            name="llama", vocab_size=1024, hidden_size=512, n_layers=4,
+            n_heads=8, n_kv_heads=8, intermediate_size=1024,
+            max_position_embeddings=args.ctx,
+        )
+    else:
+        cfg = llama2_7b_arch()
+        if args.layers != 32:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, n_layers=args.layers)
+    spec = QSpec(QType.INT, 4, 128, True)
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    t0 = time.time()
+    params = synth_params(cfg, spec)
+    jax.block_until_ready(params)
+    log(f"params materialized in {time.time()-t0:.1f}s")
+
+    b = args.batch
+    cache = kvc.init_cache(cfg.n_layers, b, args.ctx, cfg.n_kv_heads,
+                           cfg.head_dim, jnp.bfloat16)
+
+    # ---- prefill (TTFT) ----
+    t = args.prompt
+    ids = jnp.zeros((b, t), jnp.int32)
+    lens = jnp.full((b,), t, jnp.int32)
+    start = jnp.zeros((b,), jnp.int32)
+    tic = time.time()
+    logits, cache = prefill_step(params, cfg, cache, ids, lens, start)
+    logits.block_until_ready()
+    log(f"prefill compile+run {time.time()-tic:.1f}s")
+    tic = time.time()
+    cache2 = kvc.init_cache(cfg.n_layers, b, args.ctx, cfg.n_kv_heads,
+                            cfg.head_dim, jnp.bfloat16)
+    logits, cache2 = prefill_step(params, cfg, cache2, ids, lens, start)
+    logits.block_until_ready()
+    ttft = time.time() - tic
+    log(f"prefill ({t} tokens) = {ttft*1e3:.1f} ms "
+        f"(reference fused-attn: 1475.6 ms)")
+
+    # ---- decode ----
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    if tok.ndim > 1:
+        tok = tok[:, 0]
+    active = jnp.ones((b,), bool)
+    # Two step counts; the marginal rate removes the fixed per-dispatch
+    # overhead of the remote-tunnel execution path.
+    s1, s2 = args.steps, args.steps * 4
+
+    def timed(n, t0k):
+        tic = time.time()
+        toks, c = decode_n_steps(params, cfg, cache2, t0k, active, n)
+        toks.block_until_ready()
+        return time.time() - tic, toks, c
+
+    _, toks, cache2 = timed(s1, tok)          # compile s1
+    _, toks, cache2 = timed(s2, toks[:, -1])  # compile s2
+    t1, toks, cache2 = timed(s1, toks[:, -1])
+    t2, toks, cache2 = timed(s2, toks[:, -1])
+    dt = max(t2 - t1, 1e-6)
+    tok_s = (s2 - s1) * b / dt
+    log(f"decode: {s1} steps {t1:.3f}s, {s2} steps {t2:.3f}s -> marginal "
+        f"{tok_s:.2f} tok/s ({dt/(s2-s1)*1e3:.2f} ms/tok); raw@{s2}: "
+        f"{s2*b/t2:.2f} tok/s")
+
+    print(json.dumps({
+        "metric": "llama2-7b int4-g128 decode throughput (1 chip, batch 1)",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / BASELINE_DECODE_TOKS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,8 +39,13 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-def linear(x: jax.Array, p: Params) -> jax.Array:
-    """p = {"w": QTensor | [K, N] array, "b": optional [N]}."""
+def linear(x: jax.Array, p: Params, axis_name: Optional[str] = None) -> jax.Array:
+    """p = {"w": QTensor | [K, N] array, "b": optional [N]}.
+
+    `axis_name` marks a row-parallel (K-sharded) matmul inside shard_map:
+    partial products are psum'ed over the TP axis *before* the bias add —
+    the exact collective placement of the reference's NE_OP_ALL_REDUCE after
+    attn-out and ffn-down (llama.cpp:590-594,690-695)."""
     w = p["w"]
     if isinstance(w, QTensor):
         out = qmatmul(x, w)
@@ -48,6 +53,8 @@ def linear(x: jax.Array, p: Params) -> jax.Array:
         out = jnp.matmul(
             x, w.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
     b = p.get("b")
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -73,16 +80,20 @@ _ACTS = {
 
 
 def ffn(x: jax.Array, p: Params, cfg: ArchConfig,
-        act: Optional[str] = None) -> jax.Array:
+        act: Optional[str] = None,
+        axis_name: Optional[str] = None) -> jax.Array:
     """Gated (SiLU/GELU-mul, fused ne_ffn_silu/ne_ffn_gelu_mul parity) or
-    classic 2-matmul MLP (ne_ffn_add_gelu)."""
+    classic 2-matmul MLP (ne_ffn_add_gelu).  `axis_name`: TP psum on the
+    row-parallel down projection."""
     a = _ACTS[act or cfg.act]
     if cfg.gated_ffn:
-        return linear(a(linear(x, p["gate"])) * linear(x, p["up"]), p["down"])
-    return linear(a(linear(x, p["up"])), p["down"])
+        return linear(a(linear(x, p["gate"])) * linear(x, p["up"]),
+                      p["down"], axis_name)
+    return linear(a(linear(x, p["up"])), p["down"], axis_name)
 
 
-def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig) -> jax.Array:
+def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig,
+            axis_name: Optional[str] = None) -> jax.Array:
     """Top-k expert mixing (mixtral/grok; llama.cpp:620-689 ne_mul_mat_id).
 
     Round-1 strategy: compute every expert densely and weight by the
@@ -97,8 +108,12 @@ def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig) -> jax.Array:
     weights = jnp.einsum("btk,btke->bte", probs, onehot)
     out = jnp.zeros_like(x, shape=x.shape).astype(jnp.float32)
     for e in range(m.num_experts):
+        # experts' down projections stay partial; one psum after the
+        # weighted sum (weighting is linear) instead of E psums
         contrib = ffn(x, p["experts"][e], cfg).astype(jnp.float32)
         out = out + contrib * weights[..., e : e + 1]
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
     return out.astype(x.dtype)
 
 
@@ -127,6 +142,7 @@ def decoder_layer(
     mscale: float,
     slopes: Optional[jax.Array],
     block_positions: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     b, t, _ = x.shape
     h, hkv, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -170,7 +186,7 @@ def decoder_layer(
         alibi=slopes,
         logit_softcap=cfg.logit_softcap,
     )
-    attn_out = linear(attn_out.reshape(b, t, h * d), lp["o"])
+    attn_out = linear(attn_out.reshape(b, t, h * d), lp["o"], axis_name)
     if cfg.post_attn_norm:
         attn_out = norm(attn_out, lp["post_attn_norm"], cfg)
 
@@ -181,9 +197,9 @@ def decoder_layer(
         else:
             ffn_in = norm(x, lp["ffn_norm"], cfg)
         if cfg.moe is not None:
-            ffn_out = moe_ffn(ffn_in, lp["moe"], cfg)
+            ffn_out = moe_ffn(ffn_in, lp["moe"], cfg, axis_name)
         else:
-            ffn_out = ffn(ffn_in, lp["ffn"], cfg)
+            ffn_out = ffn(ffn_in, lp["ffn"], cfg, axis_name=axis_name)
         if cfg.post_ffn_norm:
             ffn_out = norm(ffn_out, lp["post_ffn_norm"], cfg)
         return x + attn_out + ffn_out, cache
@@ -200,11 +216,11 @@ def decoder_layer(
         z = ffn_in
         if cfg.moe.pre_norm:
             z = norm(z, mp["pre_norm"], cfg)
-        ffn_out = moe_ffn(z, mp, cfg)
+        ffn_out = moe_ffn(z, mp, cfg, axis_name)
         if cfg.moe.post_norm:
             ffn_out = norm(ffn_out, mp["post_norm"], cfg)
     else:
-        ffn_out = ffn(ffn_in, lp["ffn"], cfg)
+        ffn_out = ffn(ffn_in, lp["ffn"], cfg, axis_name=axis_name)
     if cfg.post_ffn_norm:
         ffn_out = norm(ffn_out, lp["post_ffn_norm"], cfg)
 
@@ -227,11 +243,18 @@ def forward(
     kv_lens: jax.Array,              # [B] total valid kv AFTER this step
     block_positions: Optional[jax.Array] = None,
     logits_dtype=jnp.float32,
+    axis_name: Optional[str] = None,
+    n_heads_global: Optional[int] = None,
+    gather_logits: bool = False,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """Full decoder step: embeds `token_ids`, runs all layers appending to
     `cache`, returns logits `[B, T, vocab]` and the updated cache.
 
-    Parity: llama_model_eval_internal and friends (llama.cpp:53-788)."""
+    Parity: llama_model_eval_internal and friends (llama.cpp:53-788).
+
+    TP (inside shard_map over `axis_name`): `cfg` holds *local* head counts,
+    `n_heads_global` the full count (for the ALiBi slope table, which is
+    sliced per shard); `gather_logits` all-gathers vocab-sharded logits."""
     x = params["embed"]["weight"][token_ids]
     if cfg.embed_scale != 1.0:
         x = x * jnp.asarray(cfg.embed_scale, x.dtype)
@@ -250,12 +273,18 @@ def forward(
         inv_freq, mscale = rope_inv_freq(
             rot, cfg.rope_base, cfg.rope_scaling, seq_len=cache.max_len
         )
-    slopes = alibi_slopes(cfg.n_heads) if cfg.use_alibi else None
+    slopes = None
+    if cfg.use_alibi:
+        hg = n_heads_global or cfg.n_heads
+        slopes = alibi_slopes(hg)
+        if axis_name is not None and hg != cfg.n_heads:
+            start = jax.lax.axis_index(axis_name) * cfg.n_heads
+            slopes = jax.lax.dynamic_slice(slopes, (start,), (cfg.n_heads,))
 
     for i, lp in enumerate(params["layers"]):
         x, cache = decoder_layer(
             x, lp, cfg, i, cache, positions, kv_lens, inv_freq, mscale,
-            slopes, block_positions,
+            slopes, block_positions, axis_name,
         )
 
     if cfg.final_norm:
@@ -271,4 +300,6 @@ def forward(
         logits = linear(x, head).astype(jnp.float32)
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
+    if gather_logits and axis_name is not None:
+        logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
     return logits.astype(logits_dtype), cache

@@ -111,13 +111,19 @@ def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, *, spec: QSpec,
                                       cdt)
             wb = vals * sblk.astype(cdt)
         else:
+            gb = groups_per_band
             g0 = band * kw // g
-            sblk = s_ref[pl.ds(g0, max(groups_per_band, 1)), :]
+            sblk = s_ref[pl.ds(g0, gb), :]
             # broadcast scales over group rows: [GB, BN] -> [KW, BN]
-            sfull = jnp.repeat(sblk, g, axis=0, total_repeat_length=kw)
+            # (explicit broadcast+reshape — Mosaic-friendly, unlike repeat)
+            sfull = jnp.broadcast_to(
+                sblk[:, None, :], (gb, g, sblk.shape[-1])
+            ).reshape(kw, sblk.shape[-1])
             if z_ref is not None:
-                zb = z_ref[pl.ds(g0, max(groups_per_band, 1)), :]
-                zfull = jnp.repeat(zb, g, axis=0, total_repeat_length=kw)
+                zb = z_ref[pl.ds(g0, gb), :]
+                zfull = jnp.broadcast_to(
+                    zb[:, None, :], (gb, g, zb.shape[-1])
+                ).reshape(kw, zb.shape[-1])
             else:
                 zfull = 0
             vals = _int_codes_to_vals(codes, spec, zfull, cdt)
@@ -139,9 +145,12 @@ def _gemm_kernel_lut(x_ref, w_ref, s_ref, o_ref, *, spec: QSpec, k: int,
         if g >= k:
             sfull = s_ref[0, :][None, :].astype(cdt)
         else:
+            gb = kw // g
             g0 = band * kw // g
-            sblk = s_ref[pl.ds(g0, kw // g), :]
-            sfull = jnp.repeat(sblk, g, axis=0, total_repeat_length=kw).astype(cdt)
+            sblk = s_ref[pl.ds(g0, gb), :]
+            sfull = jnp.broadcast_to(
+                sblk[:, None, :], (gb, g, sblk.shape[-1])
+            ).reshape(kw, sblk.shape[-1]).astype(cdt)
         wb = vals * sfull
         xb = x_ref[:, pl.ds(band * kw, kw)].astype(cdt)
         acc = acc + jnp.dot(xb, wb, preferred_element_type=jnp.float32)
@@ -150,6 +159,8 @@ def _gemm_kernel_lut(x_ref, w_ref, s_ref, o_ref, *, spec: QSpec, k: int,
 
 def _pallas_supported(qt: QTensor) -> bool:
     spec = qt.spec
+    if qt.k_shards != 1:
+        return False  # multi-slab packs go through the XLA path
     if spec.double_quant:
         return False
     if spec.is_fp8:
@@ -256,6 +267,7 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=None,
     decide the kernel; unsupported combos fall back to the XLA path.
     `interpret=True` forces the Pallas kernel in interpreter mode (tests).
     """
+    qt = qt.local_view()  # fix static dims when called inside shard_map
     use_pallas = (interpret or _use_pallas()) and _pallas_supported(qt)
     if force_xla or not use_pallas:
         return qmatmul_xla(x, qt, out_dtype)

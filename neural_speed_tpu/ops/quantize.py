@@ -65,17 +65,23 @@ class QTensor:
     sscale: Optional[jax.Array]
     spec: QSpec
     shape: Tuple[int, int]
+    # K is packed in `k_shards` independent slabs so slicing rows into
+    # k_shards equal parts yields valid planar packings — required when the
+    # weight is row-sharded (tensor parallelism) and each device must see a
+    # self-contained pack (parity: per-rank weight slicing at load,
+    # model_files.h:134-235 calc_split_type/calc_ne).
+    k_shards: int = 1
 
     def tree_flatten(self):
         children = (self.data, self.scales, self.zeros, self.sscale)
-        aux = (self.spec, self.shape)
+        aux = (self.spec, self.shape, self.k_shards)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, scales, zeros, sscale = children
-        spec, shape = aux
-        return cls(data, scales, zeros, sscale, spec, shape)
+        spec, shape, k_shards = aux
+        return cls(data, scales, zeros, sscale, spec, shape, k_shards)
 
     @property
     def k(self) -> int:
@@ -84,6 +90,34 @@ class QTensor:
     @property
     def n(self) -> int:
         return self.shape[1]
+
+    def leaf_dims(self) -> Tuple[int, int]:
+        """(K, N) derived from the *leaves* — correct even inside shard_map
+        where leaves are per-device slices but aux `shape` stays global."""
+        n = self.scales.shape[-1]
+        d0 = self.data[0]
+        if self.spec.is_fp8 or (self.spec.qtype == QType.INT and
+                                self.spec.bits == 8):
+            return d0.shape[0], n
+        w0 = 4 if self.spec.is_lut else plane_widths(self.spec.bits)[0]
+        return d0.shape[0] * (32 // w0), n
+
+    def local_view(self) -> "QTensor":
+        """QTensor whose static shape matches the leaves (for use inside
+        shard_map bodies).  A row-sharded tensor's local slice is a valid
+        single-slab pack because of `k_shards` packing."""
+        k, n = self.leaf_dims()
+        if (k, n) == self.shape:
+            return self
+        local_shards = self.k_shards * k // self.shape[0]
+        if local_shards * self.shape[0] != self.k_shards * k or local_shards < 1:
+            raise ValueError(
+                f"row shard {k} incompatible with k_shards={self.k_shards} "
+                f"of global K={self.shape[0]}"
+            )
+        return dataclasses.replace(
+            self, shape=(k, n), k_shards=local_shards
+        )
 
     def effective_scales(self, dtype=jnp.float32) -> jax.Array:
         s = self.scales
@@ -132,14 +166,29 @@ def unpack_plane(word: jax.Array, width: int) -> jax.Array:
     return jnp.concatenate(bands, axis=0).astype(jnp.uint8)
 
 
-def pack_codes(codes: jax.Array, bits: int) -> Tuple[jax.Array, ...]:
+def pack_codes(codes: jax.Array, bits: int,
+               k_shards: int = 1) -> Tuple[jax.Array, ...]:
     """Pack unsigned `[K, N]` codes of `bits` width into planar planes.
 
     Odd widths decompose into 4/2/1-bit planes, listed most-significant
     first (parity trick: bestla_storage.h 3/5/6/7-bit split buffers).
+    `k_shards > 1` packs K in independent slabs (see QTensor.k_shards).
     """
     if bits == 8:
         return (codes.astype(jnp.uint8),)
+    if k_shards > 1:
+        k = codes.shape[0]
+        if k % k_shards:
+            raise ValueError(f"K={k} not divisible by k_shards={k_shards}")
+        parts = [
+            pack_codes(codes[i * k // k_shards:(i + 1) * k // k_shards],
+                       bits, 1)
+            for i in range(k_shards)
+        ]
+        return tuple(
+            jnp.concatenate([p[j] for p in parts], axis=0)
+            for j in range(len(parts[0]))
+        )
     planes = []
     widths = plane_widths(bits)
     shift = bits
@@ -150,10 +199,20 @@ def pack_codes(codes: jax.Array, bits: int) -> Tuple[jax.Array, ...]:
     return tuple(planes)
 
 
-def unpack_codes(planes: Tuple[jax.Array, ...], bits: int, k: int) -> jax.Array:
+def unpack_codes(planes: Tuple[jax.Array, ...], bits: int, k: int,
+                 k_shards: int = 1) -> jax.Array:
     """Inverse of `pack_codes` -> unsigned `[K, N]` uint8 codes."""
     if bits == 8:
         return planes[0].astype(jnp.uint8)
+    if k_shards > 1:
+        outs = []
+        for i in range(k_shards):
+            sub = tuple(
+                p[i * p.shape[0] // k_shards:(i + 1) * p.shape[0] // k_shards]
+                for p in planes
+            )
+            outs.append(unpack_codes(sub, bits, k // k_shards, 1))
+        return jnp.concatenate(outs, axis=0)
     widths = plane_widths(bits)
     shift = bits
     out = None
@@ -208,7 +267,7 @@ def _group_view(w: jax.Array, g: int) -> jax.Array:
     return w.reshape(k // g, g, n)
 
 
-def quantize(w: jax.Array, spec: QSpec) -> QTensor:
+def quantize(w: jax.Array, spec: QSpec, k_shards: int = 1) -> QTensor:
     """RTN-quantize a float `[K, N]` weight.
 
     Parity: bestla_prologue_b.h:472-640 quantizeWeight (per-group sym/asym
@@ -233,7 +292,7 @@ def quantize(w: jax.Array, spec: QSpec) -> QTensor:
         scales = jnp.maximum(absmax, _EPS)
         normed = (wg / scales[:, None, :]).reshape(k, n)
         codes = _encode_lut(normed, _lut_for(spec))
-        data = pack_codes(codes, 4)
+        data = pack_codes(codes, 4, k_shards)
     elif spec.symmetric:
         if spec.bits == 1:
             absmean = jnp.maximum(jnp.mean(jnp.abs(wg), axis=1), _EPS)
@@ -244,7 +303,7 @@ def quantize(w: jax.Array, spec: QSpec) -> QTensor:
             scales = jnp.maximum(absmax / spec.maxq, _EPS)
             q = jnp.clip(jnp.round(wg / scales[:, None, :]), spec.minq, spec.maxq)
             codes = (q + spec.code_offset).astype(jnp.uint8).reshape(k, n)
-        data = pack_codes(codes, spec.bits)
+        data = pack_codes(codes, spec.bits, k_shards)
     else:  # asymmetric INT
         wmin = jnp.min(wg, axis=1)
         wmax = jnp.max(wg, axis=1)
@@ -254,7 +313,7 @@ def quantize(w: jax.Array, spec: QSpec) -> QTensor:
         q = jnp.clip(jnp.round(wg / scales[:, None, :]) + zp[:, None, :], 0, maxcode)
         codes = q.astype(jnp.uint8).reshape(k, n)
         zeros = zp.astype(jnp.uint8)
-        data = pack_codes(codes, spec.bits)
+        data = pack_codes(codes, spec.bits, k_shards)
 
     sscale = None
     if spec.double_quant:
@@ -263,7 +322,7 @@ def quantize(w: jax.Array, spec: QSpec) -> QTensor:
         scales = jnp.clip(jnp.round(scales / sscale), 1, 127).astype(jnp.int8)
     elif spec.scale_dtype == "bfloat16":
         scales = scales.astype(jnp.bfloat16)
-    return QTensor(data, scales, zeros, sscale, spec, (k, n))
+    return QTensor(data, scales, zeros, sscale, spec, (k, n), k_shards)
 
 
 def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
@@ -272,19 +331,20 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
 
     Parity: bestla_prologue_b.h getWeight / kernel dequant paths.
     """
+    qt = qt.local_view()
     spec = qt.spec
-    k, n = qt.shape
-    g = spec.effective_group(k)
+    k, n = qt.leaf_dims()
+    g = spec.effective_group(qt.shape[0])
     scales = qt.effective_scales(jnp.float32)  # [G, N]
     sfull = jnp.repeat(scales, g, axis=0)  # [K, N]
 
     if spec.is_fp8:
         vals = qt.data[0].astype(jnp.float32)
     elif spec.is_lut:
-        codes = unpack_codes(qt.data, 4, k)
+        codes = unpack_codes(qt.data, 4, k, qt.k_shards)
         vals = decode_lut(codes, spec, jnp.float32)
     else:
-        codes = unpack_codes(qt.data, spec.bits, k).astype(jnp.int32)
+        codes = unpack_codes(qt.data, spec.bits, k, qt.k_shards).astype(jnp.int32)
         if spec.bits == 1:
             vals = (2 * codes - 1).astype(jnp.float32)
         elif spec.symmetric:
@@ -293,6 +353,27 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
             zfull = jnp.repeat(qt.zeros.astype(jnp.int32), g, axis=0)
             vals = (codes - zfull).astype(jnp.float32)
     return (vals * sfull).astype(dtype)
+
+
+def repack(qt: QTensor, k_shards: int) -> QTensor:
+    """Losslessly re-pack a QTensor into `k_shards` K-slabs (for TP
+    row-sharding).  Codes are unpacked and re-packed exactly; scales/zeros
+    are untouched (their rows already split on group boundaries)."""
+    if qt.k_shards == k_shards:
+        return qt
+    spec = qt.spec
+    if spec.is_fp8 or (spec.qtype == QType.INT and spec.bits == 8):
+        return dataclasses.replace(qt, k_shards=k_shards)
+    k = qt.shape[0]
+    g = spec.effective_group(k)
+    if (k // k_shards) % g and spec.group_size != -1:
+        raise ValueError(
+            f"K shard {k}/{k_shards} breaks group boundary g={g}"
+        )
+    bits = 4 if spec.is_lut else spec.bits
+    codes = unpack_codes(qt.data, bits, k, qt.k_shards)
+    data = pack_codes(codes, bits, k_shards)
+    return dataclasses.replace(qt, data=data, k_shards=k_shards)
 
 
 def quantization_error(w: jax.Array, spec: QSpec) -> jax.Array:

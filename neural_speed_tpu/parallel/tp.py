@@ -1,0 +1,218 @@
+"""Tensor parallelism over a TPU mesh — GSPMD/shard_map replacement for the
+reference's MPI+oneCCL TP backend.
+
+Parity map (SURVEY.md §2.7):
+  * `calc_split_type` row/column split table (model_files.h:134-191)
+    -> `partition_spec_for()` rules: QKV & FFN-up/gate column-split (shard N),
+    attn-out & FFN-down row-split (shard K), norms/embeddings replicated.
+  * heads divided by world size (llama.cpp:122-125) -> `local_arch()`.
+  * NE_OP_ALL_REDUCE after attn-out + ffn-down (llama.cpp:590-594,690-695)
+    -> `jax.lax.psum` placed inside `linear(..., axis_name)`.
+  * MPI/oneCCL/shm allreduce (parallel_context.cpp) -> XLA collectives over
+    ICI; multi-host init is `jax.distributed.initialize` (runtime/cluster).
+
+Packed-weight subtlety: row-split int4 tensors are packed with
+`k_shards=tp` so every device's row slice is a self-contained planar pack,
+and group-quant scale rows split on exact group boundaries (the constraint
+called out in SURVEY.md §5 "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..models.arch import ArchConfig
+from ..models.transformer import forward
+from ..ops import kv_cache as kvc
+from ..ops.quantize import QTensor
+
+COLUMN_KEYS = {"q", "k", "v", "gate", "up", "lm_head"}
+ROW_KEYS = {"o", "down"}
+REPLICATED_LINEAR_KEYS = {"router"}
+
+
+def make_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= tp * dp, (devices.size, tp, dp)
+    return Mesh(devices[: tp * dp].reshape(dp, tp), ("dp", "tp"))
+
+
+def _qtensor_spec(qt: QTensor, row: bool) -> QTensor:
+    """A QTensor-shaped pytree of PartitionSpecs (per-leaf specs)."""
+    col = not row
+    d_spec = tuple(P("tp", None) if row else P(None, "tp") for _ in qt.data)
+    s_spec = P("tp", None) if row else P(None, "tp")
+    z_spec = None if qt.zeros is None else s_spec
+    ss_spec = None if qt.sscale is None else (P() if row else P(None, "tp"))
+    return QTensor(d_spec, s_spec, z_spec, ss_spec, qt.spec, qt.shape,
+                   qt.k_shards)
+
+
+def _linear_spec(p: Dict[str, Any], kind: str) -> Dict[str, Any]:
+    """kind: 'col' | 'row' | 'rep'."""
+    w = p["w"]
+    out: Dict[str, Any] = {}
+    if isinstance(w, QTensor):
+        if kind == "rep":
+            out["w"] = QTensor(tuple(P() for _ in w.data), P(),
+                               None if w.zeros is None else P(),
+                               None if w.sscale is None else P(),
+                               w.spec, w.shape, w.k_shards)
+        else:
+            out["w"] = _qtensor_spec(w, kind == "row")
+    else:
+        out["w"] = {"rep": P(), "row": P("tp", None),
+                    "col": P(None, "tp")}[kind]
+    if "b" in p:
+        out["b"] = P("tp") if kind == "col" else P()
+    return out
+
+
+def _ffn_specs(fp: Dict[str, Any], tp_shard: bool) -> Dict[str, Any]:
+    out = {}
+    for key, sub in fp.items():
+        if key in ("gate", "up"):
+            out[key] = _linear_spec(sub, "col" if tp_shard else "rep")
+        elif key == "down":
+            out[key] = _linear_spec(sub, "row" if tp_shard else "rep")
+    return out
+
+
+def param_specs(params: Dict[str, Any], cfg: ArchConfig,
+                shard_kv: bool) -> Dict[str, Any]:
+    """PartitionSpec pytree mirroring the params structure."""
+    specs: Dict[str, Any] = {}
+    for key, val in params.items():
+        if key == "layers":
+            specs[key] = []
+            for lp in val:
+                ls: Dict[str, Any] = {}
+                for k2, v2 in lp.items():
+                    if k2 == "q":
+                        ls[k2] = _linear_spec(v2, "col")
+                    elif k2 in ("k", "v"):
+                        ls[k2] = _linear_spec(v2, "col" if shard_kv else "rep")
+                    elif k2 == "o":
+                        ls[k2] = _linear_spec(v2, "row")
+                    elif k2 == "ffn":
+                        ls[k2] = _ffn_specs(v2, True)
+                    elif k2 == "moe":
+                        ms: Dict[str, Any] = {
+                            "router": _linear_spec(v2["router"], "rep"),
+                            "experts": [
+                                _ffn_specs(ep, True) for ep in v2["experts"]
+                            ],
+                        }
+                        for nk in ("pre_norm", "post_norm"):
+                            if nk in v2:
+                                ms[nk] = jax.tree_util.tree_map(
+                                    lambda _: P(), v2[nk]
+                                )
+                        ls[k2] = ms
+                    else:  # norms
+                        ls[k2] = jax.tree_util.tree_map(lambda _: P(), v2)
+                specs[key].append(ls)
+        elif key == "lm_head":
+            ls = _linear_spec(val, "col")
+            specs[key] = ls
+        else:  # embed, pos_embed, embed_ln, final_norm
+            specs[key] = jax.tree_util.tree_map(lambda _: P(), val)
+    return specs
+
+
+def cache_specs(shard_kv: bool) -> kvc.KVCache:
+    hspec = P(None, "dp", None, "tp", None) if shard_kv else P(
+        None, "dp", None, None, None
+    )
+    return kvc.KVCache(hspec, hspec, hspec, hspec, P("dp"))
+
+
+def local_arch(cfg: ArchConfig, tp: int) -> Tuple[ArchConfig, bool]:
+    """Per-device head counts (parity: kv heads / world_size,
+    model_utils.cpp:70-75; n_head/world, llama.cpp:122-125).
+    Returns (local cfg, shard_kv)."""
+    assert cfg.n_heads % tp == 0, (cfg.n_heads, tp)
+    shard_kv = cfg.n_kv_heads % tp == 0 and cfg.n_kv_heads >= tp
+    return (
+        dataclasses.replace(
+            cfg,
+            n_heads=cfg.n_heads // tp,
+            n_kv_heads=cfg.n_kv_heads // tp if shard_kv else cfg.n_kv_heads,
+            intermediate_size=cfg.intermediate_size // tp,
+        ),
+        shard_kv,
+    )
+
+
+def repack_row_parallel(params: Dict[str, Any], tp: int) -> Dict[str, Any]:
+    """Re-pack row-split quantized weights into tp K-slabs (lossless)."""
+    from ..ops.quantize import repack
+
+    def walk(node, key=None):
+        if isinstance(node, dict):
+            out = {}
+            for k2, v2 in node.items():
+                if k2 in ROW_KEYS and isinstance(v2, dict) and "w" in v2:
+                    w = v2["w"]
+                    if isinstance(w, QTensor):
+                        v2 = {**v2, "w": repack(w, tp)}
+                    out[k2] = v2
+                else:
+                    out[k2] = walk(v2, k2)
+            return out
+        if isinstance(node, list):
+            return [walk(v2) for v2 in node]
+        return node
+
+    return walk(params)
+
+
+def shard_params(params: Dict[str, Any], cfg: ArchConfig,
+                 mesh: Mesh) -> Tuple[Dict[str, Any], Any]:
+    """device_put the params with TP shardings; returns (params, specs)."""
+    tp = mesh.shape["tp"]
+    _, shard_kv = local_arch(cfg, tp)
+    params = repack_row_parallel(params, tp)
+    specs = param_specs(params, cfg, shard_kv)
+    is_spec = lambda x: isinstance(x, P)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    spec_leaves = jax.tree_util.tree_flatten(specs, is_leaf=is_spec)[0]
+    assert len(leaves) == len(spec_leaves), (len(leaves), len(spec_leaves))
+    out = [
+        jax.device_put(l, NamedSharding(mesh, s))
+        for l, s in zip(leaves, spec_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out), specs
+
+
+def make_tp_step(cfg: ArchConfig, mesh: Mesh, params_specs):
+    """Build the shard_map'ed full step:
+       (params, cache, ids, positions, kv_lens) -> (logits, cache)."""
+    tp = mesh.shape["tp"]
+    cfg_local, shard_kv = local_arch(cfg, tp)
+    cspec = cache_specs(shard_kv)
+
+    def step(params, cache, ids, positions, kv_lens):
+        logits, cache = forward(
+            params, cfg_local, ids, positions, cache, kv_lens,
+            axis_name="tp", n_heads_global=cfg.n_heads,
+            gather_logits="lm_head" in params and not cfg.tie_word_embeddings,
+        )
+        return logits, cache
+
+    fn = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(params_specs, cspec, P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), cspec),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(1,))

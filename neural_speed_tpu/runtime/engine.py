@@ -80,6 +80,40 @@ def decode_step(
     return logits[:, 0], cache
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache",)
+)
+def decode_n_steps(
+    params: Dict[str, Any],
+    cfg: ArchConfig,
+    cache: kvc.KVCache,
+    tokens: jax.Array,        # [B] first input token per slot
+    active: jax.Array,        # [B]
+    n_steps: int,
+) -> Tuple[jax.Array, kvc.KVCache]:
+    """Greedy-decode `n_steps` tokens fully on device (one dispatch).
+
+    Used by the benchmark harness and batch generation: avoids per-token
+    host round-trips (the analogue of the reference's in-process C++ decode
+    loop, main_pybind.cpp:609-660)."""
+
+    def body(carry, _):
+        cache, toks = carry
+        lens = cache.lengths
+        pos = jnp.where(active, lens, cache.max_len - 1)[:, None]
+        kv_lens = lens + active.astype(jnp.int32)
+        logits, cache = forward(params, cfg, toks[:, None], pos, cache,
+                                kv_lens)
+        cache = kvc.set_lengths(cache, kv_lens)
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        return (cache, nxt), nxt
+
+    (cache, _), toks = jax.lax.scan(
+        body, (cache, tokens), None, length=n_steps
+    )
+    return toks.T, cache  # [B, n_steps]
+
+
 class Engine:
     """Owns params + cache + jitted steps for one model instance."""
 

@@ -16,6 +16,11 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough: the dev image's sitecustomize registers
+# and pre-initializes the axon TPU plugin before conftest runs, so the
+# platform must be forced at the config level too.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_enable_x64", False)
 # The CPU backend's default matmul precision emulates TPU bf16 passes
 # (~7e-2 abs error on f32 matmuls); tests compare exact math.
