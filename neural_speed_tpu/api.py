@@ -1,0 +1,253 @@
+"""User-facing Model / ModelServer API.
+
+Parity: neural_speed/__init__.py `Model` (:123-556) and `ModelServer`
+(:534-554) — same workflow: point at an HF model (or a pre-quantized bin),
+pick weight_dtype/group_size/etc., then `generate()` with HF-style kwargs,
+streamer and stopping criteria, or `__call__` for logits.
+
+The quantized-model cache file is an .npz of the packed pytree
+(`runtime_outs/nst_<arch>_q_<desc>.npz`, naming parity: __init__.py:166-225).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.arch import ArchConfig
+from .models.configs import arch_from_hf_config
+from .ops.qtypes import QSpec, named_qspec
+from .ops.sampling import SamplingParams
+from .runtime.engine import Engine
+from .runtime import serialization
+
+
+class Model:
+    def __init__(self):
+        self.engine: Optional[Engine] = None
+        self.cfg: Optional[ArchConfig] = None
+        self.tokenizer = None
+        self.eos_id: Optional[int] = None
+        self._generate_round = 0
+
+    # ------------------------------------------------------------------
+    def init(
+        self,
+        model_name: str,
+        use_quant: bool = True,
+        weight_dtype: str = "int4",
+        group_size: int = 128,
+        scale_dtype: str = "fp32",
+        alg: str = "sym",
+        use_cache: bool = False,
+        max_batch: int = 1,
+        ctx_size: int = 2048,
+        kv_quantized: bool = False,
+        model_file: Optional[str] = None,
+    ):
+        """Convert + quantize an HF checkpoint (parity: Model.init,
+        __init__.py:142-225).  `use_cache` reuses the packed .npz."""
+        from transformers import AutoConfig, AutoTokenizer
+
+        hf_cfg = AutoConfig.from_pretrained(
+            model_name, trust_remote_code=True
+        ).to_dict()
+        self.cfg = arch_from_hf_config(hf_cfg)
+        try:
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                model_name, trust_remote_code=True
+            )
+            self.eos_id = self.tokenizer.eos_token_id
+        except Exception:
+            self.tokenizer = None
+
+        qspec = None
+        if use_quant:
+            qspec = named_qspec(
+                weight_dtype, group_size=group_size,
+                symmetric=(alg == "sym"),
+                scale_dtype={"fp32": "float32", "bf16": "bfloat16"}.get(
+                    scale_dtype, "float32"
+                ),
+            )
+
+        cache_path = None
+        if use_cache:
+            desc = (f"{weight_dtype}_g{group_size}_{alg}"
+                    if use_quant else "fp")
+            os.makedirs("runtime_outs", exist_ok=True)
+            cache_path = f"runtime_outs/nst_{self.cfg.name}_q_{desc}.npz"
+        if cache_path and os.path.exists(cache_path):
+            params = serialization.load_params(cache_path)
+        else:
+            params = self._convert(model_name, qspec)
+            if cache_path:
+                serialization.save_params(cache_path, params)
+        self._make_engine(params, max_batch, ctx_size, kv_quantized)
+        return self
+
+    def _convert(self, model_name: str, qspec: Optional[QSpec]):
+        from .convert.hf import params_from_state_dict
+        from .convert import loaders
+
+        sd = loaders.load_state_dict(model_name)
+        return params_from_state_dict(sd, self.cfg, qspec)
+
+    def init_from_bin(self, arch_cfg: ArchConfig, bin_path: str,
+                      max_batch: int = 1, ctx_size: int = 2048,
+                      kv_quantized: bool = False, tokenizer=None):
+        """Load a previously saved packed model (parity: init_from_bin)."""
+        self.cfg = arch_cfg
+        self.tokenizer = tokenizer
+        params = serialization.load_params(bin_path)
+        self._make_engine(params, max_batch, ctx_size, kv_quantized)
+        return self
+
+    def init_from_gguf(self, gguf_path: str, max_batch: int = 1,
+                       ctx_size: int = 2048, kv_quantized: bool = False):
+        from .convert import gguf as gguf_mod
+
+        params, cfg, tok = gguf_mod.load_gguf_model(gguf_path)
+        self.cfg = cfg
+        self.tokenizer = tok
+        if tok is not None:
+            self.eos_id = tok.eos_token_id
+        self._make_engine(params, max_batch, ctx_size, kv_quantized)
+        return self
+
+    def _make_engine(self, params, max_batch, ctx_size, kv_quantized):
+        self.engine = Engine(
+            params, self.cfg, max_batch=max_batch, max_len=ctx_size,
+            kv_quantized=kv_quantized,
+        )
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        input_ids,
+        max_new_tokens: int = 128,
+        do_sample: bool = False,
+        temperature: float = 0.8,
+        top_k: int = 40,
+        top_p: float = 0.95,
+        repetition_penalty: float = 1.1,
+        num_beams: int = 1,
+        early_stopping: bool = False,
+        length_penalty: float = 1.0,
+        seed: int = 0,
+        streamer: Optional[Callable[[int], None]] = None,
+        stopping_criteria: Optional[Callable[[List[int]], bool]] = None,
+        ignore_prompt: bool = False,
+        **kwargs,
+    ):
+        """HF-style generate (parity: __init__.py:337-411 incl. streamer +
+        StoppingCriteria callback, docs/customized_stop.md)."""
+        ids = self._to_list_batch(input_ids)
+        if num_beams > 1:
+            from .runtime.beam import BeamConfig, beam_search
+
+            bc = BeamConfig(
+                num_beams=num_beams, length_penalty=length_penalty,
+                early_stopping=early_stopping,
+                max_new_tokens=max_new_tokens, eos_id=self.eos_id,
+            )
+            outs = beam_search(self.engine, ids, bc)
+            return [
+                (p if not ignore_prompt else []) + o
+                for p, o in zip(ids, outs)
+            ]
+
+        from .runtime.scheduler import ContinuousBatchingScheduler
+
+        sp = SamplingParams(
+            do_sample=do_sample, temperature=temperature, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+        )
+        sched = ContinuousBatchingScheduler(
+            self.engine, sp, eos_id=self.eos_id, seed=seed
+        )
+        seqs = {}
+        for p in ids:
+            rid = sched.add_request(p, max_new_tokens, streamer=streamer)
+            seqs[rid] = p
+        done = {}
+        while sched.has_work:
+            sched.step()
+            for s in sched.pop_finished():
+                done[s.request_id] = s.generated
+            if stopping_criteria is not None:
+                for slot, s in list(sched.running.items()):
+                    if stopping_criteria(seqs[s.request_id] + s.generated):
+                        s.max_new_tokens = len(s.generated)  # stop now
+        return [
+            (seqs[rid] if not ignore_prompt else []) + done[rid]
+            for rid in sorted(done)
+        ]
+
+    def __call__(self, input_ids, **kw):
+        """Return logits for a batch (parity: __init__.py:439-481; rows are
+        right-padded with -inf like the reference pads shorter prompts)."""
+        ids = self._to_list_batch(input_ids)
+        b = len(ids)
+        maxlen = max(len(p) for p in ids)
+        from .models.transformer import forward
+        from .ops import kv_cache as kvc
+
+        eng = self.engine
+        cache = kvc.init_cache(
+            self.cfg.n_layers, b, max(maxlen + 1, 16), self.cfg.n_kv_heads,
+            self.cfg.head_dim, eng.kv_dtype, eng.kv_quantized,
+        )
+        arr = np.zeros((b, maxlen), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, p in enumerate(ids):
+            arr[i, : len(p)] = p
+            lens[i] = len(p)
+        pos = jnp.arange(maxlen)[None, :].repeat(b, 0)
+        logits, _ = forward(
+            eng.params, self.cfg, jnp.asarray(arr), pos, cache,
+            jnp.asarray(lens),
+        )
+        out = np.array(logits)
+        for i, p in enumerate(ids):  # -inf padding rows (parity :439-481)
+            out[i, len(p):] = -np.inf
+        return out
+
+    @staticmethod
+    def _to_list_batch(input_ids) -> List[List[int]]:
+        if hasattr(input_ids, "tolist"):
+            input_ids = input_ids.tolist()
+        if input_ids and isinstance(input_ids[0], int):
+            input_ids = [input_ids]
+        return [list(p) for p in input_ids]
+
+    # tokenizer conveniences ------------------------------------------
+    def tokenize(self, text: str) -> List[int]:
+        return self.tokenizer(text)["input_ids"]
+
+    def detokenize(self, ids: Sequence[int]) -> str:
+        return self.tokenizer.decode(list(ids))
+
+    def quant_model(self, out_path: str) -> None:
+        serialization.save_params(out_path, self.engine.params)
+
+    def save_state(self, path: str) -> None:
+        serialization.save_session(path, self.engine.cache)
+
+    def load_state(self, path: str) -> None:
+        self.engine.cache = serialization.load_session(
+            path, self.engine.cache
+        )
+
+
+def ModelServer(engine_or_model, response_fn, **kw):
+    """Parity wrapper (reference __init__.py:534-554)."""
+    from .runtime.server import ModelServer as _MS
+
+    eng = (engine_or_model.engine
+           if isinstance(engine_or_model, Model) else engine_or_model)
+    return _MS(eng, response_fn, **kw)

@@ -72,6 +72,40 @@ def init_state(key: jax.Array, batch: int, vocab: int,
     )
 
 
+def reset_slot(state: SamplerState, slot: int,
+               tau: float = 5.0) -> SamplerState:
+    """Clear one batch slot's penalty/mirostat state (new request)."""
+    return dataclasses.replace(
+        state,
+        counts=state.counts.at[slot].set(0),
+        last_tokens=state.last_tokens.at[slot].set(-1),
+        ring_pos=state.ring_pos.at[slot].set(0),
+        mu=state.mu.at[slot].set(2.0 * tau),
+    )
+
+
+def observe_prompt_slot(state: SamplerState, slot: int,
+                        tokens) -> SamplerState:
+    """Bulk-record a prompt into one slot's penalty state (one shot)."""
+    toks = jnp.asarray(tokens, jnp.int32)
+    v = state.counts.shape[1]
+    counts = state.counts.at[slot].add(
+        jnp.bincount(jnp.clip(toks, 0, v - 1), length=v).astype(jnp.int32)
+    )
+    w = state.last_tokens.shape[1]
+    n = toks.shape[0]
+    ring = state.last_tokens[slot]
+    tail = toks[-w:]
+    m = tail.shape[0]
+    ring = ring.at[:m].set(tail)
+    return dataclasses.replace(
+        state,
+        counts=counts,
+        last_tokens=state.last_tokens.at[slot].set(ring),
+        ring_pos=state.ring_pos.at[slot].set(m % w if m < w else 0),
+    )
+
+
 def observe(state: SamplerState, tokens: jax.Array,
             active: Optional[jax.Array] = None) -> SamplerState:
     """Record sampled/prompt tokens into penalty structures."""

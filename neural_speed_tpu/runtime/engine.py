@@ -43,14 +43,21 @@ def prefill_step(
     start_pos: jax.Array,     # [B] position offset (0 for fresh prompts)
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """Evaluate a padded prompt chunk; returns logits at the last *real*
-    token of each row `[B, vocab]` and the updated cache."""
+    token of each row `[B, vocab]` and the updated cache.
+
+    Slots with `lengths == 0` are untouched spectators (their stored KV
+    lengths are preserved) — this is what lets the continuous-batching
+    scheduler prefill a new request into a free slot while other slots hold
+    live sequences (ORCA semantics, reference scheduler.cpp prepare_inputs).
+    Position `max_len - 1` is a reserved trash slot for padding writes."""
     b, t = token_ids.shape
+    active = lengths > 0
     pos = start_pos[:, None] + jnp.arange(t)[None, :]
-    # padding tokens are parked past the end; attention masks them via
-    # kv_lens, and append clamps their cache slot writes
+    # padding tokens are parked on the trash slot; attention masks them via
+    # kv_lens, and append clamps their cache writes
     in_range = jnp.arange(t)[None, :] < lengths[:, None]
     pos = jnp.where(in_range, pos, cache.max_len - 1)
-    kv_lens = start_pos + lengths
+    kv_lens = jnp.where(active, start_pos + lengths, cache.lengths)
     logits, cache = forward(params, cfg, token_ids, pos, cache, kv_lens)
     last = jnp.clip(lengths - 1, 0, t - 1)
     last_logits = jnp.take_along_axis(

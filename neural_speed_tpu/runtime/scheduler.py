@@ -1,0 +1,186 @@
+"""Continuous-batching scheduler — FCFS pools + iteration-level steps.
+
+Parity: the reference serving stack (models/model_utils/scheduler.{h,cpp},
+pool.{h,cpp}):
+  * `serve_pool` FCFS waiting/finished queues (pool.h:23-100)
+  * `Iter_level_scheduler.step`: admission = min(max_requests - running,
+    waiting) prefills per step; when full, decode until a sequence finishes
+    before the next prefill (`steps_decoding_for_next_prefill`)
+  * `Cont_batch_gen_worker.prepare_inputs`: mixed prefill/decode batches —
+    here prefill and decode are separate jit programs (static shapes), and
+    a scheduler step runs at most one padded-bucket prefill batch OR one
+    decode step over all active slots (SURVEY.md §7 ragged-batching note).
+
+Pure-Python control; all tensor work happens in the Engine's jitted steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from collections import deque
+from typing import Callable, Deque, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sampling as smp
+from .engine import Engine, prefill_step
+
+
+class SeqStatus:
+    WAITING = "waiting"
+    PREFILL = "prefill"
+    DECODING = "decoding"
+    FINISHED = "finished"
+
+
+@dataclasses.dataclass
+class Sequence:
+    """Parity: `sequence` struct (scheduler.h:22-40)."""
+
+    request_id: int
+    prompt: List[int]
+    max_new_tokens: int = 128
+    status: str = SeqStatus.WAITING
+    slot: int = -1
+    generated: List[int] = dataclasses.field(default_factory=list)
+    receive_time: float = dataclasses.field(default_factory=time.time)
+    end_time: Optional[float] = None
+    streamer: Optional[Callable[[int], None]] = None
+
+
+class ContinuousBatchingScheduler:
+    """FCFS iteration-level scheduler over the Engine's fixed decode slots."""
+
+    def __init__(self, engine: Engine,
+                 params: Optional[smp.SamplingParams] = None,
+                 eos_id: Optional[int] = None, seed: int = 0):
+        self.engine = engine
+        self.eos_id = eos_id
+        self.sp = params or smp.SamplingParams(do_sample=False)
+        self.waiting: Deque[Sequence] = deque()
+        self.running: Dict[int, Sequence] = {}  # slot -> seq
+        self.finished: Deque[Sequence] = deque()
+        self.free_slots = list(range(engine.max_batch))[::-1]
+        self._ids = itertools.count()
+        vocab = engine.cfg.vocab_size
+        self.sampler = smp.init_state(
+            jax.random.PRNGKey(seed), engine.max_batch, vocab,
+            window=self.sp.penalty_window, tau=self.sp.mirostat_tau,
+        )
+        self._last_tokens = np.zeros((engine.max_batch,), np.int32)
+
+    # ------------------------------------------------------------------
+    def add_request(self, prompt: Sequence[int], max_new_tokens: int = 128,
+                    streamer=None) -> int:
+        rid = next(self._ids)
+        self.waiting.append(
+            Sequence(rid, list(prompt), max_new_tokens, streamer=streamer)
+        )
+        return rid
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    def pop_finished(self) -> List[Sequence]:
+        out = list(self.finished)
+        self.finished.clear()
+        return out
+
+    # ------------------------------------------------------------------
+    def step(self) -> None:
+        """One scheduler iteration: admit+prefill a batch of new requests,
+        or decode one token for all running slots."""
+        if self.waiting and self.free_slots:
+            self._prefill_batch()
+        elif self.running:
+            self._decode_step()
+
+    def run_to_completion(self) -> List[Sequence]:
+        res = []
+        while self.has_work:
+            self.step()
+            res.extend(self.pop_finished())
+        return res
+
+    # ------------------------------------------------------------------
+    def _prefill_batch(self) -> None:
+        # admission rule parity: min(free slots, waiting)
+        batch: List[Sequence] = []
+        while self.waiting and self.free_slots:
+            seq = self.waiting.popleft()
+            seq.slot = self.free_slots.pop()
+            seq.status = SeqStatus.PREFILL
+            # registered immediately so `has_work` stays true while the
+            # (potentially compiling) prefill runs
+            self.running[seq.slot] = seq
+            batch.append(seq)
+
+        eng = self.engine
+        maxlen = max(len(s.prompt) for s in batch)
+        from .engine import pad_to_bucket
+
+        t = pad_to_bucket(maxlen, eng.buckets)
+        ids = np.zeros((eng.max_batch, t), np.int32)
+        lens = np.zeros((eng.max_batch,), np.int32)
+        for s in batch:
+            p = s.prompt[-t:]  # clamp over-long prompts to the bucket
+            ids[s.slot, : len(p)] = p
+            lens[s.slot] = len(p)
+        logits, eng.cache = prefill_step(
+            eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
+            jnp.asarray(lens), jnp.zeros((eng.max_batch,), jnp.int32),
+        )
+        self._sample_and_commit(logits, {s.slot: s for s in batch},
+                                prompt_obs=batch)
+        for s in batch:
+            s.status = SeqStatus.DECODING
+
+    def _decode_step(self) -> None:
+        eng = self.engine
+        active_np = np.zeros((eng.max_batch,), bool)
+        for slot, seq in self.running.items():
+            if seq.status == SeqStatus.DECODING:
+                active_np[slot] = True
+        if not active_np.any():
+            return
+        logits = eng.decode(
+            jnp.asarray(self._last_tokens), jnp.asarray(active_np)
+        )
+        self._sample_and_commit(logits, dict(self.running))
+
+    def _sample_and_commit(self, logits, slot_map: Dict[int, Sequence],
+                           prompt_obs: Optional[List[Sequence]] = None):
+        if prompt_obs:
+            # reset slot sampler state + bulk-record prompt tokens for
+            # repetition penalties (reference penalizes over last_n)
+            for s in prompt_obs:
+                self.sampler = smp.reset_slot(
+                    self.sampler, s.slot, self.sp.mirostat_tau
+                )
+                self.sampler = smp.observe_prompt_slot(
+                    self.sampler, s.slot,
+                    s.prompt[-self.sp.penalty_window:],
+                )
+        toks, self.sampler = smp.sample(
+            jnp.asarray(logits), self.sampler, self.sp
+        )
+        toks_np = np.asarray(toks)
+        for slot, seq in slot_map.items():
+            tok = int(toks_np[slot])
+            seq.generated.append(tok)
+            self._last_tokens[slot] = tok
+            if seq.streamer is not None:
+                seq.streamer(tok)
+            if (self.eos_id is not None and tok == self.eos_id) or len(
+                seq.generated
+            ) >= seq.max_new_tokens:
+                seq.status = SeqStatus.FINISHED
+                seq.end_time = time.time()
+                self.running.pop(slot, None)
+                self.free_slots.append(slot)
+                self.finished.append(seq)

@@ -1,0 +1,84 @@
+"""ModelServer: background worker thread + response callback.
+
+Parity: the reference's `ModelServer` pybind class (main_pybind.cpp:150-323)
+— a dedicated worker thread drains an issue queue into the continuous
+batching scheduler and fires a user callback per finished request.  (The
+GIL dance of the C++ version is just Python threading here.)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import traceback
+from typing import Callable, List, Optional, Sequence
+
+from ..ops.sampling import SamplingParams
+from .scheduler import ContinuousBatchingScheduler
+from .engine import Engine
+
+
+class ModelServer:
+    def __init__(
+        self,
+        engine: Engine,
+        response_fn: Callable[[int, List[int]], None],
+        sampling: Optional[SamplingParams] = None,
+        eos_id: Optional[int] = None,
+        max_new_tokens: int = 128,
+    ):
+        self.sched = ContinuousBatchingScheduler(engine, sampling, eos_id)
+        self.response_fn = response_fn
+        self.max_new_tokens = max_new_tokens
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # -- client API (parity: issueQuery, main_pybind.cpp:230) -----------
+    def issue_query(self, prompt: Sequence[int],
+                    max_new_tokens: Optional[int] = None) -> None:
+        self._queue.put((list(prompt), max_new_tokens or
+                         self.max_new_tokens))
+
+    def join(self) -> None:
+        """Block until all issued work is complete."""
+        self._queue.join()
+        while self.sched.has_work and self._err is None:
+            threading.Event().wait(0.01)
+        if self._err:
+            raise self._err
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    # -- worker (parity: main_pybind.cpp:167-226) ------------------------
+    def _worker(self) -> None:
+        try:
+            while not self._stop.is_set():
+                drained = False
+                while True:
+                    try:
+                        prompt, mnt = self._queue.get_nowait()
+                        self.sched.add_request(prompt, mnt)
+                        self._queue.task_done()
+                        drained = True
+                    except queue.Empty:
+                        break
+                if self.sched.has_work:
+                    self.sched.step()
+                    for seq in self.sched.pop_finished():
+                        self.response_fn(seq.request_id, seq.generated)
+                elif not drained:
+                    self._stop.wait(0.005)
+        except BaseException as e:  # surfaced on join()
+            self._err = e
+            traceback.print_exc()

@@ -1,0 +1,217 @@
+"""Serving-layer tests: Model API, beam search, continuous batching,
+ModelServer, session/params serialization.
+
+Mirrors the reference's tests/test_model_server.py (callback-collected
+results vs loop generation) and test_python_api.py beam-vs-HF checks.
+"""
+
+import os
+import tempfile
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+from transformers import LlamaConfig, LlamaForCausalLM
+
+from neural_speed_tpu.api import Model, ModelServer
+from neural_speed_tpu.models.configs import arch_from_hf_config
+from neural_speed_tpu.convert.hf import params_from_state_dict
+from neural_speed_tpu.ops.sampling import SamplingParams
+from neural_speed_tpu.runtime.beam import BeamConfig, beam_search
+from neural_speed_tpu.runtime.engine import Engine
+from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+from neural_speed_tpu.runtime import serialization
+
+CFG = LlamaConfig(
+    vocab_size=256, hidden_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+    max_position_embeddings=256,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch.manual_seed(0)
+    with torch.no_grad():
+        m = LlamaForCausalLM(CFG)
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def our_model(hf_model):
+    cfg = arch_from_hf_config(CFG.to_dict())
+    params = params_from_state_dict(
+        dict(hf_model.state_dict()), cfg, qspec=None, dtype=jnp.float32
+    )
+    m = Model()
+    m.cfg = cfg
+    m._make_engine(params, max_batch=8, ctx_size=128, kv_quantized=False)
+    return m
+
+
+def _hf_greedy(hf_model, ids, n):
+    with torch.no_grad():
+        out = hf_model.generate(
+            torch.tensor([ids]), max_new_tokens=n, do_sample=False,
+            num_beams=1, pad_token_id=0,
+        )
+    return out[0].tolist()[len(ids):]
+
+
+def _hf_beam(hf_model, ids, n, k):
+    with torch.no_grad():
+        out = hf_model.generate(
+            torch.tensor([ids]), max_new_tokens=n, do_sample=False,
+            num_beams=k, early_stopping=False, pad_token_id=0,
+            length_penalty=1.0,
+        )
+    return out[0].tolist()[len(ids):]
+
+
+PROMPTS = [[1, 17, 9, 33], [2, 5, 8, 13, 21, 34], [7, 7, 7]]
+
+
+def test_model_generate_matches_hf(hf_model, our_model):
+    for p in PROMPTS:
+        ref = _hf_greedy(hf_model, p, 8)
+        got = our_model.generate([p], max_new_tokens=8, ignore_prompt=True,
+                                 repetition_penalty=1.0)[0]
+        assert got == ref, (got, ref)
+
+
+def test_batched_generate_matches_single(our_model):
+    singles = [
+        our_model.generate([p], max_new_tokens=6, ignore_prompt=True,
+                           repetition_penalty=1.0)[0]
+        for p in PROMPTS
+    ]
+    batched = our_model.generate(PROMPTS, max_new_tokens=6,
+                                 ignore_prompt=True,
+                                 repetition_penalty=1.0)
+    assert batched == singles
+
+
+def test_beam_search_matches_hf(hf_model, our_model):
+    for p in PROMPTS[:2]:
+        ref = _hf_beam(hf_model, p, 6, 2)
+        got = beam_search(
+            our_model.engine, [p],
+            BeamConfig(num_beams=2, max_new_tokens=6),
+        )[0]
+        assert got == ref, (got, ref)
+
+
+def test_beam_search_batched(hf_model, our_model):
+    refs = [_hf_beam(hf_model, p, 5, 2) for p in PROMPTS[:2]]
+    got = beam_search(
+        our_model.engine, PROMPTS[:2],
+        BeamConfig(num_beams=2, max_new_tokens=5),
+    )
+    assert got == refs
+
+
+def test_continuous_batching_mixed_admission(our_model):
+    """Requests arriving mid-flight must not corrupt running sequences."""
+    eng = our_model.engine
+    ref = [
+        our_model.generate([p], max_new_tokens=6, ignore_prompt=True,
+                           repetition_penalty=1.0)[0]
+        for p in PROMPTS
+    ]
+    sched = ContinuousBatchingScheduler(
+        eng, SamplingParams(do_sample=False, repetition_penalty=1.0)
+    )
+    r0 = sched.add_request(PROMPTS[0], 6)
+    sched.step()  # prefill req0
+    sched.step()  # decode 1
+    r1 = sched.add_request(PROMPTS[1], 6)
+    sched.step()  # prefill req1 (req0 keeps its kv)
+    sched.step()
+    r2 = sched.add_request(PROMPTS[2], 6)
+    out = {}
+    while sched.has_work:
+        sched.step()
+        for s in sched.pop_finished():
+            out[s.request_id] = s.generated
+    assert [out[r0], out[r1], out[r2]] == ref
+
+
+def test_model_server_callback(our_model):
+    ref = [
+        our_model.generate([p], max_new_tokens=5, ignore_prompt=True,
+                           repetition_penalty=1.0)[0]
+        for p in PROMPTS
+    ]
+    results = {}
+    lock = threading.Lock()
+
+    def cb(rid, toks):
+        with lock:
+            results[rid] = toks
+
+    with ModelServer(
+        our_model, cb,
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.0),
+        max_new_tokens=5,
+    ) as srv:
+        for p in PROMPTS:
+            srv.issue_query(p)
+        srv.join()
+    assert [results[i] for i in sorted(results)] == ref
+
+
+def test_streamer_and_stopping(our_model):
+    seen = []
+    out = our_model.generate(
+        [PROMPTS[0]], max_new_tokens=6, ignore_prompt=True,
+        repetition_penalty=1.0, streamer=seen.append,
+        stopping_criteria=lambda ids: len(ids) >= len(PROMPTS[0]) + 3,
+    )[0]
+    assert len(out) <= 4 and seen[: len(out)] == out
+
+
+def test_params_serialization_roundtrip(our_model, tmp_path):
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.ops.quantize import quantize
+    import jax
+
+    p = str(tmp_path / "model.npz")
+    params = our_model.engine.params
+    # include a quantized leaf to exercise QTensor encoding
+    qt = quantize(jnp.asarray(np.random.randn(64, 32), jnp.float32),
+                  QSpec(QType.INT, 4, 32, False))
+    mixed = {**params, "extra": {"w": qt}}
+    serialization.save_params(p, mixed)
+    loaded = serialization.load_params(p)
+    flat1 = jax.tree_util.tree_leaves(mixed)
+    flat2 = jax.tree_util.tree_leaves(loaded)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_session_roundtrip(our_model, tmp_path):
+    eng = our_model.engine
+    our_model.generate([PROMPTS[0]], max_new_tokens=2)
+    path = str(tmp_path / "sess.npz")
+    serialization.save_session(path, eng.cache)
+    restored = serialization.load_session(path, eng.cache)
+    np.testing.assert_array_equal(
+        np.asarray(restored.lengths), np.asarray(eng.cache.lengths)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.k, np.float32), np.asarray(eng.cache.k,
+                                                       np.float32)
+    )
+
+
+def test_call_returns_padded_logits(our_model):
+    out = our_model(PROMPTS[:2])
+    assert out.shape[0] == 2
+    assert np.isneginf(out[1, len(PROMPTS[1]):]).all() or out.shape[1] == len(
+        PROMPTS[1]
+    )
+    assert np.isneginf(out[0, len(PROMPTS[0]):]).all()
