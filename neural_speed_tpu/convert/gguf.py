@@ -1,0 +1,638 @@
+"""GGUF reader + writer and ggml-quant block codecs.
+
+Parity:
+  * reader — the reference's `gguf_loader` (models/model_utils/
+    model_files.h:246+, gguf.h:574): full KV metadata parse, tensor
+    directory, mmap-able data section.
+  * writer — the reference's convert-hf-to-gguf.py (neural_speed/convert/,
+    2,010 LoC).
+  * block codecs — ggml Q4_0/Q4_1/Q5_0/Q5_1/Q8_0/Q6_K (core/data_types.h:
+    80-141).  Integer sym formats map LOSSLESSLY onto our planar int-b
+    QTensors (Q4_0 -> int4 sym g32 with code offset 8 == ours, etc.);
+    Q4_1/Q5_1 use a float offset per group (QTensor.zeros float32, see
+    ops/quantize dequant convention `w = scale*code + zeros_f`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Any, BinaryIO, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.arch import ArchConfig
+from ..ops.qtypes import QSpec, QType
+from ..ops.quantize import QTensor, pack_codes
+
+GGUF_MAGIC = 0x46554747  # 'GGUF'
+
+# gguf value types
+T_U8, T_I8, T_U16, T_I16, T_U32, T_I32, T_F32, T_BOOL, T_STR, T_ARR = range(10)
+T_U64, T_I64, T_F64 = 10, 11, 12
+
+# ggml tensor dtypes (ggml.h enum)
+GGML_F32, GGML_F16 = 0, 1
+GGML_Q4_0, GGML_Q4_1 = 2, 3
+GGML_Q5_0, GGML_Q5_1 = 6, 7
+GGML_Q8_0, GGML_Q8_1 = 8, 9
+GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K, GGML_Q8_K = range(10, 16)
+
+_SCALAR_FMT = {T_U8: "<B", T_I8: "<b", T_U16: "<H", T_I16: "<h",
+               T_U32: "<I", T_I32: "<i", T_F32: "<f", T_U64: "<Q",
+               T_I64: "<q", T_F64: "<d", T_BOOL: "<?"}
+
+
+# ---------------------------------------------------------------------------
+# low-level reader
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GGUFTensorInfo:
+    name: str
+    shape: Tuple[int, ...]   # ggml ne order: ne[0]=innermost (row length)
+    ggml_type: int
+    offset: int
+
+
+class GGUFReader:
+    def __init__(self, path: str):
+        self.path = path
+        self.kv: Dict[str, Any] = {}
+        self.tensors: Dict[str, GGUFTensorInfo] = {}
+        with open(path, "rb") as f:
+            magic, version = struct.unpack("<II", f.read(8))
+            if magic != GGUF_MAGIC:
+                raise ValueError(f"not a GGUF file: {path}")
+            if version < 2:
+                raise ValueError(f"GGUF v{version} unsupported (need >=2)")
+            n_tensors, n_kv = struct.unpack("<QQ", f.read(16))
+            for _ in range(n_kv):
+                key = self._str(f)
+                vt = struct.unpack("<I", f.read(4))[0]
+                self.kv[key] = self._value(f, vt)
+            for _ in range(n_tensors):
+                name = self._str(f)
+                nd = struct.unpack("<I", f.read(4))[0]
+                dims = struct.unpack(f"<{nd}Q", f.read(8 * nd))
+                ttype, off = struct.unpack("<IQ", f.read(12))
+                self.tensors[name] = GGUFTensorInfo(name, tuple(dims),
+                                                    ttype, off)
+            align = self.kv.get("general.alignment", 32)
+            pos = f.tell()
+            self.data_start = (pos + align - 1) // align * align
+        self._mm = np.memmap(path, mode="r")
+
+    @staticmethod
+    def _str(f: BinaryIO) -> str:
+        n = struct.unpack("<Q", f.read(8))[0]
+        return f.read(n).decode("utf-8", errors="replace")
+
+    def _value(self, f: BinaryIO, vt: int):
+        if vt == T_STR:
+            return self._str(f)
+        if vt == T_ARR:
+            at, n = struct.unpack("<IQ", f.read(12))
+            return [self._value(f, at) for _ in range(n)]
+        fmt = _SCALAR_FMT[vt]
+        return struct.unpack(fmt, f.read(struct.calcsize(fmt)))[0]
+
+    def tensor_bytes(self, info: GGUFTensorInfo) -> np.ndarray:
+        nbytes = ggml_nbytes(info.shape, info.ggml_type)
+        start = self.data_start + info.offset
+        return np.asarray(self._mm[start:start + nbytes])
+
+
+def ggml_block_info(ttype: int) -> Tuple[int, int]:
+    """(elements per block, bytes per block)."""
+    return {
+        GGML_F32: (1, 4), GGML_F16: (1, 2),
+        GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20),
+        GGML_Q5_0: (32, 22), GGML_Q5_1: (32, 24),
+        GGML_Q8_0: (32, 34), GGML_Q6_K: (256, 210),
+        GGML_Q4_K: (256, 144), GGML_Q5_K: (256, 176),
+    }[ttype]
+
+
+def ggml_nbytes(shape: Tuple[int, ...], ttype: int) -> int:
+    n = 1
+    for d in shape:
+        n *= d
+    be, bb = ggml_block_info(ttype)
+    assert n % be == 0, (shape, ttype)
+    return n // be * bb
+
+
+# ---------------------------------------------------------------------------
+# block codecs: raw bytes [rows, row_len] -> (codes uint8, scales, offsets)
+# rows = ggml ne[1] (out features), row_len = ne[0] (in features)
+# ---------------------------------------------------------------------------
+
+
+def _fp16(b: np.ndarray) -> np.ndarray:
+    return b.view(np.float16).astype(np.float32)
+
+
+def decode_q4_0(raw: np.ndarray, rows: int, row_len: int):
+    nb = rows * row_len // 32
+    blk = raw[: nb * 18].reshape(nb, 18)
+    d = _fp16(np.ascontiguousarray(blk[:, :2]))[:, 0]  # [nb]
+    qs = blk[:, 2:]  # [nb, 16]
+    lo = qs & 0xF
+    hi = qs >> 4
+    codes = np.concatenate([lo, hi], axis=1).astype(np.uint8)  # [nb, 32]
+    return codes.reshape(rows, row_len), d.reshape(rows, row_len // 32), None
+
+
+def decode_q4_1(raw, rows, row_len):
+    nb = rows * row_len // 32
+    blk = raw[: nb * 20].reshape(nb, 20)
+    d = _fp16(np.ascontiguousarray(blk[:, :2]))[:, 0]
+    m = _fp16(np.ascontiguousarray(blk[:, 2:4]))[:, 0]
+    qs = blk[:, 4:]
+    codes = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.uint8)
+    return (codes.reshape(rows, row_len), d.reshape(rows, row_len // 32),
+            m.reshape(rows, row_len // 32))
+
+
+def _q5_codes(qs, qh):
+    """5th bit from the packed u32 qh."""
+    nb = qs.shape[0]
+    qh32 = np.ascontiguousarray(qh).view(np.uint32).reshape(nb)
+    bits = (qh32[:, None] >> np.arange(32)[None, :]) & 1  # [nb, 32]
+    lo = np.concatenate([qs & 0xF, qs >> 4], axis=1)  # [nb, 32]
+    return (lo | (bits << 4).astype(np.uint8)).astype(np.uint8)
+
+
+def decode_q5_0(raw, rows, row_len):
+    nb = rows * row_len // 32
+    blk = raw[: nb * 22].reshape(nb, 22)
+    d = _fp16(np.ascontiguousarray(blk[:, :2]))[:, 0]
+    qh = blk[:, 2:6]
+    qs = blk[:, 6:]
+    codes = _q5_codes(qs, qh)
+    return codes.reshape(rows, row_len), d.reshape(rows, row_len // 32), None
+
+
+def decode_q5_1(raw, rows, row_len):
+    nb = rows * row_len // 32
+    blk = raw[: nb * 24].reshape(nb, 24)
+    d = _fp16(np.ascontiguousarray(blk[:, :2]))[:, 0]
+    m = _fp16(np.ascontiguousarray(blk[:, 2:4]))[:, 0]
+    qh = blk[:, 4:8]
+    qs = blk[:, 8:]
+    codes = _q5_codes(qs, qh)
+    return (codes.reshape(rows, row_len), d.reshape(rows, row_len // 32),
+            m.reshape(rows, row_len // 32))
+
+
+def decode_q8_0(raw, rows, row_len):
+    nb = rows * row_len // 32
+    blk = raw[: nb * 34].reshape(nb, 34)
+    d = _fp16(np.ascontiguousarray(blk[:, :2]))[:, 0]
+    q = blk[:, 2:].view(np.int8).astype(np.int16) + 128  # unsigned codes
+    return (q.astype(np.uint8).reshape(rows, row_len),
+            d.reshape(rows, row_len // 32), None)
+
+
+def decode_q6_k(raw, rows, row_len):
+    """Q6_K (ggml-quants.c): 256-elem super-block = ql[128] qh[64]
+    scales[16]i8 d[f16]; weight = d * scales[i//16] * (q - 32)."""
+    nb = rows * row_len // 256
+    blk = raw[: nb * 210].reshape(nb, 210)
+    ql = blk[:, :128]
+    qh = blk[:, 128:192]
+    sc = blk[:, 192:208].view(np.int8).astype(np.float32)
+    d = _fp16(np.ascontiguousarray(blk[:, 208:210]))[:, 0]
+    codes = np.zeros((nb, 256), np.uint8)
+    # layout per ggml dequantize_row_q6_K: two 128-halves
+    for half in range(2):
+        lo = ql[:, half * 64:(half + 1) * 64]
+        hi = qh[:, half * 32:(half + 1) * 32]
+        for j in range(2):  # low/high nibble of ql
+            q4 = (lo >> (4 * j)) & 0xF  # [nb, 64]
+            b = (hi >> (2 * j)) & 3
+            b2 = (hi >> (2 * j + 4)) & 3
+            qq = np.concatenate([q4[:, :32] | (b << 4),
+                                 q4[:, 32:] | (b2 << 4)], axis=1)
+            base = half * 128 + j * 64
+            codes[:, base: base + 64] = qq
+    scales = d[:, None] * sc  # [nb, 16]
+    return (codes.reshape(rows, row_len),
+            scales.reshape(rows, row_len // 16), None)
+
+
+DECODERS = {
+    GGML_Q4_0: (decode_q4_0, 4, 32, 8),
+    GGML_Q4_1: (decode_q4_1, 4, 32, None),   # float offset
+    GGML_Q5_0: (decode_q5_0, 5, 32, 16),
+    GGML_Q5_1: (decode_q5_1, 5, 32, None),
+    GGML_Q8_0: (decode_q8_0, 8, 32, 128),
+    GGML_Q6_K: (decode_q6_k, 6, 16, 32),
+}
+
+
+def gguf_tensor_to_qtensor(raw: np.ndarray, shape, ttype: int) -> QTensor:
+    """ggml 2-D tensor -> our `[K, N]` QTensor (transposed: ggml rows are
+    out-features).  Integer formats are mapped exactly."""
+    row_len, rows = shape[0], shape[1]  # ne[0]=in(K), ne[1]=out(N)
+    dec, bits, group, offset = DECODERS[ttype]
+    codes, scales, m = dec(raw, rows, row_len)
+    # transpose to [K, N]
+    codes_t = np.ascontiguousarray(codes.T)          # [K, N]
+    scales_t = np.ascontiguousarray(scales.T)        # [K/g, N]
+    spec = QSpec(QType.INT, bits, group, symmetric=(m is None))
+    data = pack_codes(jnp.asarray(codes_t), bits)
+    zeros = None
+    if m is not None:
+        # float per-group offset: w = scale*code + zeros_f
+        zeros = jnp.asarray(np.ascontiguousarray(m.T), jnp.float32)
+    return QTensor(data, jnp.asarray(scales_t, jnp.float32), zeros, None,
+                   spec, (row_len, rows))
+
+
+def gguf_tensor_to_array(reader: GGUFReader, info: GGUFTensorInfo,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    raw = reader.tensor_bytes(info)
+    if info.ggml_type == GGML_F32:
+        a = raw.view(np.float32).reshape(info.shape[::-1])
+    elif info.ggml_type == GGML_F16:
+        a = raw.view(np.float16).astype(np.float32).reshape(
+            info.shape[::-1]
+        )
+    else:
+        dec, bits, group, offset = DECODERS[info.ggml_type]
+        row_len, rows = info.shape[0], info.shape[1] if len(
+            info.shape
+        ) > 1 else 1
+        codes, scales, m = dec(raw, rows, row_len)
+        g = group
+        sf = np.repeat(scales, g, axis=1)
+        if m is None:
+            a = (codes.astype(np.float32) - offset) * sf
+        else:
+            a = codes.astype(np.float32) * sf + np.repeat(m, g, axis=1)
+        a = a.reshape(*([rows, row_len] if len(info.shape) > 1 else
+                        [row_len]))
+    return jnp.asarray(a, dtype)
+
+
+# ---------------------------------------------------------------------------
+# writer (parity: convert-hf-to-gguf.py, neural_speed/convert/)
+# ---------------------------------------------------------------------------
+
+
+def _vt_of(v) -> int:
+    if isinstance(v, bool):
+        return T_BOOL
+    if isinstance(v, int):
+        return T_U32 if 0 <= v < 2 ** 32 else T_I64
+    if isinstance(v, float):
+        return T_F32
+    if isinstance(v, str):
+        return T_STR
+    raise TypeError(type(v))
+
+
+class GGUFWriter:
+    def __init__(self, path: str):
+        self.path = path
+        self.kv: List[Tuple[str, Any]] = []
+        self.tensors: List[Tuple[str, Tuple[int, ...], int, bytes]] = []
+
+    def add(self, key: str, value: Any):
+        self.kv.append((key, value))
+
+    def add_tensor(self, name: str, data: np.ndarray, ggml_type: int,
+                   raw: Optional[bytes] = None):
+        """data in ggml orientation [rows(out), row_len(in)] unless raw
+        bytes are given with an explicit shape."""
+        if raw is None:
+            raw = encode_ggml(data, ggml_type)
+        shape = (data.shape[-1],) + tuple(reversed(data.shape[:-1]))
+        self.tensors.append((name, shape, ggml_type, raw))
+
+    @staticmethod
+    def _wstr(f: BinaryIO, s: str):
+        b = s.encode("utf-8")
+        f.write(struct.pack("<Q", len(b)))
+        f.write(b)
+
+    def _wvalue(self, f: BinaryIO, v):
+        if isinstance(v, list):
+            f.write(struct.pack("<I", T_ARR))
+            assert v, "empty arrays unsupported"
+            et = _vt_of(v[0])
+            f.write(struct.pack("<IQ", et, len(v)))
+            for item in v:
+                self._wscalar(f, item, et)
+        else:
+            vt = _vt_of(v)
+            f.write(struct.pack("<I", vt))
+            self._wscalar(f, v, vt)
+
+    def _wscalar(self, f: BinaryIO, v, vt: int):
+        if vt == T_STR:
+            self._wstr(f, v)
+        else:
+            f.write(struct.pack(_SCALAR_FMT[vt], v))
+
+    def write(self):
+        align = 32
+        with open(self.path, "wb") as f:
+            f.write(struct.pack("<IIQQ", GGUF_MAGIC, 3, len(self.tensors),
+                                len(self.kv)))
+            for k, v in self.kv:
+                self._wstr(f, k)
+                self._wvalue(f, v)
+            offset = 0
+            metas = []
+            for name, shape, ttype, raw in self.tensors:
+                metas.append(offset)
+                self._wstr(f, name)
+                f.write(struct.pack("<I", len(shape)))
+                f.write(struct.pack(f"<{len(shape)}Q", *shape))
+                f.write(struct.pack("<IQ", ttype, offset))
+                offset += (len(raw) + align - 1) // align * align
+            pos = f.tell()
+            pad = (pos + align - 1) // align * align - pos
+            f.write(b"\0" * pad)
+            for name, shape, ttype, raw in self.tensors:
+                f.write(raw)
+                pad = (len(raw) + align - 1) // align * align - len(raw)
+                f.write(b"\0" * pad)
+
+
+def encode_ggml(a: np.ndarray, ttype: int) -> bytes:
+    """Encode a float array (ggml orientation [out, in]) into block bytes."""
+    a = np.asarray(a, np.float32)
+    if ttype == GGML_F32:
+        return a.astype(np.float32).tobytes()
+    if ttype == GGML_F16:
+        return a.astype(np.float16).tobytes()
+    flat = a.reshape(-1, 32)
+    nb = flat.shape[0]
+    if ttype == GGML_Q4_0:
+        # llama.cpp: d = signed-absmax / -8
+        idx = np.argmax(np.abs(flat), axis=1)
+        amax = flat[np.arange(nb), idx]
+        d = amax / -8.0
+        d_safe = np.where(d == 0, 1.0, d)
+        q = np.clip(np.round(flat / d_safe[:, None]) + 8, 0, 15).astype(
+            np.uint8
+        )
+        out = np.zeros((nb, 18), np.uint8)
+        out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+        out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
+        return out.tobytes()
+    if ttype == GGML_Q8_0:
+        amax = np.abs(flat).max(axis=1)
+        d = amax / 127.0
+        d_safe = np.where(d == 0, 1.0, d)
+        q = np.clip(np.round(flat / d_safe[:, None]), -127, 127).astype(
+            np.int8
+        )
+        out = np.zeros((nb, 34), np.uint8)
+        out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+        out[:, 2:] = q.view(np.uint8)
+        return out.tobytes()
+    raise ValueError(f"no encoder for ggml type {ttype}")
+
+
+# ---------------------------------------------------------------------------
+# llama-style sentencepiece tokenizer from GGUF metadata
+# ---------------------------------------------------------------------------
+
+
+class GGUFTokenizer:
+    """Score-based greedy bigram merge — the algorithm of the reference's
+    `model_tokenize` (model_utils.cpp:1858-1881, llama.cpp llm_tokenizer_spm)
+    with byte fallback."""
+
+    def __init__(self, tokens: List[str], scores: List[float],
+                 types: Optional[List[int]] = None,
+                 bos_id: int = 1, eos_id: int = 2, unk_id: int = 0,
+                 add_bos: bool = True):
+        self.tokens = tokens
+        self.scores = scores
+        self.types = types or [1] * len(tokens)
+        self.vocab = {t: i for i, t in enumerate(tokens)}
+        self.bos_token_id = bos_id
+        self.eos_token_id = eos_id
+        self.unk_id = unk_id
+        self.add_bos = add_bos
+        self.byte_ids = {}
+        for b in range(256):
+            tok = f"<0x{b:02X}>"
+            if tok in self.vocab:
+                self.byte_ids[b] = self.vocab[tok]
+
+    def encode(self, text: str, add_bos: Optional[bool] = None) -> List[int]:
+        text = text.replace(" ", "▁")
+        if not text.startswith("▁"):
+            text = "▁" + text
+        syms = list(text)
+        # greedy best-score merging
+        while True:
+            best, best_i = None, -1
+            for i in range(len(syms) - 1):
+                cand = syms[i] + syms[i + 1]
+                tid = self.vocab.get(cand)
+                if tid is not None and (
+                    best is None or self.scores[tid] > best
+                ):
+                    best, best_i = self.scores[tid], i
+            if best_i < 0:
+                break
+            syms[best_i: best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        ids: List[int] = []
+        for s in syms:
+            tid = self.vocab.get(s)
+            if tid is not None:
+                ids.append(tid)
+            else:  # byte fallback
+                for b in s.encode("utf-8"):
+                    ids.append(self.byte_ids.get(b, self.unk_id))
+        if add_bos if add_bos is not None else self.add_bos:
+            ids = [self.bos_token_id] + ids
+        return ids
+
+    def __call__(self, text: str):
+        return {"input_ids": self.encode(text)}
+
+    def decode(self, ids) -> str:
+        out = []
+        byte_buf = []
+
+        def flush():
+            if byte_buf:
+                out.append(bytes(byte_buf).decode("utf-8", errors="replace"))
+                byte_buf.clear()
+
+        for i in ids:
+            t = self.tokens[int(i)]
+            if t.startswith("<0x") and t.endswith(">") and len(t) == 6:
+                byte_buf.append(int(t[3:5], 16))
+                continue
+            flush()
+            if int(i) in (self.bos_token_id, self.eos_token_id):
+                continue
+            out.append(t.replace("▁", " "))
+        flush()
+        return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# full-model load (parity: gguf path of model_load_internal,
+# llama_utils.cpp:90-252 blk.N.* name mapping)
+# ---------------------------------------------------------------------------
+
+_GGUF_ARCH_KEYS = {
+    "llama": "llama",
+    "mistral": "mistral",
+    "qwen2": "qwen2",
+    "gemma": "gemma",
+    "stablelm": "stablelm",
+    "phi3": "phi3",
+}
+
+
+def _arch_from_gguf(kv: Dict[str, Any]) -> ArchConfig:
+    arch = kv["general.architecture"]
+    name = _GGUF_ARCH_KEYS.get(arch, arch)
+    pre = arch
+
+    def g(key, default=None):
+        return kv.get(f"{pre}.{key}", default)
+
+    n_heads = g("attention.head_count")
+    return ArchConfig(
+        name=name,
+        vocab_size=len(kv["tokenizer.ggml.tokens"]),
+        hidden_size=g("embedding_length"),
+        n_layers=g("block_count"),
+        n_heads=n_heads,
+        n_kv_heads=g("attention.head_count_kv", n_heads),
+        intermediate_size=g("feed_forward_length"),
+        max_position_embeddings=g("context_length", 4096),
+        norm="rms",
+        norm_eps=g("attention.layer_norm_rms_epsilon", 1e-5),
+        rope_style="neox",
+        rope_base=g("rope.freq_base", 10000.0),
+        act="silu",
+    )
+
+
+def load_gguf_model(path: str):
+    """Returns (params, ArchConfig, GGUFTokenizer)."""
+    r = GGUFReader(path)
+    cfg = _arch_from_gguf(r.kv)
+
+    def lin(name):
+        info = r.tensors[name]
+        if info.ggml_type in DECODERS:
+            return {"w": gguf_tensor_to_qtensor(
+                r.tensor_bytes(info), info.shape, info.ggml_type
+            )}
+        return {"w": gguf_tensor_to_array(r, info, jnp.bfloat16).T}
+
+    def arr(name, dtype=jnp.float32):
+        return gguf_tensor_to_array(r, r.tensors[name], dtype)
+
+    params: Dict[str, Any] = {
+        "embed": {"weight": arr("token_embd.weight", jnp.bfloat16)},
+        "layers": [],
+        "final_norm": {"weight": arr("output_norm.weight")},
+    }
+    if "output.weight" in r.tensors:
+        params["lm_head"] = lin("output.weight")
+    for i in range(cfg.n_layers):
+        b = f"blk.{i}."
+        params["layers"].append(
+            {
+                "attn_norm": {"weight": arr(b + "attn_norm.weight")},
+                "ffn_norm": {"weight": arr(b + "ffn_norm.weight")},
+                "q": lin(b + "attn_q.weight"),
+                "k": lin(b + "attn_k.weight"),
+                "v": lin(b + "attn_v.weight"),
+                "o": lin(b + "attn_output.weight"),
+                "ffn": {
+                    "gate": lin(b + "ffn_gate.weight"),
+                    "up": lin(b + "ffn_up.weight"),
+                    "down": lin(b + "ffn_down.weight"),
+                },
+            }
+        )
+    tok = None
+    if "tokenizer.ggml.tokens" in r.kv:
+        tok = GGUFTokenizer(
+            r.kv["tokenizer.ggml.tokens"],
+            r.kv.get("tokenizer.ggml.scores",
+                     [0.0] * len(r.kv["tokenizer.ggml.tokens"])),
+            r.kv.get("tokenizer.ggml.token_type"),
+            bos_id=r.kv.get("tokenizer.ggml.bos_token_id", 1),
+            eos_id=r.kv.get("tokenizer.ggml.eos_token_id", 2),
+            unk_id=r.kv.get("tokenizer.ggml.unknown_token_id", 0),
+        )
+    return params, cfg, tok
+
+
+def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
+                     ggml_type: int = GGML_Q4_0,
+                     tokens: Optional[List[str]] = None,
+                     scores: Optional[List[float]] = None):
+    """HF llama-family checkpoint -> GGUF (parity: convert-hf-to-gguf.py).
+    Weights arrive torch-style [out, in], which is ggml's row layout."""
+    import numpy as _np
+
+    def np_of(t):
+        if hasattr(t, "detach"):
+            t = t.detach().float().cpu().numpy()
+        return _np.asarray(t, _np.float32)
+
+    w = GGUFWriter(out_path)
+    arch = hf_cfg.get("model_type", "llama")
+    n_heads = hf_cfg["num_attention_heads"]
+    w.add("general.architecture", arch)
+    w.add("general.name", "neural_speed_tpu export")
+    w.add(f"{arch}.embedding_length", hf_cfg["hidden_size"])
+    w.add(f"{arch}.block_count", hf_cfg["num_hidden_layers"])
+    w.add(f"{arch}.attention.head_count", n_heads)
+    w.add(f"{arch}.attention.head_count_kv",
+          hf_cfg.get("num_key_value_heads", n_heads))
+    w.add(f"{arch}.feed_forward_length", hf_cfg["intermediate_size"])
+    w.add(f"{arch}.context_length",
+          hf_cfg.get("max_position_embeddings", 4096))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+          float(hf_cfg.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(hf_cfg.get("rope_theta", 10000.0)))
+    if tokens:
+        w.add("tokenizer.ggml.model", "llama")
+        w.add("tokenizer.ggml.tokens", tokens)
+        w.add("tokenizer.ggml.scores",
+              scores or [0.0] * len(tokens))
+
+    def put(name, key, ttype=None):
+        w.add_tensor(name, np_of(state_dict[key]),
+                     ttype if ttype is not None else ggml_type)
+
+    put("token_embd.weight", "model.embed_tokens.weight", GGML_F16)
+    put("output_norm.weight", "model.norm.weight", GGML_F32)
+    if "lm_head.weight" in state_dict:
+        put("output.weight", "lm_head.weight", ggml_type)
+    for i in range(hf_cfg["num_hidden_layers"]):
+        hf = f"model.layers.{i}."
+        b = f"blk.{i}."
+        put(b + "attn_norm.weight", hf + "input_layernorm.weight", GGML_F32)
+        put(b + "ffn_norm.weight", hf + "post_attention_layernorm.weight",
+            GGML_F32)
+        put(b + "attn_q.weight", hf + "self_attn.q_proj.weight")
+        put(b + "attn_k.weight", hf + "self_attn.k_proj.weight")
+        put(b + "attn_v.weight", hf + "self_attn.v_proj.weight")
+        put(b + "attn_output.weight", hf + "self_attn.o_proj.weight")
+        put(b + "ffn_gate.weight", hf + "mlp.gate_proj.weight")
+        put(b + "ffn_up.weight", hf + "mlp.up_proj.weight")
+        put(b + "ffn_down.weight", hf + "mlp.down_proj.weight")
+    w.write()

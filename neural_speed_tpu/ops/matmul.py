@@ -163,6 +163,8 @@ def _pallas_supported(qt: QTensor) -> bool:
         return False  # multi-slab packs go through the XLA path
     if spec.double_quant:
         return False
+    if qt.zeros is not None and jnp.issubdtype(qt.zeros.dtype, jnp.floating):
+        return False  # ggml float-offset formats -> XLA path
     if spec.is_fp8:
         return False  # XLA handles fp8 astype well already
     if not (spec.is_lut or spec.bits in (1, 2, 4, 8)):

@@ -347,8 +347,14 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
         codes = unpack_codes(qt.data, spec.bits, k, qt.k_shards).astype(jnp.int32)
         if spec.bits == 1:
             vals = (2 * codes - 1).astype(jnp.float32)
-        elif spec.symmetric:
+        elif spec.symmetric and qt.zeros is None:
             vals = (codes - spec.code_offset).astype(jnp.float32)
+        elif qt.zeros is not None and jnp.issubdtype(qt.zeros.dtype,
+                                                     jnp.floating):
+            # ggml Q4_1/Q5_1 convention: w = scale*code + m  (float offset
+            # per group; convert/gguf.py)
+            zfull = jnp.repeat(qt.zeros.astype(jnp.float32), g, axis=0)
+            return (codes.astype(jnp.float32) * sfull + zfull).astype(dtype)
         else:
             zfull = jnp.repeat(qt.zeros.astype(jnp.int32), g, axis=0)
             vals = (codes - zfull).astype(jnp.float32)

@@ -1,0 +1,132 @@
+"""GGUF subsystem tests: block codecs, reader/writer, full-model load,
+sentencepiece-style tokenizer."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+from transformers import LlamaConfig, LlamaForCausalLM
+
+from neural_speed_tpu.convert import gguf as G
+from neural_speed_tpu.ops.quantize import dequantize
+
+
+def test_q4_0_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((8, 64)).astype(np.float32)
+    raw = np.frombuffer(G.encode_ggml(w, G.GGML_Q4_0), np.uint8)
+    codes, scales, m = G.decode_q4_0(raw, 8, 64)
+    deq = (codes.astype(np.float32) - 8) * np.repeat(scales, 32, axis=1)
+    err = np.abs(deq - w)
+    # d = amax/-8 leaves only 15 levels on the -amax side: worst case 1|d|
+    bound = np.repeat(np.abs(scales), 32, axis=1) * 1.0 + 1e-6
+    assert (err <= bound + 1e-5).all()
+
+
+def test_q8_0_roundtrip():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((4, 64)).astype(np.float32)
+    raw = np.frombuffer(G.encode_ggml(w, G.GGML_Q8_0), np.uint8)
+    codes, scales, m = G.decode_q8_0(raw, 4, 64)
+    deq = (codes.astype(np.float32) - 128) * np.repeat(scales, 32, axis=1)
+    assert np.abs(deq - w).max() < 0.05
+
+
+def test_qtensor_mapping_exact():
+    """GGUF block -> QTensor must dequantize to the identical values."""
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((16, 64)).astype(np.float32)
+    raw = np.frombuffer(G.encode_ggml(w, G.GGML_Q4_0), np.uint8)
+    codes, scales, _ = G.decode_q4_0(raw, 16, 64)
+    ref = (codes.astype(np.float32) - 8) * np.repeat(scales, 32, axis=1)
+    qt = G.gguf_tensor_to_qtensor(raw, (64, 16), G.GGML_Q4_0)
+    ours = np.asarray(dequantize(qt))  # [K=64, N=16]
+    np.testing.assert_allclose(ours, ref.T, rtol=1e-6, atol=1e-6)
+
+
+def test_writer_reader_roundtrip(tmp_path):
+    w = G.GGUFWriter(str(tmp_path / "t.gguf"))
+    w.add("general.architecture", "llama")
+    w.add("llama.block_count", 2)
+    w.add("llama.rope.freq_base", 10000.0)
+    w.add("tokenizer.ggml.tokens", ["<unk>", "<s>", "</s>", "▁hi"])
+    a = np.arange(64 * 32, dtype=np.float32).reshape(32, 64) * 0.01
+    w.add_tensor("x.weight", a, G.GGML_F32)
+    w.add_tensor("y.weight", a, G.GGML_Q8_0)
+    w.write()
+
+    r = G.GGUFReader(str(tmp_path / "t.gguf"))
+    assert r.kv["general.architecture"] == "llama"
+    assert r.kv["llama.block_count"] == 2
+    assert r.kv["tokenizer.ggml.tokens"][3] == "▁hi"
+    xi = r.tensors["x.weight"]
+    assert xi.shape == (64, 32)
+    x = np.asarray(G.gguf_tensor_to_array(r, xi))
+    np.testing.assert_allclose(x, a, atol=1e-7)
+    y = np.asarray(G.gguf_tensor_to_array(r, r.tensors["y.weight"]))
+    # Q8_0 max error = row-absmax/127/2 (values reach 20.47 here)
+    assert np.abs(y - a).max() < a.max() / 127.0 * 0.51 + 1e-6
+
+
+@pytest.mark.parametrize("ttype", [G.GGML_Q4_0, G.GGML_Q8_0])
+def test_full_model_gguf_load(tmp_path, ttype):
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    with torch.no_grad():
+        m = LlamaForCausalLM(cfg)
+    m.eval()
+    path = str(tmp_path / "tiny.gguf")
+    tokens = ["<unk>", "<s>", "</s>"] + [f"t{i}" for i in range(253)]
+    G.write_hf_to_gguf(dict(m.state_dict()), cfg.to_dict(), path,
+                       ggml_type=ttype, tokens=tokens)
+
+    params, acfg, tok = G.load_gguf_model(path)
+    assert acfg.n_layers == 2 and acfg.n_kv_heads == 2
+    assert tok is not None and tok.eos_token_id == 2
+
+    from neural_speed_tpu.runtime.engine import Engine
+
+    eng = Engine(params, acfg, max_batch=1, max_len=64)
+    ids = [1, 5, 9, 17]
+    ours = eng.generate_greedy(ids, 6)
+
+    with torch.no_grad():
+        ref = m.generate(torch.tensor([ids]), max_new_tokens=6,
+                         do_sample=False, pad_token_id=0)[0].tolist()[4:]
+    if ttype == G.GGML_Q8_0:
+        assert ours == ref, (ours, ref)  # int8 is near-lossless
+    else:
+        # int4: logits cosine must stay high (reference cmpData style check)
+        from neural_speed_tpu.models.transformer import forward
+        from neural_speed_tpu.ops import kv_cache as kvc
+
+        cache = eng.new_cache()
+        pos = jnp.arange(4)[None, :]
+        lg, _ = forward(params, acfg, jnp.asarray([ids]), pos, cache,
+                        jnp.asarray([4]))
+        with torch.no_grad():
+            hf_lg = m(torch.tensor([ids])).logits[0].numpy()
+        a = np.asarray(lg[0]).reshape(-1)
+        b = hf_lg.reshape(-1)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.97, cos
+
+
+def test_tokenizer_encode_decode():
+    # tiny vocab with merge-able pieces and byte fallback
+    tokens = (["<unk>", "<s>", "</s>", "▁", "▁he", "ll", "o", "▁hello",
+               "he", "l"] + [f"<0x{b:02X}>" for b in range(256)])
+    scores = [0.0, 0.0, 0.0, -1.0, -2.0, -2.0, -1.5, -0.5, -3.0, -3.5]
+    scores += [-10.0] * 256
+    tok = G.GGUFTokenizer(tokens, scores)
+    ids = tok.encode("hello", add_bos=True)
+    assert ids[0] == 1
+    assert tok.decode(ids).strip() == "hello"
+    # byte fallback for unseen chars
+    ids2 = tok.encode("z", add_bos=False)
+    assert tok.decode(ids2).strip() == "z"
