@@ -45,7 +45,14 @@ def linear(x: jax.Array, p: Params, axis_name: Optional[str] = None) -> jax.Arra
     `axis_name` marks a row-parallel (K-sharded) matmul inside shard_map:
     partial products are psum'ed over the TP axis *before* the bias add —
     the exact collective placement of the reference's NE_OP_ALL_REDUCE after
-    attn-out and ffn-down (llama.cpp:590-594,690-695)."""
+    attn-out and ffn-down (llama.cpp:590-594,690-695).
+
+    `perm` (optional): GPTQ act-order K-permutation — activations are
+    gathered to match the group-contiguous weight rows (parity: shuffle
+    indices + ShuffleActivationKBlock, bestla_prologue_{a,b}.h)."""
+    perm = p.get("perm")
+    if perm is not None:
+        x = jnp.take(x, perm, axis=-1)
     w = p["w"]
     if isinstance(w, QTensor):
         out = qmatmul(x, w)
