@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import kv_cache as kvc
-from ..ops.attention import alibi_slopes, attention
+from ..ops.attention import alibi_slopes, attention, attention_cache
 from ..ops.matmul import qmatmul
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.quantize import QTensor
@@ -183,15 +183,14 @@ def decoder_layer(
         ].astype(q.dtype)
 
     cache = kvc.append_layer(cache, layer_idx, k, v, positions)
-    k_all, v_all = kvc.read_layer(cache, layer_idx, x.dtype)
-
-    attn_out = attention(
-        q, k_all, v_all, positions, kv_lens,
+    attn_out = attention_cache(
+        q, cache, layer_idx, positions, kv_lens,
         scale=cfg.attn_scale if cfg.attn_scale is not None
         else 1.0 / math.sqrt(d),
         causal=True,
         alibi=slopes,
         logit_softcap=cfg.logit_softcap,
+        out_dtype=x.dtype,
     )
     attn_out = linear(attn_out.reshape(b, t, h * d), lp["o"], axis_name)
     if cfg.post_attn_norm:

@@ -108,19 +108,62 @@ def attention(
     Parity: mha_dense.cpp:31-80 dtype/flag dispatch +
     bestla_reordered_attn_fp32_support fallback logic.
     """
-    if use_flash is None:
-        use_flash = jax.default_backend() == "tpu"
-    if use_flash:
-        try:
-            from . import flash
+    from . import flash
 
-            return flash.flash_attention(
-                q, k, v, q_positions, kv_lens, scale=scale, causal=causal,
-                alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,
-            )
-        except NotImplementedError:
-            pass
+    if use_flash is None:
+        use_flash = flash.flash_enabled()
+    if use_flash:
+        out = flash.mha(
+            q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), None, None,
+            q_positions, kv_lens,
+            scale=scale if scale is not None else 1.0 / math.sqrt(q.shape[-1]),
+            causal=causal, alibi=alibi, logit_softcap=logit_softcap,
+            out_dtype=out_dtype,
+        )
+        if out is not None:
+            return out
     return attention_ref(
         q, k, v, q_positions, kv_lens, scale=scale, causal=causal,
+        alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,
+    )
+
+
+def attention_cache(
+    q, cache, layer_idx: int, q_positions, kv_lens, *, scale=None,
+    causal=True, alibi=None, logit_softcap=0.0, out_dtype=None,
+    use_flash: Optional[bool] = None,
+):
+    """Attention over one layer of the KV cache.
+
+    On the flash path the kernel reads the cache's int8 codes + scales
+    straight from HBM (parity: bestla_reordered_attn_fp32_forward consuming
+    the reordered cache, mha_dense.cpp:113-180); the XLA path materializes a
+    dequantized view first (read_layer)."""
+    from . import flash
+    from . import kv_cache as kvc
+
+    if use_flash is None:
+        # flash pays off when it avoids HBM traffic: quantized KV (XLA path
+        # materializes a dequantized cache copy), prefill (S^2 logits), or
+        # GQA (KV block shared across the head group).  Plain MHA bf16
+        # decode is a GEMV XLA already does at roofline — skip.
+        use_flash = flash.flash_enabled() and (
+            cache.quantized or q.shape[1] > 1 or q.shape[2] > cache.kv_heads
+        )
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if use_flash:
+        ks = cache.k_scale[layer_idx] if cache.quantized else None
+        vs = cache.v_scale[layer_idx] if cache.quantized else None
+        out = flash.mha(
+            q, cache.k[layer_idx], cache.v[layer_idx], ks, vs,
+            q_positions, kv_lens, scale=scale, causal=causal, alibi=alibi,
+            logit_softcap=logit_softcap, out_dtype=out_dtype or q.dtype,
+        )
+        if out is not None:
+            return out
+    k_all, v_all = kvc.read_layer(cache, layer_idx, q.dtype)
+    return attention_ref(
+        q, k_all, v_all, q_positions, kv_lens, scale=scale, causal=causal,
         alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,
     )

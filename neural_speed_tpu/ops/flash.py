@@ -1,20 +1,349 @@
-"""Pallas flash-attention kernels (prefill + decode over quantized KV).
+"""Pallas fused flash-attention over the (optionally int8-quantized) KV cache.
 
-Parity target: core/layers/mha_dense_wrapper.h — two chained GEMMs glued by
-an online exp/row-sum epilogue (scale_exp_acc_sum_fp32_t at :104,
-scale_write_back_t at :135), consuming the tiled KV cache.
+Parity target: core/layers/mha_dense_wrapper.h — the reference fuses
+QK^T -> online exp/row-sum -> PV into one pass over a tiled KV cache
+(`scale_exp_acc_sum_fp32_t` at :104, `scale_write_back_t` at :135), reading
+K/V in the BesTLA reordered layout (fp16/bf16/int8).  mha_dense.cpp:31-80
+dispatches on dtype and mask flags (causal / ALiBi "IS_ALIBI8" / grok
+"IS_TANH30").
 
-The TPU design (implemented incrementally; `attention()` falls back to the
-XLA reference until each case lands):
-  * prefill: classic flash — grid (B*H, T/BT); K/V streamed in S-blocks with
-    online softmax in VMEM.
-  * decode: m=1 per slot — grid over S-blocks with per-block partial
-    max/sum; reads int8 KV codes + per-token scales directly from the cache
-    (no fp materialization in HBM).
+TPU-native design (one kernel serves prefill and decode):
+
+  * GQA row packing: q is reshaped to [B, H_kv, R, D] with R = n_rep * T, so
+    the grid runs over KV heads and every K/V block is DMA'd from HBM ONCE
+    per query-head *group* instead of once per query head — n_rep x less KV
+    bandwidth, which is the entire game for memory-bound decode.
+  * Quantized KV read natively: the kernel consumes the cache's int8 codes
+    plus per-(token, head) scales; K scales fold into the score columns
+    after QK^T and V scales fold into P's columns before PV, so no fp K/V is
+    ever materialized in HBM (the XLA fallback in kv_cache.read_layer does
+    materialize — this kernel is why it doesn't have to).
+  * Online softmax (flash): running m/l/acc in VMEM scratch across the KV
+    grid dimension; out = acc / l on the last block.
+  * Block skipping: KV blocks past the slot's `kv_len` (scalar-prefetched)
+    or entirely above the causal diagonal are skipped.
+  * Masking supports continuous batching: each query row carries an absolute
+    position, each batch slot a KV length (llama.cpp:329-349 semantics).
+
+Grid: (B, H_kv, R/BR, S/BS); dims 0-2 parallel (megacore), dim 3 is the
+online-softmax reduction ("arbitrary").
 """
 
 from __future__ import annotations
 
+import functools
+import os
+from typing import Optional, Tuple
 
-def flash_attention(*args, **kwargs):  # pragma: no cover - placeholder
-    raise NotImplementedError("pallas flash kernels land in the perf stage")
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+NEG_INIT = -float(np.finfo(np.float32).max)
+LANES = 128
+
+
+def flash_mode() -> str:
+    """'auto' (TPU only, default) | 'on' | 'off' | 'interpret'."""
+    return os.environ.get("NST_FLASH", "auto")
+
+
+def flash_enabled() -> bool:
+    mode = flash_mode()
+    if mode == "off":
+        return False
+    if mode in ("on", "interpret"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _supported(head_dim: int, s: int) -> bool:
+    return head_dim in (64, 128, 256) and s % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _mha_kernel(
+    # scalar prefetch
+    kvlen_ref,                    # [B] int32
+    # inputs
+    pos_ref,                      # [1, BR, 1] int32 (query row positions)
+    slope_ref,                    # [1, BR, 1] f32 (alibi slopes per row)
+    q_ref,                        # [1, 1, BR, D]
+    k_ref,                        # [1, 1, BS, D]  (bf16/f32 or int8 codes)
+    v_ref,                        # [1, 1, BS, D]
+    *rest,                        # [ks_ref, vs_ref,] o_ref, m, l, acc
+    quantized: bool,
+    causal: bool,
+    use_alibi: bool,
+    softcap: float,
+    sm_scale: float,
+    block_s: int,
+    n_s: int,
+):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
+
+    b = pl.program_id(0)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INIT)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kv_len = kvlen_ref[b]
+    pos = pos_ref[0]                                   # [BR, 1] int32
+    run = (j * block_s) < kv_len
+    if causal:
+        # skip blocks entirely above the causal diagonal for every row
+        run = jnp.logical_and(run, (j * block_s) <= jnp.max(pos))
+
+    @pl.when(run)
+    def _block():
+        br, d = q_ref.shape[2], q_ref.shape[3]
+        q = q_ref[0, 0].astype(jnp.bfloat16)           # [BR, D]
+        kc = k_ref[0, 0]                               # [BS, D]
+        s = jax.lax.dot_general(
+            q, kc.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [BR, BS]
+        if quantized:
+            s = s * ks_ref[0, 0]                       # [1, BS] K scales
+        s = s * sm_scale
+        if softcap > 0.0:
+            s = softcap * jnp.tanh(s / softcap)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (br, block_s), 1) + (
+            j * block_s
+        )
+        valid = col < kv_len
+        if causal:
+            valid = jnp.logical_and(valid, col <= pos)
+        if use_alibi:
+            slope = slope_ref[0]                       # [BR, 1] f32
+            s = s + slope * (col.astype(jnp.float32) - pos.astype(jnp.float32))
+        s = s + jnp.where(valid, 0.0, MASK_VALUE)
+
+        # online softmax update (f32 stats, lane-broadcast m/l)
+        m_prev = m_ref[:]                              # [BR, LANES]
+        l_prev = l_ref[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)      # [BR, 1]
+        m_next = jnp.maximum(m_prev, m_cur)            # [BR, LANES]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])                 # [BR, BS]
+        l_ref[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_next
+
+        vc = v_ref[0, 0]                               # [BS, D]
+        if quantized:
+            p = p * vs_ref[0, 0]                       # fold V scales into P
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vc.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [BR, D]
+        acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
+
+    @pl.when(j == n_s - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        inv = jnp.where(l == 0.0, 0.0, 1.0 / l)        # masked rows -> 0
+        o_ref[0, 0] = (acc_ref[:] * inv).astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# launcher
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "softcap", "out_dtype", "block_s",
+                     "interpret"),
+)
+def _mha_packed(
+    q4: jax.Array,                # [B, Hkv, Rp, D] bf16
+    k: jax.Array,                 # [B, Hkv, S, D] (fp or int8)
+    v: jax.Array,
+    k_scale_t: Optional[jax.Array],   # [B, Hkv, 1, S] f32 or None
+    v_scale_t: Optional[jax.Array],
+    pos_rows: jax.Array,          # [B, Rp, 1] int32
+    slope_rows: Optional[jax.Array],  # [Hkv, Rp, 1] f32 or None
+    kv_lens: jax.Array,           # [B] int32
+    *,
+    scale: float,
+    causal: bool,
+    softcap: float,
+    out_dtype,
+    block_s: int,
+    interpret: bool,
+):
+    b, hkv, rp, d = q4.shape
+    s = k.shape[2]
+    quantized = k_scale_t is not None
+    use_alibi = slope_rows is not None
+    br = min(rp, 256)  # q-row block; rp is padded to a multiple of br
+    n_s = s // block_s
+
+    if slope_rows is None:
+        slope_rows = jnp.zeros((hkv, rp, 1), jnp.float32)
+
+    grid = (b, hkv, rp // br, n_s)
+    # index maps get the scalar-prefetch ref(s) appended after grid indices
+    in_specs = [
+        pl.BlockSpec((1, br, 1), lambda bi, h, r, j, *_: (bi, r, 0)),    # pos
+        pl.BlockSpec((1, br, 1), lambda bi, h, r, j, *_: (h, r, 0)),     # slope
+        pl.BlockSpec((1, 1, br, d),
+                     lambda bi, h, r, j, *_: (bi, h, r, 0)),             # q
+        pl.BlockSpec((1, 1, block_s, d),
+                     lambda bi, h, r, j, *_: (bi, h, j, 0)),             # k
+        pl.BlockSpec((1, 1, block_s, d),
+                     lambda bi, h, r, j, *_: (bi, h, j, 0)),             # v
+    ]
+    args = [pos_rows, slope_rows, q4, k, v]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, block_s),
+                         lambda bi, h, r, j, *_: (bi, h, 0, j)),
+            pl.BlockSpec((1, 1, 1, block_s),
+                         lambda bi, h, r, j, *_: (bi, h, 0, j)),
+        ]
+        args += [k_scale_t, v_scale_t]
+
+    kernel = functools.partial(
+        _mha_kernel,
+        quantized=quantized,
+        causal=causal,
+        use_alibi=use_alibi,
+        softcap=softcap,
+        sm_scale=scale,
+        block_s=block_s,
+        n_s=n_s,
+    )
+    kv_bytes = block_s * d * (1 if quantized else 2)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * b * hkv * rp * s * d,
+        bytes_accessed=b * hkv * n_s * (2 * kv_bytes) + b * hkv * rp * d * 4,
+        transcendentals=b * hkv * rp * s,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, br, d), lambda bi, h, r, j, *_: (bi, h, r, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((br, LANES), jnp.float32),   # m
+                pltpu.VMEM((br, LANES), jnp.float32),   # l
+                pltpu.VMEM((br, d), jnp.float32),       # acc
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rp, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), *args)
+    return out
+
+
+def mha(
+    q: jax.Array,                     # [B, T, H, D]
+    k: jax.Array,                     # [B, Hkv, S, D] fp or int8 codes
+    v: jax.Array,
+    k_scale: Optional[jax.Array],     # [B, Hkv, S] f32 (int8 KV) or None
+    v_scale: Optional[jax.Array],
+    q_positions: jax.Array,           # [B, T] int32
+    kv_lens: jax.Array,               # [B] int32
+    *,
+    scale: float,
+    causal: bool = True,
+    alibi: Optional[jax.Array] = None,    # [H] slopes
+    logit_softcap: float = 0.0,
+    out_dtype=None,
+) -> Optional[jax.Array]:
+    """Flash attention entry (K/V in the cache's [B, Hkv, S, D] layout).
+    Returns None if the shape is unsupported (caller falls back to the XLA
+    reference path)."""
+    b, t, h, d = q.shape
+    hkv, s = k.shape[1], k.shape[2]
+    if not _supported(d, s):
+        return None
+    n_rep = h // hkv
+    r = n_rep * t
+    # pad rows to a block multiple: tiny counts to a sublane multiple,
+    # larger ones to the 256-row block the launcher tiles with
+    rp = _round_up(r, 8) if r <= 256 else _round_up(r, 256)
+    out_dtype = out_dtype or q.dtype
+
+    # pack GQA rows: [B,T,H,D] -> [B,Hkv,n_rep*T,D], row = g*T + t
+    q4 = q.reshape(b, t, hkv, n_rep, d).transpose(0, 2, 3, 1, 4)
+    q4 = q4.reshape(b, hkv, r, d).astype(jnp.bfloat16)
+    pos_rows = jnp.tile(q_positions.astype(jnp.int32), (1, n_rep))  # [B, R]
+    if rp != r:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - r), (0, 0)))
+        pos_rows = jnp.pad(pos_rows, ((0, 0), (0, rp - r)),
+                           constant_values=-1)
+    pos_rows = pos_rows[..., None]                                   # [B,Rp,1]
+
+    slope_rows = None
+    if alibi is not None:
+        sl = jnp.broadcast_to(
+            alibi.astype(jnp.float32).reshape(hkv, n_rep, 1), (hkv, n_rep, t)
+        ).reshape(hkv, r)
+        if rp != r:
+            sl = jnp.pad(sl, ((0, 0), (0, rp - r)))
+        slope_rows = sl[..., None]
+
+    k_scale_t = v_scale_t = None
+    if k_scale is not None:
+        # [B,Hkv,S] -> [B,Hkv,1,S]: scales ride the lane dim
+        k_scale_t = k_scale.astype(jnp.float32)[:, :, None, :]
+        v_scale_t = v_scale.astype(jnp.float32)[:, :, None, :]
+
+    block_s = 512 if s % 512 == 0 and s >= 2048 else (
+        256 if s % 256 == 0 else 128)
+    interpret = flash_mode() == "interpret"
+
+    out = _mha_packed(
+        q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows, kv_lens,
+        scale=float(scale), causal=causal, softcap=float(logit_softcap),
+        out_dtype=out_dtype, block_s=block_s, interpret=interpret,
+    )
+    out = out[:, :, :r].reshape(b, hkv, n_rep, t, d)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, t, h, d)
+
+
+def flash_attention(q, k, v, q_positions, kv_lens, *, scale=None, causal=True,
+                    alibi=None, logit_softcap=0.0, out_dtype=None):
+    """Drop-in for attention_ref over fp K/V in [B, S, Hkv, D] layout
+    (ops/attention.py dispatch)."""
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    out = mha(q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), None, None,
+              q_positions, kv_lens, scale=scale, causal=causal, alibi=alibi,
+              logit_softcap=logit_softcap, out_dtype=out_dtype)
+    if out is None:
+        raise NotImplementedError("unsupported shape for flash kernel")
+    return out

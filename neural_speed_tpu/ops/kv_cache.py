@@ -4,10 +4,11 @@ StreamingLLM eviction, shift-RoPE ring buffer.
 Parity (reference):
   * model_utils.cpp:61-194 kv_cache_init — per-layer K/V for batch x beam
     slots, fp16/fp32 or the opaque BesTLA reordered layout.  Here: one
-    stacked array per tensor `[L, B, S_max, H_kv, D]`; the "reordered tile
-    layout" is unnecessary on TPU (lane layout handles it), and the
-    quantized variant stores int8 codes + per-(token, head) scales, which
-    the flash kernels dequantize on the fly.
+    stacked array per tensor `[L, B, H_kv, S_max, D]` — S contiguous per
+    head, the TPU analogue of the reference's reordered tile layout: the
+    flash kernel DMAs a `[BS, D]` slab per (slot, head) block with no
+    striding.  The quantized variant stores int8 codes + per-(token, head)
+    scales `[L, B, H_kv, S]`, which the flash kernels dequantize on the fly.
   * model_utils.cpp:1959-2310 model_kv_cache_seq_cpy / beam reorder —
     replaced by a batch-axis gather (`reorder`): no memcpy, XLA turns it
     into a cheap device copy (SURVEY.md §7 "beam reorder = KV block-index
@@ -37,9 +38,9 @@ KV_SCALE_EPS = 1e-8
 class KVCache:
     """Stacked KV cache.
 
-    k, v       : [L, B, S, H_kv, D]  (dtype = `dtype`, or int8 when quantized)
+    k, v       : [L, B, H_kv, S, D]  (dtype = `dtype`, or int8 when quantized)
     k_scale,
-    v_scale    : [L, B, S, H_kv, 1] f32 per-token-per-head scales (quantized
+    v_scale    : [L, B, H_kv, S] f32 per-token-per-head scales (quantized
                  only, else None)
     lengths    : [B] int32 — tokens currently stored per slot (== n_past)
     """
@@ -64,7 +65,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def batch(self) -> int:
@@ -74,18 +75,22 @@ class KVCache:
     def layers(self) -> int:
         return self.k.shape[0]
 
+    @property
+    def kv_heads(self) -> int:
+        return self.k.shape[2]
+
 
 def init_cache(layers: int, batch: int, max_len: int, kv_heads: int,
                head_dim: int, dtype=jnp.bfloat16,
                quantized: bool = False) -> KVCache:
     """Parity: kv_cache_init (model_utils.cpp:61-194); `quantized=True` is
     the analogue of KV_MEM_TYPE_AUTO choosing the BesTLA int8 layout."""
-    shape = (layers, batch, max_len, kv_heads, head_dim)
+    shape = (layers, batch, kv_heads, max_len, head_dim)
     if quantized:
         k = jnp.zeros(shape, jnp.int8)
         v = jnp.zeros(shape, jnp.int8)
-        ks = jnp.zeros(shape[:-1] + (1,), jnp.float32)
-        vs = jnp.zeros(shape[:-1] + (1,), jnp.float32)
+        ks = jnp.zeros(shape[:-1], jnp.float32)
+        vs = jnp.zeros(shape[:-1], jnp.float32)
     else:
         k = jnp.zeros(shape, dtype)
         v = jnp.zeros(shape, dtype)
@@ -112,19 +117,25 @@ def append_layer(cache: KVCache, layer: int, k_new: jax.Array,
     the last slot and masked out by attention via `lengths`.
     """
     b, t = positions.shape
-    bidx = jnp.arange(b)[:, None]
+    h = k_new.shape[2]
     pos = jnp.clip(positions, 0, cache.max_len - 1)
+    # scatter indices broadcast to [B, H, T]
+    bidx = jnp.arange(b)[:, None, None]
+    hidx = jnp.arange(h)[None, :, None]
+    pidx = pos[:, None, :]
+    kt = k_new.transpose(0, 2, 1, 3)                    # [B, H, T, D]
+    vt = v_new.transpose(0, 2, 1, 3)
     if cache.quantized:
-        kc, ks = quantize_kv(k_new)
-        vc, vs = quantize_kv(v_new)
-        k = cache.k.at[layer, bidx, pos].set(kc)
-        v = cache.v.at[layer, bidx, pos].set(vc)
-        k_scale = cache.k_scale.at[layer, bidx, pos].set(ks)
-        v_scale = cache.v_scale.at[layer, bidx, pos].set(vs)
+        kc, ks = quantize_kv(kt)
+        vc, vs = quantize_kv(vt)
+        k = cache.k.at[layer, bidx, hidx, pidx].set(kc)
+        v = cache.v.at[layer, bidx, hidx, pidx].set(vc)
+        k_scale = cache.k_scale.at[layer, bidx, hidx, pidx].set(ks[..., 0])
+        v_scale = cache.v_scale.at[layer, bidx, hidx, pidx].set(vs[..., 0])
         return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
                                    v_scale=v_scale)
-    k = cache.k.at[layer, bidx, pos].set(k_new.astype(cache.k.dtype))
-    v = cache.v.at[layer, bidx, pos].set(v_new.astype(cache.v.dtype))
+    k = cache.k.at[layer, bidx, hidx, pidx].set(kt.astype(cache.k.dtype))
+    v = cache.v.at[layer, bidx, hidx, pidx].set(vt.astype(cache.v.dtype))
     return dataclasses.replace(cache, k=k, v=v)
 
 
@@ -135,9 +146,10 @@ def read_layer(cache: KVCache, layer: int,
     k = cache.k[layer]
     v = cache.v[layer]
     if cache.quantized:
-        k = k.astype(jnp.float32) * cache.k_scale[layer]
-        v = v.astype(jnp.float32) * cache.v_scale[layer]
-    return k.astype(dtype), v.astype(dtype)
+        k = k.astype(jnp.float32) * cache.k_scale[layer][..., None]
+        v = v.astype(jnp.float32) * cache.v_scale[layer][..., None]
+    return (k.astype(dtype).transpose(0, 2, 1, 3),
+            v.astype(dtype).transpose(0, 2, 1, 3))
 
 
 def set_lengths(cache: KVCache, lengths: jax.Array) -> KVCache:
@@ -172,10 +184,11 @@ def evict(cache: KVCache, n_keep: int, n_discard: int) -> KVCache:
     def slide(a):
         if a is None:
             return None
-        head = a[:, :, :n_keep]
-        tail = a[:, :, n_keep + n_discard:]
-        pad = a[:, :, -n_discard:]  # stale; masked via lengths
-        return jnp.concatenate([head, tail, pad], axis=2)
+        # S is axis 3 for k/v [L,B,H,S,D] and axis 3 for scales [L,B,H,S]
+        head = a[:, :, :, :n_keep]
+        tail = a[:, :, :, n_keep + n_discard:]
+        pad = a[:, :, :, -n_discard:]  # stale; masked via lengths
+        return jnp.concatenate([head, tail, pad], axis=3)
 
     return KVCache(
         slide(cache.k), slide(cache.v), slide(cache.k_scale),
@@ -192,18 +205,15 @@ def shift_ring(cache: KVCache, n_keep: int, n_discard: int,
     being re-evaluated (parity: ne_rope_shift_inplace + kv_self.cossin,
     llama.cpp:437-446,551-558; docs/infinite_inference.md)."""
     out = evict(cache, n_keep, n_discard)
-    if out.quantized:
-        # dequantize -> rotate -> requantize the shifted span
-        kf = out.k.astype(jnp.float32) * out.k_scale
-        delta = jnp.full(kf.shape[1:3], -n_discard, jnp.int32)  # [B, S]
-        mask = (jnp.arange(out.max_len)[None, :] >= n_keep)
-        delta = jnp.where(mask, delta, 0)
-        kr = _rotate_stack(kf, delta, inv_freq, style, rot_dim)
-        kc, ks = quantize_kv(kr)
-        return dataclasses.replace(out, k=kc, k_scale=ks)
-    delta = jnp.full(out.k.shape[1:3], -n_discard, jnp.int32)
+    delta = jnp.full((out.batch, out.max_len), -n_discard, jnp.int32)
     mask = (jnp.arange(out.max_len)[None, :] >= n_keep)
     delta = jnp.where(mask, delta, 0)
+    if out.quantized:
+        # dequantize -> rotate -> requantize the shifted span
+        kf = out.k.astype(jnp.float32) * out.k_scale[..., None]
+        kr = _rotate_stack(kf, delta, inv_freq, style, rot_dim)
+        kc, ks = quantize_kv(kr)
+        return dataclasses.replace(out, k=kc, k_scale=ks[..., 0])
     kr = _rotate_stack(out.k.astype(jnp.float32), delta, inv_freq, style,
                        rot_dim)
     return dataclasses.replace(out, k=kr.astype(out.k.dtype))
@@ -211,6 +221,8 @@ def shift_ring(cache: KVCache, n_keep: int, n_discard: int,
 
 def _rotate_stack(k: jax.Array, delta: jax.Array, inv_freq: jax.Array,
                   style: str, rot_dim: Optional[int]) -> jax.Array:
-    """k: [L, B, S, H, D]; delta: [B, S] -> rotated k."""
+    """k: [L, B, H, S, D]; delta: [B, S] -> rotated k."""
     cos, sin = rope_cos_sin(delta, inv_freq)  # [B, S, half]
-    return apply_rope(k, cos[None], sin[None], style=style, rot_dim=rot_dim)
+    kt = k.transpose(0, 1, 3, 2, 4)           # [L, B, S, H, D]
+    kt = apply_rope(kt, cos[None], sin[None], style=style, rot_dim=rot_dim)
+    return kt.transpose(0, 1, 3, 2, 4)

@@ -129,10 +129,14 @@ def param_specs(params: Dict[str, Any], cfg: ArchConfig,
 
 
 def cache_specs(shard_kv: bool) -> kvc.KVCache:
-    hspec = P(None, "dp", None, "tp", None) if shard_kv else P(
+    # k/v: [L, B, Hkv, S, D]; scales: [L, B, Hkv, S] — heads on 'tp'
+    kvspec = P(None, "dp", "tp", None, None) if shard_kv else P(
         None, "dp", None, None, None
     )
-    return kvc.KVCache(hspec, hspec, hspec, hspec, P("dp"))
+    sspec = P(None, "dp", "tp", None) if shard_kv else P(
+        None, "dp", None, None
+    )
+    return kvc.KVCache(kvspec, kvspec, sspec, sspec, P("dp"))
 
 
 def local_arch(cfg: ArchConfig, tp: int) -> Tuple[ArchConfig, bool]:

@@ -1,0 +1,175 @@
+"""Pallas flash attention vs the XLA reference (interpret mode on CPU).
+
+Mirrors the reference's fused-MHA test strategy
+(core/layers/mha_dense_tests.cpp: fused kernel vs naive reference across
+dtype/mask/GQA configs) — here every case runs the Pallas kernel in
+interpreter mode and compares against attention_ref.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_speed_tpu.ops import kv_cache as kvc
+from neural_speed_tpu.ops.attention import alibi_slopes, attention_ref
+from neural_speed_tpu.ops import flash
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("NST_FLASH", "interpret")
+
+
+def _mk(b, t, h, hkv, d, s, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), dtype)
+    return q, k, v
+
+
+def _mha(q, k, v, ks, vs, pos, kv_lens, **kw):
+    """flash.mha with [B,S,H,D]-layout k/v (and [B,S,H,1] scales) as used by
+    attention_ref, transposed to the kernel's cache layout."""
+    t = lambda a: None if a is None else a.transpose(0, 2, 1, 3)
+    ks_t = None if ks is None else ks[..., 0].transpose(0, 2, 1)
+    vs_t = None if vs is None else vs[..., 0].transpose(0, 2, 1)
+    return flash.mha(q, t(k), t(v), ks_t, vs_t, pos, kv_lens, **kw)
+
+
+def _compare(out, ref, q_positions, kv_lens, atol=2e-2):
+    """Compare only rows that attend to at least one valid key."""
+    valid = (q_positions >= 0) & (kv_lens[:, None] > 0)
+    o = np.asarray(out, np.float32)[np.asarray(valid)]
+    r = np.asarray(ref, np.float32)[np.asarray(valid)]
+    np.testing.assert_allclose(o, r, atol=atol, rtol=2e-2)
+
+
+def test_prefill_causal_gqa():
+    b, t, h, hkv, d, s = 2, 16, 8, 2, 128, 256
+    q, k, v = _mk(b, t, h, hkv, d, s)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t)).astype(jnp.int32)
+    kv_lens = jnp.array([t, t - 5], jnp.int32)
+    args = dict(scale=1.0 / np.sqrt(d), causal=True)
+    out = _mha(q, k, v, None, None, pos, kv_lens, **args)
+    assert out is not None
+    ref = attention_ref(q, k, v, pos, kv_lens, **args)
+    _compare(out, ref, pos, kv_lens)
+
+
+def test_decode_single_token():
+    b, t, h, hkv, d, s = 4, 1, 8, 8, 128, 512
+    q, k, v = _mk(b, t, h, hkv, d, s, seed=1)
+    kv_lens = jnp.array([37, 512, 1, 255], jnp.int32)
+    pos = (kv_lens - 1)[:, None]
+    out = _mha(q, k, v, None, None, pos, kv_lens,
+                    scale=1.0 / np.sqrt(d))
+    ref = attention_ref(q, k, v, pos, kv_lens)
+    _compare(out, ref, pos, kv_lens)
+
+
+def test_alibi_and_softcap():
+    b, t, h, hkv, d, s = 1, 8, 4, 4, 64, 128
+    q, k, v = _mk(b, t, h, hkv, d, s, seed=2)
+    pos = jnp.arange(t)[None].astype(jnp.int32)
+    kv_lens = jnp.array([t], jnp.int32)
+    slopes = alibi_slopes(h)
+    for kwargs in (dict(alibi=slopes), dict(logit_softcap=30.0),
+                   dict(alibi=slopes, logit_softcap=30.0)):
+        out = _mha(q, k, v, None, None, pos, kv_lens,
+                        scale=1.0 / np.sqrt(d), **kwargs)
+        ref = attention_ref(q, k, v, pos, kv_lens, **kwargs)
+        _compare(out, ref, pos, kv_lens)
+
+
+def test_quantized_kv_decode():
+    b, t, h, hkv, d, s = 2, 1, 8, 2, 128, 256
+    q, kf, vf = _mk(b, t, h, hkv, d, s, seed=3)
+    kc, ks = kvc.quantize_kv(kf)
+    vc, vs = kvc.quantize_kv(vf)
+    kv_lens = jnp.array([200, 256], jnp.int32)
+    pos = (kv_lens - 1)[:, None]
+    out = _mha(q, kc, vc, ks, vs, pos, kv_lens, scale=1.0 / np.sqrt(d))
+    # reference on the dequantized cache
+    kdq = kc.astype(jnp.float32) * ks
+    vdq = vc.astype(jnp.float32) * vs
+    ref = attention_ref(q, kdq, vdq, pos, kv_lens)
+    _compare(out, ref, pos, kv_lens, atol=3e-2)
+
+
+def test_quantized_kv_prefill_gqa():
+    b, t, h, hkv, d, s = 1, 32, 4, 1, 64, 128
+    q, kf, vf = _mk(b, t, h, hkv, d, s, seed=4)
+    kc, ks = kvc.quantize_kv(kf)
+    vc, vs = kvc.quantize_kv(vf)
+    pos = jnp.arange(t)[None].astype(jnp.int32)
+    kv_lens = jnp.array([t], jnp.int32)
+    out = _mha(q, kc, vc, ks, vs, pos, kv_lens, scale=1.0 / np.sqrt(d))
+    kdq = kc.astype(jnp.float32) * ks
+    vdq = vc.astype(jnp.float32) * vs
+    ref = attention_ref(q, kdq, vdq, pos, kv_lens)
+    _compare(out, ref, pos, kv_lens, atol=3e-2)
+
+
+def test_continuous_batching_positions():
+    """Mixed prefill/decode offsets per slot (ORCA semantics)."""
+    b, t, h, hkv, d, s = 3, 4, 4, 2, 128, 256
+    q, k, v = _mk(b, t, h, hkv, d, s, seed=5)
+    # slot 0: fresh prefill at 0; slot 1: chunk at offset 100;
+    # slot 2: inactive spectator (kv_len 0)
+    pos = jnp.stack([
+        jnp.arange(4), 100 + jnp.arange(4), jnp.zeros(4, jnp.int32)
+    ]).astype(jnp.int32)
+    kv_lens = jnp.array([4, 104, 0], jnp.int32)
+    out = _mha(q, k, v, None, None, pos, kv_lens,
+                    scale=1.0 / np.sqrt(d))
+    ref = attention_ref(q, k, v, pos, kv_lens)
+    _compare(out, ref, pos, kv_lens)
+    # inactive slot must be exactly zero (safe-divide path)
+    np.testing.assert_array_equal(np.asarray(out[2]), 0.0)
+
+
+def test_long_prefill_multiblock_rows():
+    """R > 256 exercises the row-block tiling path."""
+    b, t, h, hkv, d, s = 1, 160, 4, 1, 64, 256
+    q, k, v = _mk(b, t, h, hkv, d, s, seed=6)
+    pos = jnp.arange(t)[None].astype(jnp.int32)
+    kv_lens = jnp.array([t], jnp.int32)
+    out = _mha(q, k, v, None, None, pos, kv_lens,
+                    scale=1.0 / np.sqrt(d))
+    ref = attention_ref(q, k, v, pos, kv_lens)
+    _compare(out, ref, pos, kv_lens)
+
+
+def test_engine_forward_matches_xla(monkeypatch):
+    """Whole-model forward with flash (interpret) == XLA attention path."""
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.runtime import engine as eng
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=128, hidden_size=128,
+                     n_layers=2, n_heads=2, n_kv_heads=2,
+                     intermediate_size=256, max_position_embeddings=128)
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+    toks = jnp.array([[3, 17, 9, 2, 5, 11, 0, 0]], jnp.int32)
+    lens = jnp.array([6], jnp.int32)
+    start = jnp.zeros((1,), jnp.int32)
+
+    monkeypatch.setenv("NST_FLASH", "off")
+    jax.clear_caches()  # flash dispatch is trace-time: drop cached traces
+    cache0 = eng.Engine(params, cfg, max_batch=1, max_len=128).new_cache()
+    ref_logits, _ = eng.prefill_step(params, cfg, cache0, toks, lens, start)
+
+    monkeypatch.setenv("NST_FLASH", "interpret")
+    jax.clear_caches()
+    cache1 = eng.Engine(params, cfg, max_batch=1, max_len=128).new_cache()
+    out_logits, _ = eng.prefill_step(params, cfg, cache1, toks, lens, start)
+    jax.clear_caches()
+
+    np.testing.assert_allclose(
+        np.asarray(out_logits, np.float32), np.asarray(ref_logits, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
