@@ -94,6 +94,11 @@ def ffn(x: jax.Array, p: Params, cfg: ArchConfig,
     row-parallel down projection."""
     a = _ACTS[act or cfg.act]
     if cfg.gated_ffn:
+        if "gateup" in p:
+            # fused gate+up (parity: MUL_FFN_SILU/GELU_MUL one-shot chain)
+            gu = linear(x, p["gateup"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+            return linear(a(gate) * up, p["down"], axis_name)
         return linear(a(linear(x, p["gate"])) * linear(x, p["up"]),
                       p["down"], axis_name)
     return linear(a(linear(x, p["up"])), p["down"], axis_name)
@@ -156,9 +161,18 @@ def decoder_layer(
 
     attn_in = norm(x, lp["attn_norm"], cfg)
 
-    q = linear(attn_in, lp["q"]).reshape(b, t, h, d)
-    k = linear(attn_in, lp["k"]).reshape(b, t, hkv, d)
-    v = linear(attn_in, lp["v"]).reshape(b, t, hkv, d)
+    if "qkv" in lp:
+        # fused projection (parity: bestla_fusion_QKV / ne_mul_qkv): one
+        # pass over the activations, one kernel launch
+        qkv = linear(attn_in, lp["qkv"])
+        q, k, v = jnp.split(qkv, [h * d, h * d + hkv * d], axis=-1)
+        q = q.reshape(b, t, h, d)
+        k = k.reshape(b, t, hkv, d)
+        v = v.reshape(b, t, hkv, d)
+    else:
+        q = linear(attn_in, lp["q"]).reshape(b, t, h, d)
+        k = linear(attn_in, lp["k"]).reshape(b, t, hkv, d)
+        v = linear(attn_in, lp["v"]).reshape(b, t, hkv, d)
     if cfg.clip_qkv:
         q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
         k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
@@ -309,3 +323,90 @@ def forward(
     if gather_logits and axis_name is not None:
         logits = jax.lax.all_gather(logits, axis_name, axis=-1, tiled=True)
     return logits.astype(logits_dtype), cache
+
+
+# ---------------------------------------------------------------------------
+# projection fusion (load-time params transform)
+# ---------------------------------------------------------------------------
+
+
+def _fuse_group(parts):
+    """Concat the linears `parts` along N into one projection, or None if
+    they are not fusable (mixed quant/dense, differing specs, act-order
+    permutations)."""
+    from ..ops.quantize import concat_n
+
+    ws = [p.get("w") for p in parts]
+    if any(w is None for w in ws):
+        return None
+    if any(p.get("perm") is not None for p in parts):
+        return None
+    if all(isinstance(w, QTensor) for w in ws):
+        try:
+            w = concat_n(ws)
+        except ValueError:
+            return None
+    elif not any(isinstance(w, QTensor) for w in ws):
+        if len({w.shape[0] for w in ws}) != 1:
+            return None
+        w = jnp.concatenate([w.astype(ws[0].dtype) for w in ws], axis=1)
+    else:
+        return None
+    fused = {"w": w}
+    if any(p.get("b") is not None for p in parts):
+        some_b = next(p["b"] for p in parts if p.get("b") is not None)
+        bs = [p["b"].astype(some_b.dtype) if p.get("b") is not None
+              else jnp.zeros((ww.shape[1],), some_b.dtype)
+              for p, ww in zip(parts, ws)]
+        fused["b"] = jnp.concatenate(bs)
+    return fused
+
+
+def _repad_tree(node):
+    """Recursively K-repad QTensor weights to bands x group multiples so
+    every projection hits the fused kernel's group-dot fast path."""
+    from ..ops.matmul import _bands
+    from ..ops.quantize import repad_k
+
+    if isinstance(node, dict):
+        out = {}
+        for key, val in node.items():
+            if key == "w" and isinstance(val, QTensor):
+                g = val.spec.effective_group(val.shape[0])
+                out[key] = repad_k(val, _bands(val.spec) * g)
+            else:
+                out[key] = _repad_tree(val)
+        return out
+    if isinstance(node, list):
+        return [_repad_tree(v) for v in node]
+    return node
+
+
+def fuse_params(params: Params, cfg: ArchConfig) -> Params:
+    """Fuse per-layer Q/K/V and FFN gate/up projections into single packed
+    weights (parity: the reference's fused QKV and FFN ops —
+    ip_fusion_qkv.cpp, ip_fusion_ffn.cpp, Ops.h MUL_QKV / MUL_FFN_*).
+    One kernel launch instead of three/two; exact same math (planar packs
+    concatenate losslessly along N).  Also K-repads packed weights to
+    band-aligned shapes (quantize.repad_k)."""
+    out = dict(params)
+    layers = []
+    for lp in params.get("layers", []):
+        lp = dict(lp)
+        if all(key in lp for key in ("q", "k", "v")):
+            f = _fuse_group([lp["q"], lp["k"], lp["v"]])
+            if f is not None:
+                lp["qkv"] = f
+                del lp["q"], lp["k"], lp["v"]
+        ffn_p = lp.get("ffn")
+        if (ffn_p is not None and cfg.gated_ffn and "gate" in ffn_p
+                and "up" in ffn_p):
+            f = _fuse_group([ffn_p["gate"], ffn_p["up"]])
+            if f is not None:
+                ffn_p = dict(ffn_p)
+                ffn_p["gateup"] = f
+                del ffn_p["gate"], ffn_p["up"]
+                lp["ffn"] = ffn_p
+        layers.append(lp)
+    out["layers"] = layers
+    return _repad_tree(out)

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -77,84 +78,170 @@ def _int_codes_to_vals(codes_i32, spec: QSpec, zeros_blk, cdt):
     return (codes_i32 - zeros_blk.astype(jnp.int32)).astype(cdt)
 
 
-def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, *, spec: QSpec,
-                     k: int, g: int, cdt, bm: int, bn: int):
+def _x_chunk(x_ref, band: int, kw: int, size: int, kb, n_kb: int,
+             sub_off: int = 0, blk: int = None):
+    """[BM, size] lane slice of x for sub-band `band`, K block `kb`, plus a
+    static sub-offset within the block.  Static when there is a single K
+    block; otherwise the launcher guarantees 128-lane alignment of every
+    offset."""
+    if n_kb == 1:
+        k0 = band * kw + sub_off
+        return x_ref[:, k0:k0 + size]
+    k0 = pl.multiple_of(band * kw + kb * (blk or size) + sub_off, 128)
+    return x_ref[:, pl.ds(k0, size)]
+
+
+def _band_scales(s_all, band: int, gb: int, bkw: int, g: int, k: int, cdt):
+    """Scale rows for sub-band `band` of the current K block, broadcast
+    per-row: -> [bkw, BN].  `s_all` is the kernel's [e*gb, BN] view of the
+    pre-permuted per-block scale rows (all indices static — Mosaic needs
+    statically aligned sublane slices)."""
+    if g >= k:
+        sblk = s_all[:1, :]
+        return jnp.broadcast_to(sblk, (bkw, sblk.shape[-1])).astype(cdt)
+    sblk = s_all[band * gb:(band + 1) * gb, :]
+    # broadcast scales over group rows: [GB, BN] -> [BKW, BN]
+    # (explicit broadcast+reshape — Mosaic-friendly, unlike repeat)
+    return jnp.broadcast_to(
+        sblk[:, None, :], (gb, g, sblk.shape[-1])
+    ).reshape(bkw, sblk.shape[-1]).astype(cdt)
+
+
+def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                     spec: QSpec, k: int, g: int, cdt, n_kb: int):
     """Fused dequant-GEMM kernel for single-plane INT widths (4/2/1/8-bit
     native) — multi-plane odd widths go through the XLA path for now.
 
-    x_ref: [BM, K] activations (cdt)
-    w_ref: [K/e, BN] packed words (uint32) or [K, BN] int8 (bits==8)
-    s_ref: [K/g, BN] scales (cdt)
-    z_ref: [K/g, BN] zeros (uint8) or dummy
-    o_ref: [BM, BN] f32 accumulator out
+    Grid (M/BM, N/BN, n_kb): the packed plane is streamed in word-row
+    blocks along the third ("arbitrary") dimension so DMA overlaps compute
+    (double-buffered by the pipeline), with a f32 accumulator in VMEM —
+    the TPU analogue of the reference's cache-blocked K loop with
+    in-register dequant (bestla_gemm.h KBlock cores).
+
+    x_ref: [BM, K] activations, resident across K blocks (the launcher
+           only K-grids when offsets are 128-lane aligned)
+    w_ref: [BKW, BN] packed word block (uint32), or int8 rows (bits==8)
+    s_ref: [1, e*gb, BN] per-block scale rows (pre-permuted by the launcher)
+    z_ref: [1, e*gb, BN] zeros (uint8) or None
+    o_ref: [BM, BN] f32 out (written on the last K block)
+    acc_ref: [BM, BN] f32 VMEM scratch
     """
-    width = spec.bits if spec.bits in (1, 2, 4, 8) else None
-    assert width is not None
-    acc = jnp.zeros((bm, bn), jnp.float32)
+    width = spec.bits
     if width == 8:
-        e = 1
-        kw = k
+        e, kw = 1, k
     else:
         e = 32 // width
         kw = k // e
-    groups_per_band = kw // g if g <= kw else 1
+    bkw = w_ref.shape[0]
+    gb = bkw // g if g < k else 1
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_all = s_ref[0]
+    z_all = z_ref[0] if z_ref is not None else None
+    acc = jnp.zeros_like(acc_ref)
+    group_dot = (g >= 128 and g < k and width != 1
+                 and (n_kb == 1 or g % 128 == 0))
     for band in range(e):
         if width == 8:
             codes = w_ref[:].astype(jnp.int32)
         else:
             codes = _unpack_band(w_ref[:], width, band).astype(jnp.int32)
-        # K range of this band: [band*kw, (band+1)*kw)
-        if g >= k:  # one group total
-            sblk = s_ref[0, :][None, :]
-            zblk = z_ref[0, :][None, :] if z_ref is not None else None
-            vals = _int_codes_to_vals(codes, spec, zblk if zblk is not None else 0,
-                                      cdt)
-            wb = vals * sblk.astype(cdt)
+        if group_dot:
+            # comp-int style: dot RAW codes per group, rescale the [BM, BN]
+            # partial AFTER the dot — the scale multiply moves from
+            # per-element (KxN VPU work, the dequant bottleneck) to
+            # per-output, with the offset/zero-point handled by an
+            # activation row-sum correction (bestla_epilogue.h:278-311).
+            vals = codes.astype(cdt)
+            for gg in range(gb):
+                wsub = vals[gg * g:(gg + 1) * g]
+                xb = _x_chunk(x_ref, band, kw, g, kb, n_kb, sub_off=gg * g,
+                              blk=bkw)
+                d = jnp.dot(xb.astype(cdt), wsub,
+                            preferred_element_type=jnp.float32)
+                srow = s_all[band * gb + gg][None, :].astype(jnp.float32)
+                xsum = jnp.sum(xb.astype(jnp.float32), axis=1, keepdims=True)
+                if z_all is not None:
+                    zrow = z_all[band * gb + gg][None, :].astype(jnp.float32)
+                    acc = acc + (d - xsum * zrow) * srow
+                else:
+                    acc = acc + (d - xsum * spec.code_offset) * srow
+            continue
+        # elementwise dequant path (fine groups / 1-bit / single group):
+        # unpack -> subtract offset -> per-element scale -> one band dot
+        sfull = _band_scales(s_all, band, gb, bkw, g, k, cdt)
+        if z_all is not None:
+            zfull = _band_scales(z_all, band, gb, bkw, g, k, jnp.float32)
+            vals = (codes.astype(jnp.float32) - zfull).astype(cdt)
         else:
-            gb = groups_per_band
-            g0 = band * kw // g
-            sblk = s_ref[pl.ds(g0, gb), :]
-            # broadcast scales over group rows: [GB, BN] -> [KW, BN]
-            # (explicit broadcast+reshape — Mosaic-friendly, unlike repeat)
-            sfull = jnp.broadcast_to(
-                sblk[:, None, :], (gb, g, sblk.shape[-1])
-            ).reshape(kw, sblk.shape[-1])
-            if z_ref is not None:
-                zb = z_ref[pl.ds(g0, gb), :]
-                zfull = jnp.broadcast_to(
-                    zb[:, None, :], (gb, g, zb.shape[-1])
-                ).reshape(kw, zb.shape[-1])
-            else:
-                zfull = 0
-            vals = _int_codes_to_vals(codes, spec, zfull, cdt)
-            wb = vals * sfull.astype(cdt)
-        xb = x_ref[:, pl.ds(band * kw, kw)].astype(cdt)
-        acc = acc + jnp.dot(xb, wb, preferred_element_type=jnp.float32)
-    o_ref[:] = acc
+            vals = _int_codes_to_vals(codes, spec, 0, cdt)
+        xb = _x_chunk(x_ref, band, kw, bkw, kb, n_kb)
+        acc = acc + jnp.dot(xb.astype(cdt), vals * sfull,
+                            preferred_element_type=jnp.float32)
+    acc_ref[:] += acc
+
+    @pl.when(kb == n_kb - 1)
+    def _store():
+        o_ref[:] = acc_ref[:]
 
 
-def _gemm_kernel_lut(x_ref, w_ref, s_ref, o_ref, *, spec: QSpec, k: int,
-                     g: int, cdt, bm: int, bn: int):
-    """Fused dequant-GEMM for NF4/FP4 (4-bit LUT)."""
+def _gemm_kernel_lut(x_ref, w_ref, s_ref, o_ref, acc_ref, *, spec: QSpec,
+                     k: int, g: int, cdt, n_kb: int):
+    """Fused dequant-GEMM for NF4/FP4 (4-bit LUT); same K-grid structure
+    as _gemm_kernel_int."""
     e = 8
     kw = k // e
-    acc = jnp.zeros((bm, bn), jnp.float32)
+    bkw = w_ref.shape[0]
+    gb = bkw // g if g < k else 1
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_all = s_ref[0]
+    acc = jnp.zeros_like(acc_ref)
     for band in range(e):
         codes = _unpack_band(w_ref[:], 4, band).astype(jnp.int32)
         vals = decode_lut(codes, spec, cdt)
-        if g >= k:
-            sfull = s_ref[0, :][None, :].astype(cdt)
-        else:
-            gb = kw // g
-            g0 = band * kw // g
-            sblk = s_ref[pl.ds(g0, gb), :]
-            sfull = jnp.broadcast_to(
-                sblk[:, None, :], (gb, g, sblk.shape[-1])
-            ).reshape(kw, sblk.shape[-1]).astype(cdt)
-        wb = vals * sfull
-        xb = x_ref[:, pl.ds(band * kw, kw)].astype(cdt)
-        acc = acc + jnp.dot(xb, wb, preferred_element_type=jnp.float32)
-    o_ref[:] = acc
+        sfull = _band_scales(s_all, band, gb, bkw, g, k, cdt)
+        xb = _x_chunk(x_ref, band, kw, bkw, kb, n_kb).astype(cdt)
+        acc = acc + jnp.dot(xb, vals * sfull,
+                            preferred_element_type=jnp.float32)
+    acc_ref[:] += acc
+
+    @pl.when(kb == n_kb - 1)
+    def _store():
+        o_ref[:] = acc_ref[:]
+
+
+def _bands(spec: QSpec) -> int:
+    return 1 if spec.bits == 8 and not spec.is_lut else (
+        32 // (4 if spec.is_lut else spec.bits)
+    )
+
+
+def _kernel_group(qt: QTensor) -> int:
+    """Group size usable inside the kernel: each sub-band covers K/e
+    contiguous rows and the kernel broadcasts scale rows per band, so it
+    needs g | K/e.  When the logical group straddles a band boundary
+    (e.g. K=11008, e=8, g=128 -> kw=1376), subdivide to gcd(g, kw): the
+    launcher repeats the scale rows to the finer granularity (cheap —
+    scales are ~1/g of the weight bytes)."""
+    import math
+
+    k = qt.shape[0]
+    g = qt.spec.effective_group(k)
+    if g >= k:
+        return g
+    kw = k // _bands(qt.spec)
+    if g <= kw and kw % g == 0:
+        return g
+    return math.gcd(g, kw)
 
 
 def _pallas_supported(qt: QTensor) -> bool:
@@ -169,15 +256,9 @@ def _pallas_supported(qt: QTensor) -> bool:
         return False  # XLA handles fp8 astype well already
     if not (spec.is_lut or spec.bits in (1, 2, 4, 8)):
         return False
-    # group structure must align with sub-bands: each band covers K/e rows
-    # and group slicing inside the kernel assumes g | K/e (or one group).
-    k = qt.shape[0]
-    g = spec.effective_group(k)
-    e = 1 if spec.bits == 8 and not spec.is_lut else 32 // (4 if spec.is_lut else spec.bits)
-    kw = k // e
-    if g < k and (g > kw or kw % g):
-        return False
-    return True
+    # subdivided group must stay coarse enough that the repeated scale
+    # tensor remains a small fraction of the weight bytes
+    return _kernel_group(qt) >= 32
 
 
 def _choose_bn(n: int) -> int:
@@ -188,10 +269,35 @@ def _choose_bn(n: int) -> int:
 
 
 def _choose_bm(m: int) -> int:
+    # qmatmul pads M to a 256-multiple beyond 256, so this always divides
+    if m <= 256:
+        return m
     for bm in (256, 128, 64, 32, 16, 8):
         if m % bm == 0:
             return bm
     return m
+
+
+def _choose_bkw(kw: int, g_rows: int, bn: int) -> int:
+    """Word-row block for the K grid: a divisor of kw, multiple of the
+    scale-group row count, sized so a [bkw, bn] uint32 block is ~256KB
+    (deep enough pipeline without tiny DMAs)."""
+    import os
+
+    target_bytes = int(os.environ.get("NST_BKW_TARGET", str(512 * 1024)))
+    if target_bytes <= 0:
+        return kw  # monolithic K
+    target = max(1, target_bytes // (bn * 4))
+    if kw % 128:
+        return kw  # monolithic: static slices need no lane alignment
+    unit = g_rows if g_rows and kw % g_rows == 0 else 1
+    m = kw // unit
+    best = m  # fall back to monolithic
+    for d in range(1, m + 1):
+        # 128-lane alignment: the kernel slices x at multiples of bkw
+        if m % d == 0 and d * unit <= target and (d * unit) % 128 == 0:
+            best = d
+    return best * unit
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -205,18 +311,56 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     g = spec.effective_group(k)
     bm, bn = _choose_bm(m), _choose_bn(n)
-    grid = (m // bm, n // bn)
 
     wq = qt.data[0]
     scales = qt.effective_scales(cdt)
+    zeros = qt.zeros
+    g_eff = _kernel_group(qt)
+    if g_eff != g:
+        rep = g // g_eff
+        scales = jnp.repeat(scales, rep, axis=0)
+        if zeros is not None:
+            zeros = jnp.repeat(zeros, rep, axis=0)
+        g = g_eff
     kw_words = wq.shape[0]
+    bkw = _choose_bkw(kw_words, g if g < k else 0, bn)
+    n_kb = kw_words // bkw
+    grid = (m // bm, n // bn, n_kb)
+    e = _bands(spec)
+    xt = x.astype(cdt)  # [M, K]
 
-    x_spec = pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((kw_words, bn), lambda i, j: (0, j),
+    # permute scale/zero rows into per-K-block layout [n_kb, e*gb, N]:
+    # block kb, sub-band b needs scale rows [(b*kw + kb*bkw)//g : +gb] —
+    # a pure permutation of the rows, done once per call so every kernel
+    # slice is static (Mosaic requires aligned sublane indexing)
+    if g < k:
+        gb = bkw // g
+        # per-band K rows == kw_words for every single-plane width
+        idx = np.asarray(
+            [(band * kw_words + kb_i * bkw) // g + t
+             for kb_i in range(n_kb) for band in range(e)
+             for t in range(gb)], np.int32)
+        scales = jnp.take(scales, idx, axis=0).reshape(n_kb, e * gb, n)
+        if zeros is not None:
+            zeros = jnp.take(zeros, idx, axis=0).reshape(n_kb, e * gb, n)
+    else:
+        gb = 1
+        scales = jnp.broadcast_to(scales[None], (n_kb, 1, n))
+        if zeros is not None:
+            zeros = jnp.broadcast_to(zeros[None], (n_kb, 1, n))
+
+    x_spec = pl.BlockSpec((bm, k), lambda i, j, kb: (i, 0),
                           memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((scales.shape[0], bn), lambda i, j: (0, j),
+    w_spec = pl.BlockSpec((bkw, bn), lambda i, j, kb: (kb, j),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, e * gb, bn), lambda i, j, kb: (kb, 0, j),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j),
+                          memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
 
     nbytes = 4 if cdt == jnp.float32 else 2
     cost = pl.CostEstimate(
@@ -226,29 +370,31 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     )
 
     if spec.is_lut:
-        kern = functools.partial(_gemm_kernel_lut, spec=spec, k=k, g=g, cdt=cdt,
-                                 bm=bm, bn=bn)
+        kern = functools.partial(_gemm_kernel_lut, spec=spec, k=k, g=g,
+                                 cdt=cdt, n_kb=n_kb)
         in_specs = [x_spec, w_spec, s_spec]
-        args = (x.astype(cdt), wq, scales)
-    elif qt.zeros is not None:
-        z_spec = pl.BlockSpec((qt.zeros.shape[0], bn), lambda i, j: (0, j),
+        args = (xt, wq, scales)
+    elif zeros is not None:
+        z_spec = pl.BlockSpec((1, e * gb, bn), lambda i, j, kb: (kb, 0, j),
                               memory_space=pltpu.VMEM)
-        kern = functools.partial(_gemm_kernel_int, spec=spec, k=k, g=g, cdt=cdt,
-                                 bm=bm, bn=bn)
+        kern = functools.partial(_gemm_kernel_int, spec=spec, k=k, g=g,
+                                 cdt=cdt, n_kb=n_kb)
         in_specs = [x_spec, w_spec, s_spec, z_spec]
-        args = (x.astype(cdt), wq, scales, qt.zeros)
+        args = (xt, wq, scales, zeros)
     else:
-        def kern(x_ref, w_ref, s_ref, o_ref):
-            _gemm_kernel_int(x_ref, w_ref, s_ref, None, o_ref, spec=spec, k=k,
-                             g=g, cdt=cdt, bm=bm, bn=bn)
+        def kern(x_ref, w_ref, s_ref, o_ref, acc_ref):
+            _gemm_kernel_int(x_ref, w_ref, s_ref, None, o_ref, acc_ref,
+                             spec=spec, k=k, g=g, cdt=cdt, n_kb=n_kb)
         in_specs = [x_spec, w_spec, s_spec]
-        args = (x.astype(cdt), wq, scales)
+        args = (xt, wq, scales)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid=grid,
         in_specs=in_specs,
         out_specs=o_spec,
+        scratch_shapes=scratch,
+        compiler_params=cparams,
         cost_estimate=cost,
         interpret=interpret,
     )(*args)
@@ -270,6 +416,11 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=None,
     `interpret=True` forces the Pallas kernel in interpreter mode (tests).
     """
     qt = qt.local_view()  # fix static dims when called inside shard_map
+    if x.shape[-1] != qt.shape[0]:
+        # K-padded pack (quantize.repad_k): zero-pad the activations —
+        # the padded weight rows dequantize to exactly 0
+        pad = qt.shape[0] - x.shape[-1]
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     use_pallas = (interpret or _use_pallas()) and _pallas_supported(qt)
     if force_xla or not use_pallas:
         return qmatmul_xla(x, qt, out_dtype)
@@ -278,8 +429,13 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=None,
     for d in lead:
         m *= d
     x2 = x.reshape(m, x.shape[-1])
+    mp = m if m <= 256 else -(-m // 256) * 256
+    if mp != m:  # keep the M block bounded (VMEM) for odd prefill lengths
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
     out = _qmatmul_pallas_2d(x2, qt, out_dtype=out_dtype or x.dtype,
                              interpret=interpret)
+    if mp != m:
+        out = out[:m]
     return out.reshape(*lead, qt.shape[1])
 
 

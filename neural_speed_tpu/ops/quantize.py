@@ -389,3 +389,59 @@ def quantization_error(w: jax.Array, spec: QSpec) -> jax.Array:
     return jnp.sqrt(jnp.mean((w - wd) ** 2)) / jnp.maximum(
         jnp.sqrt(jnp.mean(w**2)), _EPS
     )
+
+
+def concat_n(qts) -> QTensor:
+    """Concatenate QTensors along N (out features).
+
+    Valid because planar packing is column-independent: plane words, scales
+    and zeros all concatenate exactly.  Used for fused QKV / gate+up
+    projections (parity: ip_fusion_qkv.cpp / MUL_FFN_* fused ops) — one
+    kernel launch instead of three, identical math.
+    """
+    q0 = qts[0]
+    for q in qts[1:]:
+        if (q.spec != q0.spec or q.shape[0] != q0.shape[0]
+                or q.k_shards != q0.k_shards
+                or (q.zeros is None) != (q0.zeros is None)
+                or (q.sscale is None) != (q0.sscale is None)):
+            raise ValueError("incompatible QTensors for N-concat")
+    data = tuple(
+        jnp.concatenate([q.data[i] for q in qts], axis=1)
+        for i in range(len(q0.data))
+    )
+    scales = jnp.concatenate([q.scales for q in qts], axis=1)
+    zeros = (jnp.concatenate([q.zeros for q in qts], axis=1)
+             if q0.zeros is not None else None)
+    sscale = (jnp.concatenate([q.sscale for q in qts], axis=1)
+              if q0.sscale is not None else None)
+    n_total = sum(q.shape[1] for q in qts)
+    return QTensor(data, scales, zeros, sscale, q0.spec,
+                   (q0.shape[0], n_total), q0.k_shards)
+
+
+def repad_k(qt: QTensor, multiple: int) -> QTensor:
+    """Re-pack with K padded up to `multiple` (lossless: padded code rows
+    carry zero scales, so they dequantize to exactly 0).
+
+    Load-time transform so every weight shape hits the fused kernel's
+    group-dot fast path (a K that is not bands x group, e.g. llama's 11008
+    FFN-down with g=128 int4, would otherwise straddle a pack-band
+    boundary).  `qmatmul` zero-pads the activations to match.
+    """
+    k, n = qt.shape
+    spec = qt.spec
+    g = spec.effective_group(k)
+    if (k % multiple == 0 or qt.k_shards != 1 or spec.is_fp8
+            or k % g != 0):
+        return qt
+    k_pad = -(-k // multiple) * multiple
+    bits = 4 if spec.is_lut else spec.bits
+    codes = unpack_codes(qt.data, bits, k)
+    codes = jnp.pad(codes, ((0, k_pad - k), (0, 0)))
+    data = pack_codes(codes, bits)
+    extra_g = k_pad // g - qt.scales.shape[0]
+    scales = jnp.pad(qt.scales, ((0, extra_g), (0, 0)))
+    zeros = (jnp.pad(qt.zeros, ((0, extra_g), (0, 0)))
+             if qt.zeros is not None else None)
+    return QTensor(data, scales, zeros, qt.sscale, spec, (k_pad, n), 1)

@@ -127,7 +127,12 @@ class Engine:
     def __init__(self, params: Dict[str, Any], cfg: ArchConfig,
                  max_batch: int = 1, max_len: int = 2048,
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
-                 buckets: Tuple[int, ...] = DEFAULT_BUCKETS):
+                 buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+                 fuse: bool = True):
+        if fuse:
+            from ..models.transformer import fuse_params
+
+            params = fuse_params(params, cfg)
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch

@@ -104,3 +104,41 @@ def test_quant_error_propagates_reasonably():
     denom = float(jnp.sqrt(jnp.mean(exact**2)))
     rel = float(jnp.sqrt(jnp.mean((out - exact) ** 2))) / denom
     assert rel < 0.15, rel  # int4 g32 RTN weight error is ~0.10 rel RMSE
+
+
+def test_group_straddles_band_boundary():
+    """K=11008 g=128 (llama-7B FFN-down): the logical group straddles the
+    packed sub-band boundary (kw=1376); the launcher subdivides scales to
+    gcd(g, kw)=32 so the fused kernel still applies (the XLA fallback here
+    materialized a 180 MB dequantized weight per call — the decode
+    bottleneck found by profiling)."""
+    from neural_speed_tpu.ops.matmul import _pallas_supported
+
+    for spec in (QSpec(QType.INT, 4, 128, True),
+                 QSpec(QType.INT, 4, 128, False)):
+        x, w, qt = _setup(spec, m=2, k=11008, n=128)
+        assert _pallas_supported(qt)
+        ref = qmatmul_xla(x, qt)
+        out = qmatmul(x, qt, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_repad_k_lossless():
+    """K-repad (band-alignment load transform) is exact: padded weight
+    + auto-padded activations == original matmul."""
+    from neural_speed_tpu.ops.quantize import repad_k
+
+    for spec in (QSpec(QType.INT, 4, 128, True),
+                 QSpec(QType.INT, 4, 128, False),
+                 named_qspec("nf4", group_size=128)):
+        x, w, qt = _setup(spec, m=3, k=1408, n=128)  # 1408 % 1024 != 0
+        padded = repad_k(qt, 1024)
+        assert padded.shape[0] == 2048
+        ref = qmatmul_xla(x, qt)
+        out_xla = qmatmul(x, padded, force_xla=True)
+        np.testing.assert_allclose(np.asarray(out_xla), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        out = qmatmul(x, padded, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
