@@ -183,6 +183,10 @@ class Model:
                 for slot, s in list(sched.running.items()):
                     if stopping_criteria(seqs[s.request_id] + s.generated):
                         s.max_new_tokens = len(s.generated)  # stop now
+        from .utils.profiler import verbose_level
+
+        if verbose_level() >= 0:
+            sched.timings.print_timings()
         return [
             (seqs[rid] if not ignore_prompt else []) + done[rid]
             for rid in sorted(done)

@@ -174,12 +174,15 @@ def reorder(cache: KVCache, src_slots: jax.Array) -> KVCache:
     )
 
 
-def evict(cache: KVCache, n_keep: int, n_discard: int) -> KVCache:
+def evict(cache: KVCache, n_keep: int, n_discard: int,
+          slot_mask: Optional[jax.Array] = None) -> KVCache:
     """StreamingLLM discard: keep the first `n_keep` sink tokens, drop the
     next `n_discard`, slide the rest down (parity: main_pybind.cpp:573-587).
     Static shapes: the tail is rolled down; stale tail slots are masked by
-    the reduced `lengths`.  NOTE: with plain (non-shift) RoPE the caller
-    must re-evaluate the slid tokens, exactly like the reference."""
+    the reduced `lengths`.  `slot_mask` [B] limits the eviction to selected
+    batch slots (continuous batching evicts per sequence).  NOTE: with
+    plain (non-shift) RoPE the caller must re-evaluate the slid tokens,
+    exactly like the reference."""
 
     def slide(a):
         if a is None:
@@ -188,25 +191,34 @@ def evict(cache: KVCache, n_keep: int, n_discard: int) -> KVCache:
         head = a[:, :, :, :n_keep]
         tail = a[:, :, :, n_keep + n_discard:]
         pad = a[:, :, :, -n_discard:]  # stale; masked via lengths
-        return jnp.concatenate([head, tail, pad], axis=3)
+        slid = jnp.concatenate([head, tail, pad], axis=3)
+        if slot_mask is None:
+            return slid
+        shape = (1, a.shape[1]) + (1,) * (a.ndim - 2)
+        return jnp.where(slot_mask.reshape(shape), slid, a)
 
+    new_len = jnp.maximum(cache.lengths - n_discard, n_keep)
+    if slot_mask is not None:
+        new_len = jnp.where(slot_mask, new_len, cache.lengths)
     return KVCache(
         slide(cache.k), slide(cache.v), slide(cache.k_scale),
-        slide(cache.v_scale),
-        jnp.maximum(cache.lengths - n_discard, n_keep),
+        slide(cache.v_scale), new_len,
     )
 
 
 def shift_ring(cache: KVCache, n_keep: int, n_discard: int,
                inv_freq: jax.Array, style: str = "neox",
-               rot_dim: Optional[int] = None) -> KVCache:
+               rot_dim: Optional[int] = None,
+               slot_mask: Optional[jax.Array] = None) -> KVCache:
     """Shift-RoPE ring-buffer eviction: like `evict`, but K is stored RoPE'd,
     so the slid tokens are re-rotated by -n_discard positions instead of
     being re-evaluated (parity: ne_rope_shift_inplace + kv_self.cossin,
     llama.cpp:437-446,551-558; docs/infinite_inference.md)."""
-    out = evict(cache, n_keep, n_discard)
+    out = evict(cache, n_keep, n_discard, slot_mask)
     delta = jnp.full((out.batch, out.max_len), -n_discard, jnp.int32)
     mask = (jnp.arange(out.max_len)[None, :] >= n_keep)
+    if slot_mask is not None:
+        mask = jnp.logical_and(mask, slot_mask[:, None])
     delta = jnp.where(mask, delta, 0)
     if out.quantized:
         # dequantize -> rotate -> requantize the shifted span

@@ -142,7 +142,27 @@ class Engine:
         self.buckets = tuple(b for b in buckets if b <= max_len) or (max_len,)
         if self.buckets[-1] < max_len:
             self.buckets = self.buckets + (max_len,)
+        # StreamingLLM config (parity: gpt_params n_keep/n_discard +
+        # shift_roped_k, model_config.h:81-84)
+        self.shift_roped_k = False
+        self.n_keep = 4
+        self.n_discard = -1
         self.cache = self.new_cache()
+
+    def discard_count(self) -> int:
+        nd = self.n_discard
+        if nd <= 0:
+            nd = max((self.max_len - self.n_keep) // 2, 1)
+        return nd
+
+    def rope_inv_freq(self):
+        from ..ops.rope import rope_inv_freq
+
+        rot = self.cfg.rot_dim or self.cfg.head_dim
+        inv, _mscale = rope_inv_freq(rot, self.cfg.rope_base,
+                                     self.cfg.rope_scaling,
+                                     seq_len=self.max_len)
+        return inv
 
     def new_cache(self) -> kvc.KVCache:
         return kvc.init_cache(

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sampling as smp
-from .engine import Engine, prefill_step
+from .engine import Engine, pad_to_bucket, prefill_step
 
 
 class SeqStatus:
@@ -58,8 +58,11 @@ class ContinuousBatchingScheduler:
     def __init__(self, engine: Engine,
                  params: Optional[smp.SamplingParams] = None,
                  eos_id: Optional[int] = None, seed: int = 0):
+        from ..utils.profiler import Timings
+
         self.engine = engine
         self.eos_id = eos_id
+        self.timings = Timings()
         self.sp = params or smp.SamplingParams(do_sample=False)
         self.waiting: Deque[Sequence] = deque()
         self.running: Dict[int, Sequence] = {}  # slot -> seq
@@ -131,10 +134,12 @@ class ContinuousBatchingScheduler:
             p = s.prompt[-t:]  # clamp over-long prompts to the bucket
             ids[s.slot, : len(p)] = p
             lens[s.slot] = len(p)
-        logits, eng.cache = prefill_step(
-            eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
-            jnp.asarray(lens), jnp.zeros((eng.max_batch,), jnp.int32),
-        )
+        with self.timings.timer("prefill", int(lens.sum())):
+            logits, eng.cache = prefill_step(
+                eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
+                jnp.asarray(lens), jnp.zeros((eng.max_batch,), jnp.int32),
+            )
+            logits.block_until_ready()
         self._sample_and_commit(logits, {s.slot: s for s in batch},
                                 prompt_obs=batch)
         for s in batch:
@@ -148,10 +153,63 @@ class ContinuousBatchingScheduler:
                 active_np[slot] = True
         if not active_np.any():
             return
-        logits = eng.decode(
-            jnp.asarray(self._last_tokens), jnp.asarray(active_np)
-        )
+        self._maybe_evict(active_np)
+        with self.timings.timer("decode", int(active_np.sum())):
+            logits = eng.decode(
+                jnp.asarray(self._last_tokens), jnp.asarray(active_np)
+            )
+            logits.block_until_ready()
         self._sample_and_commit(logits, dict(self.running))
+
+    def _maybe_evict(self, active_np: np.ndarray) -> None:
+        """StreamingLLM infinite inference: when a slot's KV is full, keep
+        `n_keep` sink tokens and drop `n_discard`, then either shift-RoPE
+        the remaining K in place (ring buffer, llama.cpp:437-446) or
+        re-evaluate the slid tokens from history (main_pybind.cpp:573-587
+        discard-and-re-eval)."""
+        from ..ops import kv_cache as kvc
+
+        eng = self.engine
+        lengths = np.asarray(eng.cache.lengths)
+        full = active_np & (lengths >= eng.max_len - 1)
+        if not full.any():
+            return
+        n_keep, nd = eng.n_keep, eng.discard_count()
+        if eng.shift_roped_k:
+            if eng.cfg.rope_style not in ("neox", "gptj"):
+                raise ValueError("shift_roped_k requires a rotary arch "
+                                 "(reference: model_utils.cpp:1437-1439)")
+            eng.cache = kvc.shift_ring(
+                eng.cache, n_keep, nd, eng.rope_inv_freq(),
+                style=eng.cfg.rope_style, rot_dim=eng.cfg.rot_dim,
+                slot_mask=jnp.asarray(full),
+            )
+            return
+        # discard-and-re-eval from token history (slot by slot)
+        eng.cache = kvc.evict(eng.cache, n_keep, nd, jnp.asarray(full))
+        for slot in np.nonzero(full)[0]:
+            seq = self.running.get(int(slot))
+            if seq is None:
+                continue
+            stored = (list(seq.prompt) + seq.generated[:-1])[-int(
+                lengths[slot]):]
+            re_eval = stored[n_keep + nd:]
+            # reset the slot to the sink region, then re-prefill the rest
+            # at positions starting n_keep (other slots are spectators)
+            new_len = np.array(eng.cache.lengths)
+            new_len[slot] = n_keep
+            eng.cache = kvc.set_lengths(eng.cache, jnp.asarray(new_len))
+            ids = np.zeros((eng.max_batch, pad_to_bucket(
+                len(re_eval), eng.buckets)), np.int32)
+            lens = np.zeros((eng.max_batch,), np.int32)
+            start = np.zeros((eng.max_batch,), np.int32)
+            ids[slot, : len(re_eval)] = re_eval
+            lens[slot] = len(re_eval)
+            start[slot] = n_keep
+            _logits, eng.cache = prefill_step(
+                eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
+                jnp.asarray(lens), jnp.asarray(start),
+            )
 
     def _sample_and_commit(self, logits, slot_map: Dict[int, Sequence],
                            prompt_obs: Optional[List[Sequence]] = None):
@@ -166,9 +224,10 @@ class ContinuousBatchingScheduler:
                     self.sampler, s.slot,
                     s.prompt[-self.sp.penalty_window:],
                 )
-        toks, self.sampler = smp.sample(
-            jnp.asarray(logits), self.sampler, self.sp
-        )
+        with self.timings.timer("sample", len(slot_map)):
+            toks, self.sampler = smp.sample(
+                jnp.asarray(logits), self.sampler, self.sp
+            )
         toks_np = np.asarray(toks)
         for slot, seq in slot_map.items():
             tok = int(toks_np[slot])
