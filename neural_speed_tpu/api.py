@@ -255,3 +255,77 @@ def ModelServer(engine_or_model, response_fn, **kw):
     eng = (engine_or_model.engine
            if isinstance(engine_or_model, Model) else engine_or_model)
     return _MS(eng, response_fn, **kw)
+
+
+class AudioModel:
+    """Whisper transcription API (parity: whisper_pybind Model —
+    init_model + inference(wav), whisper_pybind.cpp:78,328)."""
+
+    def __init__(self):
+        self.model = None
+        self.tokenizer = None
+
+    def init(self, model_name: str, use_quant: bool = False,
+             weight_dtype: str = "int8", group_size: int = 128):
+        from transformers import AutoConfig
+
+        from .convert import loaders
+        from .models import whisper as W
+
+        hf_cfg = AutoConfig.from_pretrained(
+            model_name, trust_remote_code=True
+        ).to_dict()
+        sd = loaders.load_state_dict(model_name)
+        qspec = None
+        if use_quant:
+            qspec = named_qspec(weight_dtype, group_size=group_size)
+        params, cfg = W.convert_whisper(sd, hf_cfg, qspec)
+        self.model = W.WhisperModel(params, cfg)
+        try:
+            from transformers import WhisperTokenizer
+
+            self.tokenizer = WhisperTokenizer.from_pretrained(model_name)
+        except Exception:
+            self.tokenizer = None
+        return self
+
+    def forced_ids(self, language: str = "en", task: str = "transcribe"):
+        if self.tokenizer is None:
+            return []
+        ids = self.tokenizer.convert_tokens_to_ids(
+            [f"<|{language}|>", f"<|{task}|>", "<|notimestamps|>"]
+        )
+        return [i for i in ids if i is not None and i >= 0]
+
+    def transcribe(self, audio, language: str = "en",
+                   task: str = "transcribe", max_new_tokens: int = 224):
+        """audio: float PCM @16kHz (numpy) or a .wav path."""
+        if isinstance(audio, str):
+            audio = load_wav(audio)
+        ids = self.model.transcribe_ids(
+            audio, self.forced_ids(language, task), max_new_tokens
+        )
+        if self.tokenizer is None:
+            return ids
+        return self.tokenizer.decode(ids, skip_special_tokens=True)
+
+
+def load_wav(path: str) -> np.ndarray:
+    """Minimal 16-bit PCM WAV reader @16kHz (parity: the reference bundles
+    dr_wav.h for this; stdlib `wave` suffices)."""
+    import wave
+
+    with wave.open(path, "rb") as w:
+        assert w.getsampwidth() == 2, "expect 16-bit PCM"
+        rate = w.getframerate()
+        data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        if w.getnchannels() > 1:
+            data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+    audio = data.astype(np.float32) / 32768.0
+    if rate != 16000:  # naive linear resample
+        n = int(len(audio) * 16000 / rate)
+        audio = np.interp(
+            np.linspace(0, len(audio) - 1, n),
+            np.arange(len(audio)), audio,
+        ).astype(np.float32)
+    return audio
