@@ -48,9 +48,13 @@ class Model:
         ctx_size: int = 2048,
         kv_quantized: bool = False,
         model_file: Optional[str] = None,
+        lora_path: Optional[str] = None,
+        lora_scale: Optional[float] = None,
     ):
         """Convert + quantize an HF checkpoint (parity: Model.init,
-        __init__.py:142-225).  `use_cache` reuses the packed .npz."""
+        __init__.py:142-225).  `use_cache` reuses the packed .npz;
+        `lora_path` merges a PEFT adapter at load time (parity:
+        model_apply_lora_from_file_internal)."""
         from transformers import AutoConfig, AutoTokenizer
 
         hf_cfg = AutoConfig.from_pretrained(
@@ -87,6 +91,14 @@ class Model:
             params = self._convert(model_name, qspec)
             if cache_path:
                 serialization.save_params(cache_path, params)
+        if lora_path is not None:
+            from .convert import lora as lora_mod
+
+            lsd, lcfg = lora_mod.load_lora(lora_path)
+            if lora_scale is not None:
+                lcfg = dict(lcfg, lora_alpha=lora_scale * lcfg.get("r", 1.0))
+            params = lora_mod.apply_lora_to_params(params, self.cfg, lsd,
+                                                   lcfg)
         self._make_engine(params, max_batch, ctx_size, kv_quantized)
         return self
 
