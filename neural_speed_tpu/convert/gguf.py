@@ -234,12 +234,31 @@ DECODERS = {
 }
 
 
+_NATIVE_KIND = {
+    GGML_Q4_0: "q4_0", GGML_Q4_1: "q4_1", GGML_Q5_0: "q5_0",
+    GGML_Q5_1: "q5_1", GGML_Q8_0: "q8_0", GGML_Q6_K: "q6_k",
+}
+
+
+def _decode(ttype: int, raw: np.ndarray, rows: int, row_len: int):
+    """Dispatch block decode to the native C++ codecs when built
+    (bit-identical; see native/nst_native.cpp + tests/test_native.py)."""
+    from .. import native
+
+    kind = _NATIVE_KIND.get(ttype)
+    if kind is not None:
+        out = native.decode_blocks(kind, raw, rows, row_len)
+        if out is not None:
+            return out
+    return DECODERS[ttype][0](raw, rows, row_len)
+
+
 def gguf_tensor_to_qtensor(raw: np.ndarray, shape, ttype: int) -> QTensor:
     """ggml 2-D tensor -> our `[K, N]` QTensor (transposed: ggml rows are
     out-features).  Integer formats are mapped exactly."""
     row_len, rows = shape[0], shape[1]  # ne[0]=in(K), ne[1]=out(N)
     dec, bits, group, offset = DECODERS[ttype]
-    codes, scales, m = dec(raw, rows, row_len)
+    codes, scales, m = _decode(ttype, raw, rows, row_len)
     # transpose to [K, N]
     codes_t = np.ascontiguousarray(codes.T)          # [K, N]
     scales_t = np.ascontiguousarray(scales.T)        # [K/g, N]
@@ -267,7 +286,7 @@ def gguf_tensor_to_array(reader: GGUFReader, info: GGUFTensorInfo,
         row_len, rows = info.shape[0], info.shape[1] if len(
             info.shape
         ) > 1 else 1
-        codes, scales, m = dec(raw, rows, row_len)
+        codes, scales, m = _decode(info.ggml_type, raw, rows, row_len)
         g = group
         sf = np.repeat(scales, g, axis=1)
         if m is None:
@@ -508,9 +527,12 @@ def _arch_from_gguf(kv: Dict[str, Any]) -> ArchConfig:
         return kv.get(f"{pre}.{key}", default)
 
     n_heads = g("attention.head_count")
+    vocab = kv.get("tokenizer.ggml.tokens")
+    vocab_size = (len(vocab) if vocab is not None
+                  else g("vocab_size", kv.get("general.vocab_size")))
     return ArchConfig(
         name=name,
-        vocab_size=len(kv["tokenizer.ggml.tokens"]),
+        vocab_size=vocab_size,
         hidden_size=g("embedding_length"),
         n_layers=g("block_count"),
         n_heads=n_heads,
@@ -597,6 +619,7 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
     n_heads = hf_cfg["num_attention_heads"]
     w.add("general.architecture", arch)
     w.add("general.name", "neural_speed_tpu export")
+    w.add(f"{arch}.vocab_size", hf_cfg["vocab_size"])
     w.add(f"{arch}.embedding_length", hf_cfg["hidden_size"])
     w.add(f"{arch}.block_count", hf_cfg["num_hidden_layers"])
     w.add(f"{arch}.attention.head_count", n_heads)
