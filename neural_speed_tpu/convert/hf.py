@@ -540,8 +540,19 @@ def params_from_state_dict(
     qspec: Optional[QSpec] = None,
     dtype=jnp.bfloat16,
     quantize_lm_head: bool = True,
+    policy=None,
 ) -> Dict[str, Any]:
+    """`policy(path) -> Optional[QSpec]` enables layer-wise quantization
+    (parity: quant_config.h per-layer policies; see convert/quant_config.py
+    for the JSON config loader).  With a policy, mapping runs in fp and the
+    tree is quantized per path afterwards."""
     if cfg.name not in MAPPERS:
         raise ValueError(f"no state-dict mapper for arch {cfg.name!r}")
+    if policy is not None:
+        from ..ops.quantize import quantize_tree
+
+        cv = Converter(cfg, None, jnp.float32, quantize_lm_head)
+        params = MAPPERS[cfg.name](sd, cfg, cv)
+        return quantize_tree(params, policy)
     cv = Converter(cfg, qspec, dtype, quantize_lm_head)
     return MAPPERS[cfg.name](sd, cfg, cv)

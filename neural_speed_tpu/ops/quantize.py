@@ -445,3 +445,39 @@ def repad_k(qt: QTensor, multiple: int) -> QTensor:
     zeros = (jnp.pad(qt.zeros, ((0, extra_g), (0, 0)))
              if qt.zeros is not None else None)
     return QTensor(data, scales, zeros, qt.sscale, spec, (k_pad, n), 1)
+
+
+def quantize_tree(params, policy) -> dict:
+    """Quantize fp 'w' leaves of a params pytree per a path policy.
+
+    `policy(path) -> Optional[QSpec]` with paths like "layers.3.ffn.down"
+    or "lm_head" — the layer-wise quant-config mechanism of the reference
+    (quant_config.h:180-214 per-layer policy classes + `--config` file).
+    None keeps the leaf in floating point.
+    """
+    import jax.numpy as _jnp
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            out = {}
+            for key, val in node.items():
+                sub = f"{path}.{key}" if path else key
+                if key == "w" and not isinstance(val, QTensor) and hasattr(
+                        val, "ndim") and val.ndim == 2:
+                    spec = policy(path)
+                    if spec is not None:
+                        k = val.shape[0]
+                        g = spec.effective_group(k)
+                        if k % g == 0:
+                            out[key] = quantize(
+                                _jnp.asarray(val, _jnp.float32), spec)
+                            continue
+                    out[key] = val
+                else:
+                    out[key] = walk(val, sub)
+            return out
+        if isinstance(node, list):
+            return [walk(v, f"{path}.{i}") for i, v in enumerate(node)]
+        return node
+
+    return walk(params, "")

@@ -16,6 +16,9 @@ def main():
     ap.add_argument("--model_file", required=True,
                     help="HF model name/dir or .gguf")
     ap.add_argument("--out_file", required=True, help="output .npz path")
+    ap.add_argument("--config", default=None,
+                    help="layer-wise quant config JSON (see "
+                         "convert/quant_config.py)")
     add_quant_args(ap)
     args = ap.parse_args()
 
@@ -23,10 +26,24 @@ def main():
     from neural_speed_tpu.runtime import serialization
 
     t0 = time.time()
-    params, cfg = convert_model(
-        args.model_file, qspec_from_args(args),
-        use_quantized_model=args.use_quantized_model,
-    )
+    if args.config:
+        from transformers import AutoConfig
+
+        from neural_speed_tpu.convert import loaders
+        from neural_speed_tpu.convert.hf import params_from_state_dict
+        from neural_speed_tpu.convert.quant_config import load_quant_config
+        from neural_speed_tpu.models.configs import arch_from_hf_config
+
+        cfg = arch_from_hf_config(AutoConfig.from_pretrained(
+            args.model_file, trust_remote_code=True).to_dict())
+        params = params_from_state_dict(
+            loaders.load_state_dict(args.model_file), cfg,
+            policy=load_quant_config(args.config))
+    else:
+        params, cfg = convert_model(
+            args.model_file, qspec_from_args(args),
+            use_quantized_model=args.use_quantized_model,
+        )
     serialization.save_params(args.out_file, params)
     print(f"quantized {cfg.name} -> {args.out_file} "
           f"({args.weight_dtype} g{args.group_size} {args.alg}) "

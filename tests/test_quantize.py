@@ -128,3 +128,35 @@ def test_memory_footprint():
     qt = quantize(w, named_qspec("int4", group_size=128))
     # int4 packed = K*N/2 bytes + scales
     assert qt.nbytes() <= 1024 * 1024 // 2 + 8 * 1024 * 4 + 64
+
+
+def test_layerwise_quant_policy():
+    """Layer-wise quant config (parity: quant_config.h per-layer policy +
+    --config file): overrides by path regex, fp32 keeps leaves dense."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from neural_speed_tpu.convert.hf import params_from_state_dict
+    from neural_speed_tpu.convert.quant_config import load_quant_config
+    from neural_speed_tpu.models.configs import arch_from_hf_config
+    from neural_speed_tpu.ops.quantize import QTensor
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      num_key_value_heads=2)
+    m = LlamaForCausalLM(cfg)
+    acfg = arch_from_hf_config(cfg.to_dict())
+    policy = load_quant_config({
+        "default": {"weight_dtype": "int4", "group_size": 32},
+        "overrides": [
+            {"pattern": r"ffn\.down$", "weight_dtype": "int8",
+             "group_size": 32},
+            {"pattern": "lm_head", "weight_dtype": "fp32"},
+        ],
+    })
+    p = params_from_state_dict(m.state_dict(), acfg, policy=policy)
+    assert isinstance(p["layers"][0]["q"]["w"], QTensor)
+    assert p["layers"][0]["q"]["w"].spec.bits == 4
+    assert p["layers"][0]["ffn"]["down"]["w"].spec.bits == 8
+    assert not isinstance(p["lm_head"]["w"], QTensor)
