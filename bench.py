@@ -72,10 +72,9 @@ def main():
     logits, cache = prefill_step(params, cfg, cache, ids, lens, start)
     logits.block_until_ready()
     log(f"prefill compile+run {time.time()-tic:.1f}s")
+    cache = kvc.set_lengths(cache, jnp.zeros((b,), jnp.int32))
     tic = time.time()
-    cache2 = kvc.init_cache(cfg.n_layers, b, args.ctx, cfg.n_kv_heads,
-                            cfg.head_dim, jnp.bfloat16)
-    logits, cache2 = prefill_step(params, cfg, cache2, ids, lens, start)
+    logits, cache2 = prefill_step(params, cfg, cache, ids, lens, start)
     logits.block_until_ready()
     ttft = time.time() - tic
     log(f"prefill ({t} tokens) = {ttft*1e3:.1f} ms "

@@ -268,14 +268,16 @@ def _choose_bn(n: int) -> int:
     return n
 
 
-def _choose_bm(m: int) -> int:
-    # qmatmul pads M to a 256-multiple beyond 256, so this always divides
-    if m <= 256:
+def _choose_bm(m: int, k: int) -> int:
+    """M block: bounded so the resident [bm, K] x block stays ~2MB (VMEM
+    scoped budget); qmatmul pads M to a 256-multiple beyond 256."""
+    cap = max(8, (2 * 1024 * 1024) // (k * 2))
+    if m <= min(cap, 256):
         return m
     for bm in (256, 128, 64, 32, 16, 8):
-        if m % bm == 0:
+        if m % bm == 0 and bm <= cap:
             return bm
-    return m
+    return min(m, 8)
 
 
 def _choose_bkw(kw: int, g_rows: int, bn: int) -> int:
@@ -310,7 +312,7 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     out_dtype = out_dtype or x.dtype
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     g = spec.effective_group(k)
-    bm, bn = _choose_bm(m), _choose_bn(n)
+    bm, bn = _choose_bm(m, k), _choose_bn(n)
 
     wq = qt.data[0]
     scales = qt.effective_scales(cdt)
@@ -360,6 +362,7 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
     cparams = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 1024 * 1024,
     )
 
     nbytes = 4 if cdt == jnp.float32 else 2
