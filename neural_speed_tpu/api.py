@@ -179,8 +179,13 @@ class Model:
             do_sample=do_sample, temperature=temperature, top_k=top_k,
             top_p=top_p, repetition_penalty=repetition_penalty,
         )
+        # a stopping_criteria must run between tokens -> per-token steps;
+        # a streamer wants small flush granularity; otherwise large chunks
+        # amortize the per-dispatch cost
+        chunk = (1 if stopping_criteria is not None
+                 else 8 if streamer is not None else 16)
         sched = ContinuousBatchingScheduler(
-            self.engine, sp, eos_id=self.eos_id, seed=seed
+            self.engine, sp, eos_id=self.eos_id, seed=seed, chunk_size=chunk,
         )
         seqs = {}
         for p in ids:

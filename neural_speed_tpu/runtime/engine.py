@@ -214,3 +214,45 @@ class Engine:
             )
             tok = int(jnp.argmax(logits[0]))
         return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "sp"),
+    donate_argnames=("cache", "sampler"),
+)
+def decode_sample_chunk(
+    params: Dict[str, Any],
+    cfg: ArchConfig,
+    cache: kvc.KVCache,
+    sampler,                   # ops.sampling.SamplerState
+    tokens: jax.Array,         # [B] last sampled token per slot
+    active: jax.Array,         # [B]
+    n_steps: int,
+    sp,                        # ops.sampling.SamplingParams (static)
+) -> Tuple[jax.Array, kvc.KVCache, Any]:
+    """Decode + SAMPLE `n_steps` tokens fully on device (one dispatch,
+    one host sync for the whole chunk).
+
+    The reference runs its decode loop in-process per token
+    (main_pybind.cpp:609-660); on TPU a per-token host round-trip costs
+    more than the step itself, so the serving scheduler chains steps
+    device-side and syncs once per chunk.  Returns tokens [B, n_steps].
+    """
+    from ..ops import sampling as smp
+
+    def body(carry, _):
+        cache, sampler, toks = carry
+        lens = cache.lengths
+        pos = jnp.where(active, lens, cache.max_len - 1)[:, None]
+        kv_lens = lens + active.astype(jnp.int32)
+        logits, cache = forward(params, cfg, toks[:, None], pos, cache,
+                                kv_lens)
+        cache = kvc.set_lengths(cache, kv_lens)
+        nxt, sampler = smp.sample(logits[:, 0], sampler, sp)
+        nxt = jnp.where(active, nxt.astype(jnp.int32), toks)
+        return (cache, sampler, nxt), nxt
+
+    (cache, sampler, _), toks = jax.lax.scan(
+        body, (cache, sampler, tokens), None, length=n_steps
+    )
+    return toks.T, cache, sampler

@@ -57,13 +57,20 @@ class ContinuousBatchingScheduler:
 
     def __init__(self, engine: Engine,
                  params: Optional[smp.SamplingParams] = None,
-                 eos_id: Optional[int] = None, seed: int = 0):
+                 eos_id: Optional[int] = None, seed: int = 0,
+                 chunk_size: int = 8):
         from ..utils.profiler import Timings
 
         self.engine = engine
         self.eos_id = eos_id
         self.timings = Timings()
+        # tokens decoded per device dispatch: sampling runs ON DEVICE and
+        # the host syncs once per chunk (per-token host round-trips cost
+        # more than the model step itself); 1 restores per-token stepping
+        # (needed when a stopping_criteria must run between tokens)
+        self.chunk_size = max(1, chunk_size)
         self.sp = params or smp.SamplingParams(do_sample=False)
+        self._slot_len = np.zeros((engine.max_batch,), np.int64)  # host KV mirror
         self.waiting: Deque[Sequence] = deque()
         self.running: Dict[int, Sequence] = {}  # slot -> seq
         self.finished: Deque[Sequence] = deque()
@@ -143,6 +150,7 @@ class ContinuousBatchingScheduler:
         self._sample_and_commit(logits, {s.slot: s for s in batch},
                                 prompt_obs=batch)
         for s in batch:
+            self._slot_len[s.slot] = int(lens[s.slot])
             s.status = SeqStatus.DECODING
 
     def _decode_step(self) -> None:
@@ -153,15 +161,42 @@ class ContinuousBatchingScheduler:
                 active_np[slot] = True
         if not active_np.any():
             return
-        self._maybe_evict(active_np)
-        with self.timings.timer("decode", int(active_np.sum())):
-            logits = eng.decode(
-                jnp.asarray(self._last_tokens), jnp.asarray(active_np)
-            )
-            logits.block_until_ready()
-        self._sample_and_commit(logits, dict(self.running))
+        # chunk is CONSTANT so exactly one jit variant exists; sequences
+        # finishing mid-chunk simply discard their tail tokens (the slot's
+        # KV overshoot is reset when the slot is reused)
+        chunk = self.chunk_size
+        self._maybe_evict(active_np, chunk)
+        from .engine import decode_sample_chunk
 
-    def _maybe_evict(self, active_np: np.ndarray) -> None:
+        with self.timings.timer("decode", int(active_np.sum()) * chunk):
+            toks, eng.cache, self.sampler = decode_sample_chunk(
+                eng.params, eng.cfg, eng.cache, self.sampler,
+                jnp.asarray(self._last_tokens), jnp.asarray(active_np),
+                chunk, self.sp,
+            )
+            toks_np = np.asarray(toks)  # [B, chunk] — the one host sync
+        self._slot_len[active_np] += chunk
+        for step in range(chunk):
+            for slot, seq in list(self.running.items()):
+                if not active_np[slot]:
+                    continue
+                tok = int(toks_np[slot, step])
+                seq.generated.append(tok)
+                self._last_tokens[slot] = tok
+                if seq.streamer is not None:
+                    seq.streamer(tok)
+                if (self.eos_id is not None and tok == self.eos_id) or len(
+                    seq.generated
+                ) >= seq.max_new_tokens:
+                    active_np[slot] = False  # later chunk tokens discarded
+                    seq.status = SeqStatus.FINISHED
+                    seq.end_time = time.time()
+                    self.running.pop(slot, None)
+                    self.free_slots.append(slot)
+                    self.finished.append(seq)
+
+    def _maybe_evict(self, active_np: np.ndarray,
+                     lookahead: int = 1) -> None:
         """StreamingLLM infinite inference: when a slot's KV is full, keep
         `n_keep` sink tokens and drop `n_discard`, then either shift-RoPE
         the remaining K in place (ring buffer, llama.cpp:437-446) or
@@ -170,11 +205,12 @@ class ContinuousBatchingScheduler:
         from ..ops import kv_cache as kvc
 
         eng = self.engine
-        lengths = np.asarray(eng.cache.lengths)
-        full = active_np & (lengths >= eng.max_len - 1)
+        lengths = self._slot_len.copy()  # host mirror: no device sync
+        full = active_np & (lengths + lookahead > eng.max_len - 1)
         if not full.any():
             return
-        n_keep, nd = eng.n_keep, eng.discard_count()
+        n_keep = eng.n_keep
+        nd = max(eng.discard_count(), lookahead)  # stay ahead of the chunk
         if eng.shift_roped_k:
             if eng.cfg.rope_style not in ("neox", "gptj"):
                 raise ValueError("shift_roped_k requires a rotary arch "
@@ -184,9 +220,13 @@ class ContinuousBatchingScheduler:
                 style=eng.cfg.rope_style, rot_dim=eng.cfg.rot_dim,
                 slot_mask=jnp.asarray(full),
             )
+            self._slot_len[full] = np.maximum(
+                self._slot_len[full] - nd, n_keep
+            )
             return
         # discard-and-re-eval from token history (slot by slot)
         eng.cache = kvc.evict(eng.cache, n_keep, nd, jnp.asarray(full))
+        self._slot_len[full] = np.maximum(lengths[full] - nd, n_keep)
         for slot in np.nonzero(full)[0]:
             seq = self.running.get(int(slot))
             if seq is None:
@@ -196,7 +236,7 @@ class ContinuousBatchingScheduler:
             re_eval = stored[n_keep + nd:]
             # reset the slot to the sink region, then re-prefill the rest
             # at positions starting n_keep (other slots are spectators)
-            new_len = np.array(eng.cache.lengths)
+            new_len = self._slot_len.astype(np.int32).copy()
             new_len[slot] = n_keep
             eng.cache = kvc.set_lengths(eng.cache, jnp.asarray(new_len))
             ids = np.zeros((eng.max_batch, pad_to_bucket(
@@ -210,6 +250,7 @@ class ContinuousBatchingScheduler:
                 eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
                 jnp.asarray(lens), jnp.asarray(start),
             )
+            self._slot_len[slot] = n_keep + len(re_eval)
 
     def _sample_and_commit(self, logits, slot_map: Dict[int, Sequence],
                            prompt_obs: Optional[List[Sequence]] = None):
