@@ -113,9 +113,28 @@ def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig,
     dispatch is a planned perf step.
     """
     m = cfg.moe
+    b, t, _ = x.shape
     router_logits = linear(x, p["router"]).astype(jnp.float32)  # [B,T,E]
     topv, topi = jax.lax.top_k(router_logits, m.top_k)
     probs = jax.nn.softmax(topv, axis=-1)  # normalize over selected experts
+
+    if b * t == 1:
+        # decode fast path: run ONLY the selected experts via lax.switch
+        # (parity: the reference computes experts serially per selection,
+        # llama.cpp:641-680 ne_mul_mat_id) — E/top_k x less weight traffic
+        out = jnp.zeros_like(x).astype(jnp.float32)
+        branches = [
+            (lambda xx, e=e: ffn(xx, p["experts"][e], cfg).astype(
+                jnp.float32))
+            for e in range(m.num_experts)
+        ]
+        for j in range(m.top_k):
+            contrib = jax.lax.switch(topi[0, 0, j], branches, x)
+            out = out + contrib * probs[0, 0, j]
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
+        return out.astype(x.dtype)
+
     onehot = jax.nn.one_hot(topi, m.num_experts, dtype=jnp.float32)  # [B,T,k,E]
     weights = jnp.einsum("btk,btke->bte", probs, onehot)
     out = jnp.zeros_like(x, shape=x.shape).astype(jnp.float32)

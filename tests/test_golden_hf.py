@@ -267,3 +267,42 @@ def test_quantized_int8_greedy_matches_fp32():
         qspec=QSpec(QType.INT, 8, -1, True),
     )
     assert our_toks == hf_toks
+
+
+def test_moe_decode_switch_path_matches_dense():
+    """B*T==1 MoE decode uses lax.switch over selected experts only; must
+    equal the dense-all-experts path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_speed_tpu.models.arch import ArchConfig, MoEConfig
+    from neural_speed_tpu.models.transformer import moe_ffn
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.utils.synthetic import synth_qtensor
+
+    cfg = ArchConfig(name="mixtral", vocab_size=64, hidden_size=64,
+                     n_layers=1, n_heads=2, n_kv_heads=2,
+                     intermediate_size=128,
+                     moe=MoEConfig(num_experts=4, top_k=2))
+    key = jax.random.PRNGKey(0)
+    spec = named_qspec("int4", group_size=32)
+    experts = []
+    for e in range(4):
+        kk = jax.random.fold_in(key, e)
+        experts.append({
+            "gate": {"w": synth_qtensor(jax.random.fold_in(kk, 0), 64, 128,
+                                        spec)},
+            "up": {"w": synth_qtensor(jax.random.fold_in(kk, 1), 64, 128,
+                                      spec)},
+            "down": {"w": synth_qtensor(jax.random.fold_in(kk, 2), 128, 64,
+                                        spec)},
+        })
+    p = {"router": {"w": jax.random.normal(key, (64, 4), jnp.float32)},
+         "experts": experts}
+    x1 = jax.random.normal(jax.random.fold_in(key, 9), (1, 1, 64),
+                           jnp.float32)
+    out_switch = moe_ffn(x1, p, cfg)            # B*T==1 -> switch path
+    x2 = jnp.concatenate([x1, x1], axis=1)      # B*T==2 -> dense path
+    out_dense = moe_ffn(x2, p, cfg)[:, :1]
+    np.testing.assert_allclose(np.asarray(out_switch),
+                               np.asarray(out_dense), rtol=1e-5, atol=1e-5)
