@@ -315,13 +315,30 @@ class AudioModel:
         return [i for i in ids if i is not None and i >= 0]
 
     def transcribe(self, audio, language: str = "en",
-                   task: str = "transcribe", max_new_tokens: int = 224):
-        """audio: float PCM @16kHz (numpy) or a .wav path."""
+                   task: str = "transcribe", max_new_tokens: int = 224,
+                   timestamps: bool = False):
+        """audio: float PCM @16kHz (numpy) or a .wav path.  With
+        `timestamps=True` returns [(start_s, end_s, text)] segments."""
         if isinstance(audio, str):
             audio = load_wav(audio)
-        ids = self.model.transcribe_ids(
-            audio, self.forced_ids(language, task), max_new_tokens
-        )
+        forced = self.forced_ids(language, task)
+        ts_begin = None
+        if timestamps:
+            forced = [t for t in forced
+                      if self.tokenizer is None
+                      or t != self.tokenizer.convert_tokens_to_ids(
+                          "<|notimestamps|>")]
+            ts_begin = (self.tokenizer.convert_tokens_to_ids("<|0.00|>")
+                        if self.tokenizer is not None else 50364)
+        states, enc_lens = self.model.encode_audio(audio)
+        ids = self.model.generate(states, enc_lens, forced, max_new_tokens,
+                                  timestamp_begin=ts_begin)
+        if timestamps:
+            segs = self.model.segments(ids, ts_begin)
+            if self.tokenizer is None:
+                return segs
+            return [(t0, t1, self.tokenizer.decode(toks))
+                    for t0, t1, toks in segs]
         if self.tokenizer is None:
             return ids
         return self.tokenizer.decode(ids, skip_special_tokens=True)

@@ -217,9 +217,16 @@ class WhisperModel:
         return states, enc_lens
 
     def generate(self, enc_states, enc_lens, forced_ids: List[int],
-                 max_new_tokens: int = 128) -> List[int]:
+                 max_new_tokens: int = 128,
+                 timestamp_begin: Optional[int] = None) -> List[int]:
         """Greedy decode given the forced decoder prefix
-        (<|startoftranscript|> [lang] [task] ...)."""
+        (<|startoftranscript|> [lang] [task] ...).
+
+        `timestamp_begin`: vocab id of <|0.00|> enables timestamp decoding
+        with the whisper rules (parity: the reference's timestamp decoding,
+        whisper.cpp): timestamps are emitted in non-decreasing pairs, and a
+        timestamp is forced whenever the total timestamp probability
+        exceeds the best text token."""
         cfg = self.cfg
         b = enc_states.shape[0]
         cache = kvc.init_cache(cfg.decoder_layers, b,
@@ -237,7 +244,7 @@ class WhisperModel:
         )
         cache = kvc.set_lengths(cache, kv_lens)
         out = list(prefix)
-        tok = int(jnp.argmax(logits[0, -1]))
+        tok = self._pick(logits[0, -1], out, timestamp_begin)
         for _ in range(max_new_tokens):
             out.append(tok)
             if tok == cfg.eos_token_id:
@@ -250,8 +257,55 @@ class WhisperModel:
                 cache, kv_lens, cross, enc_lens
             )
             cache = kvc.set_lengths(cache, kv_lens)
-            tok = int(jnp.argmax(logits[0, -1]))
+            tok = self._pick(logits[0, -1], out, timestamp_begin)
         return out
+
+    def _pick(self, logits, generated: List[int],
+              ts_begin: Optional[int]) -> int:
+        """Greedy argmax, with the whisper timestamp rules applied when
+        timestamp decoding is on."""
+        if ts_begin is None:
+            return int(jnp.argmax(logits))
+        lg = np.asarray(logits, np.float32).copy()
+        last_was_ts = bool(generated) and generated[-1] >= ts_begin
+        penul_was_ts = len(generated) > 1 and generated[-2] >= ts_begin
+        if last_was_ts and not penul_was_ts:
+            # second of a pair: must be a timestamp (same or later)
+            lg[: generated[-1]] = -np.inf
+            return int(np.argmax(lg))
+        if last_was_ts and penul_was_ts:
+            # a closed pair: next must be text or EOS
+            lg[ts_begin:] = -np.inf
+            return int(np.argmax(lg))
+        # monotonicity: never go back before the latest timestamp
+        latest = max((t for t in generated if t >= ts_begin),
+                     default=ts_begin)
+        lg[ts_begin:latest] = -np.inf
+        # force a timestamp when the timestamp mass beats the best text tok
+        x = lg - lg.max()
+        probs = np.exp(x) / np.exp(x).sum()
+        if probs[ts_begin:].sum() > probs[: ts_begin].max():
+            lg[: ts_begin] = -np.inf
+        return int(np.argmax(lg))
+
+    def segments(self, ids: List[int], timestamp_begin: int,
+                 time_precision: float = 0.02):
+        """Split timestamped output into (start_s, end_s, token_ids)
+        segments."""
+        segs = []
+        start = None
+        buf: List[int] = []
+        for t in ids:
+            if t >= timestamp_begin:
+                ts = (t - timestamp_begin) * time_precision
+                if start is None:
+                    start = ts
+                else:
+                    segs.append((start, ts, buf))
+                    start, buf = None, []
+            elif start is not None:
+                buf.append(t)
+        return segs
 
     def transcribe_ids(self, audio: np.ndarray, forced_ids: List[int],
                        max_new_tokens: int = 224) -> List[int]:

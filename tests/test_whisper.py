@@ -117,3 +117,26 @@ def test_audio_model_api(tmp_path, hf_whisper):
     assert isinstance(out, (list, str))
     if isinstance(out, list):
         assert len(out) >= 5  # prefix + some tokens
+
+
+def test_timestamp_rules(hf_whisper, features):
+    """Timestamp decoding obeys the whisper rules: pairs, monotone, text
+    between pairs; segments() splits them."""
+    m, params, cfg = hf_whisper
+    wm = W.WhisperModel(params, cfg)
+    ts_begin = 50364  # <|0.00|> in the standard whisper vocab
+    states, enc_lens = wm.encode_audio(
+        np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+        * 0.1
+    )
+    ids = wm.generate(states, enc_lens, [50259, 50359],
+                      max_new_tokens=24, timestamp_begin=ts_begin)
+    gen = ids[3:]  # skip prefix
+    # rule check: a timestamp opening a pair is followed by a >= timestamp
+    # eventually, and timestamps never decrease
+    ts = [t for t in gen if t >= ts_begin and t != cfg.eos_token_id]
+    assert ts == sorted(ts)
+    segs = wm.segments(gen, ts_begin)
+    for (t0, t1, toks) in segs:
+        assert t1 >= t0
+        assert all(tok < ts_begin for tok in toks)
