@@ -58,3 +58,33 @@ def test_shift_rope_requires_rotary():
 
     with pytest.raises(ValueError):
         sched.run_to_completion()
+
+def test_scheduler_stress_mixed_requests():
+    """Many queued requests through few slots with chunked decode and
+    evictions: every request must complete with exactly its budget."""
+    import jax
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+
+    cfg = ArchConfig(name="llama", vocab_size=96, hidden_size=64,
+                     n_layers=1, n_heads=2, n_kv_heads=2,
+                     intermediate_size=128, max_position_embeddings=CTX)
+    eng = Engine(synth_params(cfg, named_qspec("int4", group_size=32)),
+                 cfg, max_batch=3, max_len=CTX)
+    eng.n_keep = 2
+    eng.n_discard = 24
+    sched = ContinuousBatchingScheduler(
+        eng, SamplingParams(do_sample=True, temperature=1.0, top_k=8),
+        chunk_size=8,
+    )
+    rng = np.random.default_rng(0)
+    want = {}
+    for i in range(9):
+        plen = int(rng.integers(3, 40))
+        n_new = int(rng.integers(5, CTX + 20))  # some exceed ctx -> evict
+        rid = sched.add_request(list(rng.integers(1, 96, plen)), n_new)
+        want[rid] = n_new
+    done = sched.run_to_completion()
+    assert sorted(s.request_id for s in done) == sorted(want)
+    for s in done:
+        assert len(s.generated) == want[s.request_id]
+        assert all(0 <= t < 96 for t in s.generated)
