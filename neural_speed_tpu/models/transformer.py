@@ -215,7 +215,10 @@ def decoder_layer(
             ..., None, None
         ].astype(q.dtype)
 
-    cache = kvc.append_layer(cache, layer_idx, k, v, positions)
+    # active slots are exactly those whose kv_lens advance past their
+    # first written position (spectator slots keep kv_lens == old length)
+    cache = kvc.append_layer(cache, layer_idx, k, v, positions,
+                             active=kv_lens > positions[:, 0])
     attn_out = attention_cache(
         q, cache, layer_idx, positions, kv_lens,
         scale=cfg.attn_scale if cfg.attn_scale is not None

@@ -162,8 +162,60 @@ def attention_cache(
         )
         if out is not None:
             return out
-    k_all, v_all = kvc.read_layer(cache, layer_idx, q.dtype)
-    return attention_ref(
+    # XLA path over the cache's native [B, H, S, D] layout — einsum reads
+    # it directly (a materialized transpose would force XLA into whole-
+    # cache relayout copies, which dominated decode before)
+    k_all = cache.k[layer_idx]
+    v_all = cache.v[layer_idx]
+    if cache.quantized:
+        k_all = k_all.astype(jnp.float32) * cache.k_scale[layer_idx][..., None]
+        v_all = v_all.astype(jnp.float32) * cache.v_scale[layer_idx][..., None]
+    return _attention_ref_hsd(
         q, k_all, v_all, q_positions, kv_lens, scale=scale, causal=causal,
         alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,
     )
+
+
+def _attention_ref_hsd(
+    q: jax.Array,                 # [B, T, H, D]
+    k: jax.Array,                 # [B, H_kv, S, D] (cache-native layout)
+    v: jax.Array,
+    q_positions: jax.Array,
+    kv_lens: jax.Array,
+    scale: Optional[float] = None,
+    causal: bool = True,
+    alibi: Optional[jax.Array] = None,
+    logit_softcap: float = 0.0,
+    out_dtype=None,
+) -> jax.Array:
+    b, t, h, d = q.shape
+    h_kv, s = k.shape[1], k.shape[2]
+    n_rep = h // h_kv
+    out_dtype = out_dtype or q.dtype
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if n_rep > 1:
+        kf = jnp.repeat(kf, n_rep, axis=1)
+        vf = jnp.repeat(vf, n_rep, axis=1)
+    qf = q.astype(jnp.float32) * scale
+    logits = jnp.einsum("bthd,bhsd->bhts", qf, kf)
+    if logit_softcap > 0.0:
+        logits = logit_softcap * jnp.tanh(logits / logit_softcap)
+
+    kpos = jnp.arange(s)[None, None, :]
+    valid = kpos < kv_lens[:, None, None]
+    if causal:
+        valid = valid & (kpos <= q_positions[:, :, None])
+    else:
+        valid = jnp.broadcast_to(valid, (b, t, s))
+    if alibi is not None:
+        dist = kpos.astype(jnp.float32) - q_positions[:, :, None].astype(
+            jnp.float32
+        )
+        logits = logits + alibi[None, :, None, None] * dist[:, None, :, :]
+    logits = jnp.where(valid[:, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bthd", probs, vf)
+    return out.astype(out_dtype)

@@ -107,35 +107,97 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return codes.astype(jnp.int8), scale
 
 
-def append_layer(cache: KVCache, layer: int, k_new: jax.Array,
-                 v_new: jax.Array, positions: jax.Array) -> KVCache:
-    """Write `[B, T, H, D]` new keys/values at `positions` `[B, T]`.
-
-    Parity: ne_flash_attn_update_k/v incremental append
-    (core/layers/mha_dense.cpp:182-400).  Positions may differ per slot
-    (continuous batching).  Out-of-range positions (padding) are clamped to
-    the last slot and masked out by attention via `lengths`.
-    """
+def _append_scatter(cache: KVCache, layer: int, k_new: jax.Array,
+                    v_new: jax.Array, positions: jax.Array,
+                    active=None) -> KVCache:
+    """Advanced-indexing scatter append (small: B*H*T rows).  Used for
+    decode steps; inactive slots park their write on the trash row."""
     b, t = positions.shape
     h = k_new.shape[2]
     pos = jnp.clip(positions, 0, cache.max_len - 1)
-    # scatter indices broadcast to [B, H, T]
+    if active is not None:
+        pos = jnp.where(active[:, None], pos, cache.max_len - 1)
     bidx = jnp.arange(b)[:, None, None]
     hidx = jnp.arange(h)[None, :, None]
     pidx = pos[:, None, :]
-    kt = k_new.transpose(0, 2, 1, 3)                    # [B, H, T, D]
+    kt = k_new.transpose(0, 2, 1, 3)
     vt = v_new.transpose(0, 2, 1, 3)
     if cache.quantized:
         kc, ks = quantize_kv(kt)
         vc, vs = quantize_kv(vt)
-        k = cache.k.at[layer, bidx, hidx, pidx].set(kc)
-        v = cache.v.at[layer, bidx, hidx, pidx].set(vc)
-        k_scale = cache.k_scale.at[layer, bidx, hidx, pidx].set(ks[..., 0])
-        v_scale = cache.v_scale.at[layer, bidx, hidx, pidx].set(vs[..., 0])
+        return dataclasses.replace(
+            cache,
+            k=cache.k.at[layer, bidx, hidx, pidx].set(kc),
+            v=cache.v.at[layer, bidx, hidx, pidx].set(vc),
+            k_scale=cache.k_scale.at[layer, bidx, hidx, pidx].set(
+                ks[..., 0]),
+            v_scale=cache.v_scale.at[layer, bidx, hidx, pidx].set(
+                vs[..., 0]),
+        )
+    return dataclasses.replace(
+        cache,
+        k=cache.k.at[layer, bidx, hidx, pidx].set(kt.astype(cache.k.dtype)),
+        v=cache.v.at[layer, bidx, hidx, pidx].set(vt.astype(cache.v.dtype)),
+    )
+
+
+def _write_window(dst: jax.Array, upd: jax.Array, layer: int, bi: int,
+                  start, keep) -> jax.Array:
+    """Blend-write `upd` [H, T, ...] into dst[layer, bi, :, start:start+T]
+    via dynamic slices — stays IN PLACE under buffer donation, unlike the
+    general scatter XLA emits for advanced indexing (which copied the
+    whole cache per layer: the dominant prefill cost before this)."""
+    h, t = upd.shape[0], upd.shape[1]
+    idx = (layer, bi, 0, start) + (0,) * (dst.ndim - 4)
+    sizes = (1, 1, h, t) + upd.shape[2:]
+    cur = jax.lax.dynamic_slice(dst, idx, sizes)
+    new = jnp.where(keep, upd[None, None].astype(dst.dtype), cur)
+    return jax.lax.dynamic_update_slice(dst, new, idx)
+
+
+def append_layer(cache: KVCache, layer: int, k_new: jax.Array,
+                 v_new: jax.Array, positions: jax.Array,
+                 active=None) -> KVCache:
+    """Write `[B, T, H, D]` new keys/values at `positions` `[B, T]`.
+
+    Parity: ne_flash_attn_update_k/v incremental append
+    (core/layers/mha_dense.cpp:182-400).
+
+    CONTRACT: each slot's positions form one contiguous run starting at
+    positions[:, 0] (prefill chunks and single-token decode always do);
+    padding rows inside the window write garbage that attention masks via
+    kv_lens.  `active` [B] masks slots whose cache must stay untouched
+    (continuous-batching spectators); defaults to kv-derived in forward().
+    """
+    b, t = positions.shape
+    if t == 1:
+        # decode: a tiny [B*H]-row scatter keeps the cache in its standard
+        # layout (a dynamic-update-slice here makes XLA relayout the WHOLE
+        # cache to S-major and back at the jit boundary — ~6ms/step)
+        return _append_scatter(cache, layer, k_new, v_new, positions,
+                               active)
+    start = jnp.clip(positions[:, 0], 0, cache.max_len - t)
+    if active is None:
+        active = jnp.ones((b,), bool)
+    kt = k_new.transpose(0, 2, 1, 3)                    # [B, H, T, D]
+    vt = v_new.transpose(0, 2, 1, 3)
+    k, v = cache.k, cache.v
+    if cache.quantized:
+        kc, ks = quantize_kv(kt)
+        vc, vs = quantize_kv(vt)
+        k_scale, v_scale = cache.k_scale, cache.v_scale
+        for bi in range(b):
+            k = _write_window(k, kc[bi], layer, bi, start[bi], active[bi])
+            v = _write_window(v, vc[bi], layer, bi, start[bi], active[bi])
+            k_scale = _write_window(k_scale, ks[bi, ..., 0], layer, bi,
+                                    start[bi], active[bi])
+            v_scale = _write_window(v_scale, vs[bi, ..., 0], layer, bi,
+                                    start[bi], active[bi])
         return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
                                    v_scale=v_scale)
-    k = cache.k.at[layer, bidx, hidx, pidx].set(kt.astype(cache.k.dtype))
-    v = cache.v.at[layer, bidx, hidx, pidx].set(vt.astype(cache.v.dtype))
+    for bi in range(b):
+        k = _write_window(k, kt[bi], layer, bi, start[bi], active[bi])
+        v = _write_window(v, vt[bi], layer, bi, start[bi], active[bi])
     return dataclasses.replace(cache, k=k, v=v)
 
 
