@@ -29,8 +29,12 @@ def main():
     ap.add_argument("--prompt", type=int, default=1975)  # reference's prompt
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
+                    help="KV cache dtype (int8 engages the quantized-KV "
+                         "flash kernel)")
     ap.add_argument("--small", action="store_true",
-                    help="tiny shapes for a smoke run")
+                    help="tiny shapes for a smoke run (compile-path check only; "
+                         "the reported rate is meaningless on cached tunnels)")
     args = ap.parse_args()
 
     from neural_speed_tpu.models.arch import ArchConfig
@@ -60,8 +64,9 @@ def main():
     log(f"params materialized in {time.time()-t0:.1f}s")
 
     b = args.batch
+    kv_q = args.kv == "int8"
     cache = kvc.init_cache(cfg.n_layers, b, args.ctx, cfg.n_kv_heads,
-                           cfg.head_dim, jnp.bfloat16)
+                           cfg.head_dim, jnp.bfloat16, quantized=kv_q)
 
     # ---- prefill (TTFT) ----
     t = args.prompt
@@ -101,6 +106,8 @@ def main():
     t2, toks, cache2 = timed(s2, toks[:, -1])
     dt = max(t2 - t1, 1e-6)
     tok_s = (s2 - s1) * b / dt
+    if dt < 1e-3:  # tiny-model smoke runs: marginal rate degenerates
+        tok_s = s2 * b / t2
     log(f"decode: {s1} steps {t1:.3f}s, {s2} steps {t2:.3f}s -> marginal "
         f"{tok_s:.2f} tok/s ({dt/(s2-s1)*1e3:.2f} ms/tok); raw@{s2}: "
         f"{s2*b/t2:.2f} tok/s")

@@ -153,12 +153,15 @@ def attention_cache(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_flash:
-        ks = cache.k_scale[layer_idx] if cache.quantized else None
-        vs = cache.v_scale[layer_idx] if cache.quantized else None
+        # pass the FULL stacked cache + layer index: the kernel's block
+        # index map selects the layer, so XLA never copies the layer out
+        ks = cache.k_scale if cache.quantized else None
+        vs = cache.v_scale if cache.quantized else None
         out = flash.mha(
-            q, cache.k[layer_idx], cache.v[layer_idx], ks, vs,
+            q, cache.k, cache.v, ks, vs,
             q_positions, kv_lens, scale=scale, causal=causal, alibi=alibi,
             logit_softcap=logit_softcap, out_dtype=out_dtype or q.dtype,
+            layer=layer_idx,
         )
         if out is not None:
             return out

@@ -113,14 +113,14 @@ def _mha_kernel(
     def _block():
         br, d = q_ref.shape[2], q_ref.shape[3]
         q = q_ref[0, 0].astype(jnp.bfloat16)           # [BR, D]
-        kc = k_ref[0, 0]                               # [BS, D]
+        kc = k_ref[...].reshape(block_s, d)            # [BS, D]
         s = jax.lax.dot_general(
             q, kc.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                              # [BR, BS]
         if quantized:
-            s = s * ks_ref[0, 0]                       # [1, BS] K scales
+            s = s * ks_ref[...].reshape(1, block_s)    # K scales
         s = s * sm_scale
         if softcap > 0.0:
             s = softcap * jnp.tanh(s / softcap)
@@ -146,9 +146,9 @@ def _mha_kernel(
         l_ref[:] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_next
 
-        vc = v_ref[0, 0]                               # [BS, D]
+        vc = v_ref[...].reshape(block_s, d)            # [BS, D]
         if quantized:
-            p = p * vs_ref[0, 0]                       # fold V scales into P
+            p = p * vs_ref[...].reshape(1, block_s)    # fold V scales into P
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vc.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -175,13 +175,13 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "softcap", "out_dtype", "block_s",
-                     "interpret"),
+                     "interpret", "layer"),
 )
 def _mha_packed(
     q4: jax.Array,                # [B, Hkv, Rp, D] bf16
-    k: jax.Array,                 # [B, Hkv, S, D] (fp or int8)
+    k: jax.Array,                 # [(L,) B, Hkv, S, D] (fp or int8)
     v: jax.Array,
-    k_scale_t: Optional[jax.Array],   # [B, Hkv, 1, S] f32 or None
+    k_scale_t: Optional[jax.Array],   # [(L,) B, Hkv, 1, S] f32 or None
     v_scale_t: Optional[jax.Array],
     pos_rows: jax.Array,          # [B, Rp, 1] int32
     slope_rows: Optional[jax.Array],  # [Hkv, Rp, 1] f32 or None
@@ -193,9 +193,12 @@ def _mha_packed(
     out_dtype,
     block_s: int,
     interpret: bool,
+    layer: Optional[int] = None,  # layer index when k/v carry the full
+                                  # stacked cache (avoids XLA materializing
+                                  # a per-layer slice copy before the call)
 ):
     b, hkv, rp, d = q4.shape
-    s = k.shape[2]
+    s = k.shape[-2]
     quantized = k_scale_t is not None
     use_alibi = slope_rows is not None
     br = min(rp, 256)  # q-row block; rp is padded to a multiple of br
@@ -206,24 +209,29 @@ def _mha_packed(
 
     grid = (b, hkv, rp // br, n_s)
     # index maps get the scalar-prefetch ref(s) appended after grid indices
+    if layer is None:
+        kv_spec = pl.BlockSpec((1, 1, block_s, d),
+                               lambda bi, h, r, j, *_: (bi, h, j, 0))
+        sc_spec = pl.BlockSpec((1, 1, 1, block_s),
+                               lambda bi, h, r, j, *_: (bi, h, 0, j))
+    else:
+        kv_spec = pl.BlockSpec(
+            (1, 1, 1, block_s, d),
+            lambda bi, h, r, j, *_: (layer, bi, h, j, 0))
+        sc_spec = pl.BlockSpec(
+            (1, 1, 1, 1, block_s),
+            lambda bi, h, r, j, *_: (layer, bi, h, 0, j))
     in_specs = [
         pl.BlockSpec((1, br, 1), lambda bi, h, r, j, *_: (bi, r, 0)),    # pos
         pl.BlockSpec((1, br, 1), lambda bi, h, r, j, *_: (h, r, 0)),     # slope
         pl.BlockSpec((1, 1, br, d),
                      lambda bi, h, r, j, *_: (bi, h, r, 0)),             # q
-        pl.BlockSpec((1, 1, block_s, d),
-                     lambda bi, h, r, j, *_: (bi, h, j, 0)),             # k
-        pl.BlockSpec((1, 1, block_s, d),
-                     lambda bi, h, r, j, *_: (bi, h, j, 0)),             # v
+        kv_spec,                                                         # k
+        kv_spec,                                                         # v
     ]
     args = [pos_rows, slope_rows, q4, k, v]
     if quantized:
-        in_specs += [
-            pl.BlockSpec((1, 1, 1, block_s),
-                         lambda bi, h, r, j, *_: (bi, h, 0, j)),
-            pl.BlockSpec((1, 1, 1, block_s),
-                         lambda bi, h, r, j, *_: (bi, h, 0, j)),
-        ]
+        in_specs += [sc_spec, sc_spec]
         args += [k_scale_t, v_scale_t]
 
     kernel = functools.partial(
@@ -270,9 +278,11 @@ def _mha_packed(
 
 def mha(
     q: jax.Array,                     # [B, T, H, D]
-    k: jax.Array,                     # [B, Hkv, S, D] fp or int8 codes
+    k: jax.Array,                     # [B, Hkv, S, D] fp or int8 codes —
+                                      # or the full stacked cache
+                                      # [L, B, Hkv, S, D] with `layer` set
     v: jax.Array,
-    k_scale: Optional[jax.Array],     # [B, Hkv, S] f32 (int8 KV) or None
+    k_scale: Optional[jax.Array],     # [B, Hkv, S] ([L, B, Hkv, S]) f32
     v_scale: Optional[jax.Array],
     q_positions: jax.Array,           # [B, T] int32
     kv_lens: jax.Array,               # [B] int32
@@ -282,12 +292,15 @@ def mha(
     alibi: Optional[jax.Array] = None,    # [H] slopes
     logit_softcap: float = 0.0,
     out_dtype=None,
+    layer: Optional[int] = None,
 ) -> Optional[jax.Array]:
     """Flash attention entry (K/V in the cache's [B, Hkv, S, D] layout).
-    Returns None if the shape is unsupported (caller falls back to the XLA
-    reference path)."""
+    Passing the stacked 5-D cache with `layer` lets the kernel read the
+    layer's blocks straight from the full buffer (XLA would otherwise copy
+    the layer out before a custom call).  Returns None if the shape is
+    unsupported (caller falls back to the XLA reference path)."""
     b, t, h, d = q.shape
-    hkv, s = k.shape[1], k.shape[2]
+    hkv, s = k.shape[-3], k.shape[-2]
     if not _supported(d, s):
         return None
     n_rep = h // hkv
@@ -318,18 +331,26 @@ def mha(
 
     k_scale_t = v_scale_t = None
     if k_scale is not None:
-        # [B,Hkv,S] -> [B,Hkv,1,S]: scales ride the lane dim
-        k_scale_t = k_scale.astype(jnp.float32)[:, :, None, :]
-        v_scale_t = v_scale.astype(jnp.float32)[:, :, None, :]
+        # [..., Hkv, S] -> [..., Hkv, 1, S]: scales ride the lane dim
+        k_scale_t = k_scale.astype(jnp.float32)[..., None, :]
+        v_scale_t = v_scale.astype(jnp.float32)[..., None, :]
 
-    block_s = 512 if s % 512 == 0 and s >= 2048 else (
-        256 if s % 256 == 0 else 128)
+    # decode (tiny R): large KV blocks minimize grid-cell overhead (the
+    # whole cache streams through either way); prefill: 512 balances VMEM
+    # against the S^2 score tile
+    bs_target = (2048 if k.dtype == jnp.int8 else 1024) if rp <= 8 else 512
+    block_s = 128
+    for cand in (2048, 1024, 512, 256, 128):
+        if cand <= bs_target and s % cand == 0:
+            block_s = cand
+            break
     interpret = flash_mode() == "interpret"
 
     out = _mha_packed(
         q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows, kv_lens,
         scale=float(scale), causal=causal, softcap=float(logit_softcap),
         out_dtype=out_dtype, block_s=block_s, interpret=interpret,
+        layer=layer,
     )
     out = out[:, :, :r].reshape(b, hkv, n_rep, t, d)
     return out.transpose(0, 3, 1, 2, 4).reshape(b, t, h, d)

@@ -24,7 +24,10 @@ def synth_qtensor(key, k: int, n: int, spec: QSpec,
         data = (jax.random.randint(keys[0], (k, n), 0, 256, jnp.int32)
                 .astype(jnp.uint8),)
     elif spec.is_fp8:
-        raise NotImplementedError
+        dt = (jnp.float8_e4m3fn if spec.qtype == QType.FP8_E4M3
+              else jnp.float8_e5m2)
+        data = (jax.random.normal(keys[0], (k, n), jnp.float32)
+                .astype(dt),)
     else:
         bits = 4 if spec.is_lut else spec.bits
         data = tuple(
