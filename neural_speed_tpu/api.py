@@ -154,11 +154,24 @@ class Model:
         streamer: Optional[Callable[[int], None]] = None,
         stopping_criteria: Optional[Callable[[List[int]], bool]] = None,
         ignore_prompt: bool = False,
+        session_path: Optional[str] = None,
         **kwargs,
     ):
         """HF-style generate (parity: __init__.py:337-411 incl. streamer +
-        StoppingCriteria callback, docs/customized_stop.md)."""
+        StoppingCriteria callback, docs/customized_stop.md).
+
+        `session_path`: prompt-session file (parity: 'ggsn' session files +
+        --prompt_cache_all, model_utils.cpp:1775-1856).  If the file exists
+        and its stored token prefix matches the (single) prompt, the cached
+        KV is restored and only the remainder is prefilled; the session is
+        re-saved after generation.  Single-prompt, non-beam only."""
         ids = self._to_list_batch(input_ids)
+        cached = 0
+        if session_path is not None:
+            if len(ids) != 1 or num_beams > 1:
+                raise ValueError("session_path needs a single prompt, "
+                                 "num_beams=1")
+            cached = self._load_session_prefix(session_path, ids[0])
         if num_beams > 1:
             from .runtime.beam import BeamConfig, beam_search
 
@@ -189,7 +202,8 @@ class Model:
         )
         seqs = {}
         for p in ids:
-            rid = sched.add_request(p, max_new_tokens, streamer=streamer)
+            rid = sched.add_request(p, max_new_tokens, streamer=streamer,
+                                    cached=cached)
             seqs[rid] = p
         done = {}
         while sched.has_work:
@@ -204,10 +218,41 @@ class Model:
 
         if verbose_level() >= 0:
             sched.timings.print_timings()
+        if session_path is not None:
+            # store everything evaluated so far (prompt + generated minus
+            # the trailing token whose KV isn't written yet)
+            rid0 = sorted(done)[0]
+            stored = seqs[rid0] + done[rid0][:-1]
+            serialization.save_session(session_path, self.engine.cache,
+                                       extra={"tokens": stored})
         return [
             (seqs[rid] if not ignore_prompt else []) + done[rid]
             for rid in sorted(done)
         ]
+
+    def _load_session_prefix(self, path: str, prompt: List[int]) -> int:
+        """Restore a session file when its token prefix matches `prompt`;
+        returns the usable cached-prefix length (0 = no match)."""
+        if not os.path.exists(path):
+            return 0
+        cache, extra = serialization.load_session(
+            path, self.engine.cache, with_extra=True
+        )
+        saved = list(extra.get("tokens", []))
+        n = 0
+        for a, b in zip(saved, prompt):
+            if a != b:
+                break
+            n += 1
+        n = min(n, len(prompt) - 1, int(np.asarray(cache.lengths)[0]))
+        if n <= 0:
+            return 0
+        from .ops import kv_cache as kvc
+
+        lengths = np.zeros((cache.batch,), np.int32)
+        lengths[0] = n
+        self.engine.cache = kvc.set_lengths(cache, jnp.asarray(lengths))
+        return n
 
     def __call__(self, input_ids, **kw):
         """Return logits for a batch (parity: __init__.py:439-481; rows are

@@ -44,6 +44,7 @@ class Sequence:
     request_id: int
     prompt: List[int]
     max_new_tokens: int = 128
+    cached: int = 0  # prompt-prefix tokens already in the slot's KV
     status: str = SeqStatus.WAITING
     slot: int = -1
     generated: List[int] = dataclasses.field(default_factory=list)
@@ -85,10 +86,16 @@ class ContinuousBatchingScheduler:
 
     # ------------------------------------------------------------------
     def add_request(self, prompt: Sequence[int], max_new_tokens: int = 128,
-                    streamer=None) -> int:
+                    streamer=None, cached: int = 0) -> int:
+        """`cached`: prompt-prefix length whose KV is already present in the
+        target slot (prompt-session files — parity:
+        model_load_session_file, model_utils.cpp:1775-1830); only the
+        suffix is prefilled."""
         rid = next(self._ids)
+        cached = max(0, min(cached, len(prompt) - 1))
         self.waiting.append(
-            Sequence(rid, list(prompt), max_new_tokens, streamer=streamer)
+            Sequence(rid, list(prompt), max_new_tokens, streamer=streamer,
+                     cached=cached)
         )
         return rid
 
@@ -131,26 +138,28 @@ class ContinuousBatchingScheduler:
             batch.append(seq)
 
         eng = self.engine
-        maxlen = max(len(s.prompt) for s in batch)
+        maxlen = max(len(s.prompt) - s.cached for s in batch)
         from .engine import pad_to_bucket
 
         t = pad_to_bucket(maxlen, eng.buckets)
         ids = np.zeros((eng.max_batch, t), np.int32)
         lens = np.zeros((eng.max_batch,), np.int32)
+        start = np.zeros((eng.max_batch,), np.int32)
         for s in batch:
-            p = s.prompt[-t:]  # clamp over-long prompts to the bucket
+            p = s.prompt[s.cached:][-t:]  # clamp over-long to the bucket
             ids[s.slot, : len(p)] = p
             lens[s.slot] = len(p)
+            start[s.slot] = s.cached
         with self.timings.timer("prefill", int(lens.sum())):
             logits, eng.cache = prefill_step(
                 eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
-                jnp.asarray(lens), jnp.zeros((eng.max_batch,), jnp.int32),
+                jnp.asarray(lens), jnp.asarray(start),
             )
             logits.block_until_ready()
         self._sample_and_commit(logits, {s.slot: s for s in batch},
                                 prompt_obs=batch)
         for s in batch:
-            self._slot_len[s.slot] = int(lens[s.slot])
+            self._slot_len[s.slot] = int(lens[s.slot]) + s.cached
             s.status = SeqStatus.DECODING
 
     def _decode_step(self) -> None:

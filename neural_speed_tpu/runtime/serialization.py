@@ -132,7 +132,7 @@ def save_session(path: str, cache: kvc.KVCache,
     np.savez(path, __manifest__=json.dumps(meta), **arrays)
 
 
-def load_session(path: str, like: kvc.KVCache) -> kvc.KVCache:
+def load_session(path: str, like: kvc.KVCache, with_extra: bool = False):
     z = np.load(path, allow_pickle=False)
     meta = json.loads(str(z["__manifest__"]))
     assert meta["magic"] == MAGIC
@@ -144,9 +144,12 @@ def load_session(path: str, like: kvc.KVCache) -> kvc.KVCache:
         return jnp.asarray(a, dtype)
 
     kdt = like.k.dtype
-    return kvc.KVCache(
+    cache = kvc.KVCache(
         arr("k", kdt), arr("v", kdt),
         jnp.asarray(z["k_scale"]) if meta["quant"] else None,
         jnp.asarray(z["v_scale"]) if meta["quant"] else None,
         jnp.asarray(z["lengths"], jnp.int32),
     )
+    if with_extra:
+        return cache, meta.get("extra", {})
+    return cache

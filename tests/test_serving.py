@@ -215,3 +215,27 @@ def test_call_returns_padded_logits(our_model):
         PROMPTS[1]
     )
     assert np.isneginf(out[0, len(PROMPTS[0]):]).all()
+
+
+def test_prompt_session_cache(our_model, tmp_path):
+    """Prompt-session files (parity: 'ggsn' save/load + prompt cache):
+    a second generate with the same prompt restores the KV and prefills
+    only the suffix, producing identical greedy output."""
+    sess = str(tmp_path / "sess.npz")
+    prompt = PROMPTS[0]
+    ref = our_model.generate([prompt], max_new_tokens=6,
+                             repetition_penalty=1.0)[0]
+    out1 = our_model.generate([prompt], max_new_tokens=6,
+                              repetition_penalty=1.0,
+                              session_path=sess)[0]
+    assert out1 == ref
+    # extended prompt: cached prefix + 2 new tokens
+    longer = prompt + ref[len(prompt): len(prompt) + 2]
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+
+    out2 = our_model.generate([longer], max_new_tokens=4,
+                              repetition_penalty=1.0,
+                              session_path=sess)[0]
+    ref2 = our_model.generate([longer], max_new_tokens=4,
+                              repetition_penalty=1.0)[0]
+    assert out2 == ref2
