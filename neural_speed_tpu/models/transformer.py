@@ -390,10 +390,13 @@ def _repad_tree(node):
     from ..ops.matmul import _bands
     from ..ops.quantize import repad_k
 
+    from ..ops.quantize import widen_bits
+
     if isinstance(node, dict):
         out = {}
         for key, val in node.items():
             if key == "w" and isinstance(val, QTensor):
+                val = widen_bits(val)  # 3/5/6/7-bit -> kernel-native width
                 g = val.spec.effective_group(val.shape[0])
                 out[key] = repad_k(val, _bands(val.spec) * g)
             else:

@@ -481,3 +481,31 @@ def quantize_tree(params, policy) -> dict:
         return node
 
     return walk(params, "")
+
+
+def widen_bits(qt: QTensor) -> QTensor:
+    """Re-pack odd bit widths (3/5/6/7) into the next kernel-native width
+    (4 or 8 bits) at load time: codes are unchanged integers, so the
+    mapping is exact; storage grows (3b->4b: +33%) but the fused Pallas
+    kernel applies instead of the slow XLA dequant fallback.  The
+    storage-side multi-plane format (bestla_storage.h 3/5/6/7-bit split
+    buffers parity) remains the on-disk representation."""
+    spec = qt.spec
+    if spec.qtype != QType.INT or spec.bits in (1, 2, 4, 8):
+        return qt
+    target = 4 if spec.bits < 4 else 8
+    k, n = qt.shape
+    codes = unpack_codes(qt.data, spec.bits, k, qt.k_shards)
+    data = pack_codes(codes, target, qt.k_shards)
+    new_spec = dataclasses.replace(spec, bits=target)
+    zeros = qt.zeros
+    if spec.symmetric:
+        # symmetric codes carry the ORIGINAL offset 2^(bits-1); under the
+        # wider width express it as an explicit (asymmetric) zero point so
+        # dequant stays exact: (codes - 2^(bits-1)) * scale
+        g = spec.effective_group(k)
+        zeros = jnp.full((max(k // g, 1), n), 1 << (spec.bits - 1),
+                         jnp.uint8)
+        new_spec = dataclasses.replace(new_spec, symmetric=False)
+    return QTensor(data, qt.scales, zeros, qt.sscale, new_spec, qt.shape,
+                   qt.k_shards)

@@ -160,3 +160,24 @@ def test_layerwise_quant_policy():
     assert p["layers"][0]["q"]["w"].spec.bits == 4
     assert p["layers"][0]["ffn"]["down"]["w"].spec.bits == 8
     assert not isinstance(p["lm_head"]["w"], QTensor)
+
+
+def test_widen_bits_exact():
+    """3/5/6/7-bit load-time widening to 4/8-bit kernel-native packs is
+    exact (codes unchanged; symmetric offset becomes an explicit zp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.ops.quantize import dequantize, quantize, widen_bits
+
+    rng = jax.random.PRNGKey(0)
+    w = jax.random.normal(rng, (128, 64), jnp.float32)
+    for bits in (3, 5, 6, 7):
+        for sym in (True, False):
+            spec = QSpec(QType.INT, bits, 32, sym)
+            qt = quantize(w, spec)
+            wide = widen_bits(qt)
+            assert wide.spec.bits in (4, 8)
+            np.testing.assert_array_equal(
+                np.asarray(dequantize(wide)), np.asarray(dequantize(qt)))
