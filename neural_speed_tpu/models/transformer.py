@@ -156,6 +156,19 @@ def _logn_scale(positions: jax.Array, train_ctx: int) -> jax.Array:
     return jnp.maximum(scale, 1.0)
 
 
+def _cache_append(cache, layer_idx: int, k, v, positions, active):
+    """Dispatch KV append by cache type (contiguous vs paged)."""
+    from ..ops import paged_kv as pkv
+
+    if isinstance(cache, pkv.PagedKVCache):
+        if positions.shape[1] == 1:
+            return pkv.append_decode(cache, layer_idx, k, v, positions,
+                                     active)
+        return pkv.append_prefill(cache, layer_idx, k, v, positions,
+                                  active=active)
+    return kvc.append_layer(cache, layer_idx, k, v, positions, active=active)
+
+
 # ---------------------------------------------------------------------------
 # decoder layer
 # ---------------------------------------------------------------------------
@@ -217,8 +230,8 @@ def decoder_layer(
 
     # active slots are exactly those whose kv_lens advance past their
     # first written position (spectator slots keep kv_lens == old length)
-    cache = kvc.append_layer(cache, layer_idx, k, v, positions,
-                             active=kv_lens > positions[:, 0])
+    cache = _cache_append(cache, layer_idx, k, v, positions,
+                          kv_lens > positions[:, 0])
     attn_out = attention_cache(
         q, cache, layer_idx, positions, kv_lens,
         scale=cfg.attn_scale if cfg.attn_scale is not None

@@ -141,7 +141,30 @@ def attention_cache(
     dequantized view first (read_layer)."""
     from . import flash
     from . import kv_cache as kvc
+    from . import paged_kv as pkv
 
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if isinstance(cache, pkv.PagedKVCache):
+        if use_flash is None:
+            use_flash = flash.flash_enabled()
+        if use_flash:
+            out = flash.mha_paged(
+                q, cache, layer_idx, q_positions, kv_lens, scale=scale,
+                causal=causal, alibi=alibi, logit_softcap=logit_softcap,
+                out_dtype=out_dtype or q.dtype,
+            )
+            if out is not None:
+                return out
+        k_all, v_all = pkv.gathered_layer(
+            cache, layer_idx,
+            jnp.float32 if cache.quantized else q.dtype,
+        )
+        return _attention_ref_hsd(
+            q, k_all, v_all, q_positions, kv_lens, scale=scale,
+            causal=causal, alibi=alibi, logit_softcap=logit_softcap,
+            out_dtype=out_dtype,
+        )
     if use_flash is None:
         # flash pays off when it avoids HBM traffic: quantized KV (XLA path
         # materializes a dequantized cache copy), prefill (S^2 logits), or
@@ -150,8 +173,6 @@ def attention_cache(
         use_flash = flash.flash_enabled() and (
             cache.quantized or q.shape[1] > 1 or q.shape[2] > cache.kv_heads
         )
-    if scale is None:
-        scale = 1.0 / math.sqrt(q.shape[-1])
     if use_flash:
         # pass the FULL stacked cache + layer index: the kernel's block
         # index map selects the layer, so XLA never copies the layer out

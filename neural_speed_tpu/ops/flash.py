@@ -368,3 +368,137 @@ def flash_attention(q, k, v, q_positions, kv_lens, *, scale=None, causal=True,
     if out is None:
         raise NotImplementedError("unsupported shape for flash kernel")
     return out
+
+
+# ---------------------------------------------------------------------------
+# paged variant: the page table is scalar-prefetched and the KV block index
+# map resolves logical block j -> physical page (boom guide paged attention,
+# without manual DMA: the BlockSpec indirection IS the page gather)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "softcap", "out_dtype", "interpret",
+                     "layer"),
+)
+def _mha_paged(
+    q4: jax.Array,                # [B, Hkv, Rp, D] bf16
+    k_pages: jax.Array,           # [L, Hkv, P, ps, D]
+    v_pages: jax.Array,
+    k_scale: Optional[jax.Array],     # [L, Hkv, P, 1, ps] f32 or None
+    v_scale: Optional[jax.Array],
+    page_tables: jax.Array,       # [B, n_blocks] int32
+    pos_rows: jax.Array,          # [B, Rp, 1] int32
+    slope_rows: Optional[jax.Array],
+    kv_lens: jax.Array,           # [B] int32
+    *,
+    scale: float,
+    causal: bool,
+    softcap: float,
+    out_dtype,
+    interpret: bool,
+    layer: int,
+):
+    b, hkv, rp, d = q4.shape
+    ps = k_pages.shape[3]
+    n_blocks = page_tables.shape[1]
+    quantized = k_scale is not None
+    use_alibi = slope_rows is not None
+    br = min(rp, 256)
+    if slope_rows is None:
+        slope_rows = jnp.zeros((hkv, rp, 1), jnp.float32)
+
+    grid = (b, hkv, rp // br, n_blocks)
+    # prefetch arg order: (kv_lens, page_tables); index maps receive them
+    kv_spec = pl.BlockSpec(
+        (1, 1, 1, ps, d),
+        lambda bi, h, r, j, lens, tbl: (layer, h, tbl[bi, j], 0, 0),
+    )
+    sc_spec = pl.BlockSpec(
+        (1, 1, 1, 1, ps),
+        lambda bi, h, r, j, lens, tbl: (layer, h, tbl[bi, j], 0, 0),
+    )
+    in_specs = [
+        pl.BlockSpec((1, br, 1), lambda bi, h, r, j, *_: (bi, r, 0)),
+        pl.BlockSpec((1, br, 1), lambda bi, h, r, j, *_: (h, r, 0)),
+        pl.BlockSpec((1, 1, br, d), lambda bi, h, r, j, *_: (bi, h, r, 0)),
+        kv_spec,
+        kv_spec,
+    ]
+    args = [pos_rows, slope_rows, q4, k_pages, v_pages]
+    if quantized:
+        in_specs += [sc_spec, sc_spec]
+        args += [k_scale, v_scale]
+
+    def kernel(kvlen_ref, table_ref, *rest):
+        # table_ref is consumed by the index maps only
+        _mha_kernel(kvlen_ref, *rest, quantized=quantized, causal=causal,
+                    use_alibi=use_alibi, softcap=softcap, sm_scale=scale,
+                    block_s=ps, n_s=n_blocks)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, br, d), lambda bi, h, r, j, *_: (bi, h, r, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((br, LANES), jnp.float32),
+                pltpu.VMEM((br, LANES), jnp.float32),
+                pltpu.VMEM((br, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rp, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), page_tables.astype(jnp.int32), *args)
+    return out
+
+
+def mha_paged(q, cache, layer: int, q_positions, kv_lens, *, scale,
+              causal=True, alibi=None, logit_softcap=0.0, out_dtype=None):
+    """Flash attention over a PagedKVCache layer.  Same GQA row packing as
+    `mha`; KV blocks stream page by page via the prefetched page table."""
+    b, t, h, d = q.shape
+    hkv = cache.kv_heads
+    if d not in (64, 128, 256) or cache.page_size % 128:
+        return None
+    n_rep = h // hkv
+    r = n_rep * t
+    rp = _round_up(r, 8) if r <= 256 else _round_up(r, 256)
+    out_dtype = out_dtype or q.dtype
+
+    q4 = q.reshape(b, t, hkv, n_rep, d).transpose(0, 2, 3, 1, 4)
+    q4 = q4.reshape(b, hkv, r, d).astype(jnp.bfloat16)
+    pos_rows = jnp.tile(q_positions.astype(jnp.int32), (1, n_rep))
+    if rp != r:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - r), (0, 0)))
+        pos_rows = jnp.pad(pos_rows, ((0, 0), (0, rp - r)),
+                           constant_values=-1)
+    pos_rows = pos_rows[..., None]
+
+    slope_rows = None
+    if alibi is not None:
+        sl = jnp.broadcast_to(
+            alibi.astype(jnp.float32).reshape(hkv, n_rep, 1), (hkv, n_rep, t)
+        ).reshape(hkv, r)
+        if rp != r:
+            sl = jnp.pad(sl, ((0, 0), (0, rp - r)))
+        slope_rows = sl[..., None]
+
+    out = _mha_paged(
+        q4, cache.k_pages, cache.v_pages, cache.k_scale, cache.v_scale,
+        cache.page_tables, pos_rows, slope_rows, kv_lens,
+        scale=float(scale), causal=causal, softcap=float(logit_softcap),
+        out_dtype=out_dtype, interpret=flash_mode() == "interpret",
+        layer=layer,
+    )
+    out = out[:, :, :r].reshape(b, hkv, n_rep, t, d)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, t, h, d)

@@ -1,0 +1,298 @@
+"""Paged KV cache — virtual memory for KV (EXTENSION beyond the reference;
+boom-guide paged-attention design).
+
+The contiguous per-slot cache (ops/kv_cache.py) reserves `max_len` per slot;
+the paged cache shares a physical page pool across slots so memory scales
+with TOKENS IN FLIGHT, not slots x max_len:
+
+    k_pages / v_pages : [L, H_kv, P, page_size, D]   (bf16/f32 or int8)
+    k_scale / v_scale : [L, H_kv, P, 1, page_size]   (int8 KV only)
+    page_tables       : [B, n_blocks] int32 — logical block j of slot b
+                        lives in physical page page_tables[b, j]
+    lengths           : [B] tokens stored per slot
+
+The flash kernel pages for free: the page table is scalar-prefetched and
+the KV BlockSpec index map looks physical pages up per grid step — no
+gather, no copies.  Prefill allocates each slot a CONTIGUOUS page run, so
+the prompt lands with one in-place window write; decode growth takes any
+free page (one tiny scatter per token).
+
+Page allocation is host-side (`PageAllocator`) — the scheduler owns it,
+like every serving stack's block manager.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .kv_cache import KV_SCALE_EPS, quantize_kv
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PagedKVCache:
+    k_pages: jax.Array
+    v_pages: jax.Array
+    k_scale: Optional[jax.Array]
+    v_scale: Optional[jax.Array]
+    page_tables: jax.Array       # [B, n_blocks] int32
+    lengths: jax.Array           # [B] int32
+
+    def tree_flatten(self):
+        return (self.k_pages, self.v_pages, self.k_scale, self.v_scale,
+                self.page_tables, self.lengths), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_pages.dtype == jnp.int8
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def n_pages(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def n_blocks(self) -> int:
+        return self.page_tables.shape[1]
+
+    @property
+    def kv_heads(self) -> int:
+        return self.k_pages.shape[1]
+
+    @property
+    def layers(self) -> int:
+        return self.k_pages.shape[0]
+
+    @property
+    def batch(self) -> int:
+        return self.page_tables.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.n_blocks * self.page_size
+
+
+def init_paged_cache(layers: int, batch: int, max_len: int, kv_heads: int,
+                     head_dim: int, n_pages: int, page_size: int = 128,
+                     dtype=jnp.bfloat16,
+                     quantized: bool = False) -> PagedKVCache:
+    assert max_len % page_size == 0
+    n_blocks = max_len // page_size
+    shape = (layers, kv_heads, n_pages, page_size, head_dim)
+    if quantized:
+        k = jnp.zeros(shape, jnp.int8)
+        v = jnp.zeros(shape, jnp.int8)
+        ks = jnp.zeros(shape[:3] + (1, page_size), jnp.float32)
+        vs = jnp.zeros(shape[:3] + (1, page_size), jnp.float32)
+    else:
+        k = jnp.zeros(shape, dtype)
+        v = jnp.zeros(shape, dtype)
+        ks = vs = None
+    return PagedKVCache(
+        k, v, ks, vs,
+        jnp.zeros((batch, n_blocks), jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+    )
+
+
+class PageAllocator:
+    """Host-side physical page manager (the serving block manager)."""
+
+    def __init__(self, n_pages: int):
+        self.free: List[int] = list(range(n_pages))
+
+    @property
+    def available(self) -> int:
+        return len(self.free)
+
+    def alloc_run(self, n: int) -> Optional[int]:
+        """Allocate `n` CONTIGUOUS pages (prefill); returns the first page
+        or None.  The free list is kept sorted; first-fit run search."""
+        self.free.sort()
+        run = 1
+        for i in range(1, len(self.free) + 1):
+            if i < len(self.free) and self.free[i] == self.free[i - 1] + 1:
+                run += 1
+            else:
+                if run >= n:
+                    start_idx = i - run
+                    first = self.free[start_idx]
+                    del self.free[start_idx:start_idx + n]
+                    return first
+                run = 1
+        return None
+
+    def alloc_page(self) -> Optional[int]:
+        return self.free.pop() if self.free else None
+
+    def free_pages(self, pages: List[int]) -> None:
+        self.free.extend(int(p) for p in pages)
+
+
+# ---------------------------------------------------------------------------
+# appends
+# ---------------------------------------------------------------------------
+
+
+def _pool_rows(a: jax.Array) -> jax.Array:
+    """[L, H, P, ps, D] -> [L, H, P*ps, D] view (free reshape)."""
+    L, H, P, ps, D = a.shape
+    return a.reshape(L, H, P * ps, D)
+
+
+def append_prefill(cache: PagedKVCache, layer: int, k_new: jax.Array,
+                   v_new: jax.Array, positions: jax.Array,
+                   first_pages: Optional[jax.Array] = None,
+                   active=None) -> PagedKVCache:
+    """Prompt-chunk write: the allocator guarantees each slot's blocks for
+    the written span form a contiguous physical run, so the whole [T]
+    window lands with one in-place dynamic slice per slot (same trick as
+    the contiguous cache).  The run's first page is read from the page
+    table (or passed explicitly).  k_new/v_new: [B, T, H, D];
+    positions [B, T] logical contiguous run."""
+    b, t = positions.shape
+    ps = cache.page_size
+    if active is None:
+        active = jnp.ones((b,), bool)
+    start = jnp.clip(positions[:, 0], 0, cache.max_len - t)
+    if first_pages is None:
+        blk0 = start // ps
+        first_pages = jnp.take_along_axis(
+            cache.page_tables, blk0[:, None], axis=1
+        )[:, 0]
+        row_starts = first_pages * ps + start % ps
+    else:
+        row_starts = first_pages * ps + start
+    kt = k_new.transpose(0, 2, 1, 3)
+    vt = v_new.transpose(0, 2, 1, 3)
+    if cache.quantized:
+        kc, ks = quantize_kv(kt)
+        vc, vs = quantize_kv(vt)
+    k = _pool_rows(cache.k_pages)
+    v = _pool_rows(cache.v_pages)
+    if cache.quantized:
+        kscale = cache.k_scale.reshape(cache.layers, cache.kv_heads, 1,
+                                       cache.n_pages * ps)
+        vscale = cache.v_scale.reshape(cache.layers, cache.kv_heads, 1,
+                                       cache.n_pages * ps)
+    for bi in range(b):
+        row0 = row_starts[bi]
+        if cache.quantized:
+            k = _write_pool(k, kc[bi], layer, row0, active[bi])
+            v = _write_pool(v, vc[bi], layer, row0, active[bi])
+            kscale = _write_pool_scale(kscale, ks[bi, ..., 0], layer, row0,
+                                       active[bi])
+            vscale = _write_pool_scale(vscale, vs[bi, ..., 0], layer, row0,
+                                       active[bi])
+        else:
+            k = _write_pool(k, kt[bi], layer, row0, active[bi])
+            v = _write_pool(v, vt[bi], layer, row0, active[bi])
+    shp = cache.k_pages.shape
+    out = dataclasses.replace(
+        cache, k_pages=k.reshape(shp), v_pages=v.reshape(shp))
+    if cache.quantized:
+        sshp = cache.k_scale.shape
+        out = dataclasses.replace(out, k_scale=kscale.reshape(sshp),
+                                  v_scale=vscale.reshape(sshp))
+    return out
+
+
+def _write_pool(dst, upd, layer: int, row0, keep):
+    """Blend-write upd [H, T, D] into dst [L, H, R, D] at rows row0.."""
+    h, t, d = upd.shape
+    idx = (layer, 0, row0, 0)
+    cur = jax.lax.dynamic_slice(dst, idx, (1, h, t, d))
+    new = jnp.where(keep, upd[None].astype(dst.dtype), cur)
+    return jax.lax.dynamic_update_slice(dst, new, idx)
+
+
+def _write_pool_scale(dst, upd, layer: int, row0, keep):
+    """Blend-write upd [H, T] into dst [L, H, 1, R] at lanes row0.."""
+    h, t = upd.shape
+    idx = (layer, 0, 0, row0)
+    cur = jax.lax.dynamic_slice(dst, idx, (1, h, 1, t))
+    new = jnp.where(keep, upd[:, None, :][None].astype(dst.dtype), cur)
+    return jax.lax.dynamic_update_slice(dst, new, idx)
+
+
+def append_decode(cache: PagedKVCache, layer: int, k_new: jax.Array,
+                  v_new: jax.Array, positions: jax.Array,
+                  active=None) -> PagedKVCache:
+    """Single-token write via the page table: physical row =
+    table[b, pos // ps] * ps + pos % ps (tiny scatter, layout-neutral).
+    k_new/v_new: [B, 1, H, D]; positions [B, 1]."""
+    b = positions.shape[0]
+    ps = cache.page_size
+    pos = jnp.clip(positions[:, 0], 0, cache.max_len - 1)
+    block = pos // ps
+    page = jnp.take_along_axis(cache.page_tables, block[:, None],
+                               axis=1)[:, 0]
+    row = page * ps + pos % ps                     # [B] physical rows
+    if active is not None:
+        # park inactive writes on the last row of the last page
+        row = jnp.where(active, row, cache.n_pages * ps - 1)
+    kt = k_new[:, 0]                               # [B, H, D]
+    vt = v_new[:, 0]
+    hidx = jnp.arange(cache.kv_heads)[None, :]
+    ridx = row[:, None]
+    k = _pool_rows(cache.k_pages)
+    v = _pool_rows(cache.v_pages)
+    if cache.quantized:
+        kc, ks = quantize_kv(kt)
+        vc, vs = quantize_kv(vt)
+        k = k.at[layer, hidx, ridx].set(kc)
+        v = v.at[layer, hidx, ridx].set(vc)
+        kscale = cache.k_scale.reshape(cache.layers, cache.kv_heads, 1, -1)
+        vscale = cache.v_scale.reshape(cache.layers, cache.kv_heads, 1, -1)
+        kscale = kscale.at[layer, hidx, 0, ridx].set(ks[..., 0])
+        vscale = vscale.at[layer, hidx, 0, ridx].set(vs[..., 0])
+        return dataclasses.replace(
+            cache,
+            k_pages=k.reshape(cache.k_pages.shape),
+            v_pages=v.reshape(cache.v_pages.shape),
+            k_scale=kscale.reshape(cache.k_scale.shape),
+            v_scale=vscale.reshape(cache.v_scale.shape),
+        )
+    k = k.at[layer, hidx, ridx].set(kt.astype(k.dtype))
+    v = v.at[layer, hidx, ridx].set(vt.astype(v.dtype))
+    return dataclasses.replace(
+        cache,
+        k_pages=k.reshape(cache.k_pages.shape),
+        v_pages=v.reshape(cache.v_pages.shape),
+    )
+
+
+def gathered_layer(cache: PagedKVCache, layer: int,
+                   dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+    """Materialize logical [B, Hkv, S, D] K/V for one layer (XLA reference
+    path / CPU tests; the Pallas kernel never does this)."""
+    k = jnp.take(cache.k_pages[layer], cache.page_tables, axis=1)
+    v = jnp.take(cache.v_pages[layer], cache.page_tables, axis=1)
+    # [H, B, nb, ps, D] -> [B, H, nb*ps, D]
+    def merge(a):
+        h, b, nb, ps, d = a.shape
+        return a.transpose(1, 0, 2, 3, 4).reshape(b, h, nb * ps, d)
+
+    kf, vf = merge(k), merge(v)
+    if cache.quantized:
+        ks = jnp.take(cache.k_scale[layer], cache.page_tables, axis=1)
+        vs = jnp.take(cache.v_scale[layer], cache.page_tables, axis=1)
+
+        def merge_s(a):
+            h, b, nb, one, ps = a.shape
+            return a.transpose(1, 0, 2, 4, 3).reshape(b, h, nb * ps)
+
+        kf = kf.astype(jnp.float32) * merge_s(ks)[..., None]
+        vf = vf.astype(jnp.float32) * merge_s(vs)[..., None]
+    return kf.astype(dtype), vf.astype(dtype)

@@ -256,3 +256,94 @@ def decode_sample_chunk(
         body, (cache, sampler, tokens), None, length=n_steps
     )
     return toks.T, cache, sampler
+
+
+class PagedEngine(Engine):
+    """Engine over a paged KV cache (EXTENSION: shared physical page pool,
+    memory scales with tokens in flight — see ops/paged_kv.py).
+
+    The engine owns the host-side PageAllocator: prefill reserves a
+    contiguous page run per prompt; decode growth claims one page whenever
+    a slot crosses a page boundary.  Greedy generation only for now — the
+    CB scheduler integration keeps the contiguous cache."""
+
+    def __init__(self, params, cfg, max_batch: int = 1, max_len: int = 2048,
+                 kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
+                 buckets=DEFAULT_BUCKETS, fuse: bool = True,
+                 n_pages: Optional[int] = None, page_size: int = 128):
+        from ..ops import paged_kv as pkv
+
+        self.page_size = page_size
+        self.n_pages = n_pages or (max_batch * max_len) // page_size
+        self._alloc = pkv.PageAllocator(self.n_pages)
+        self._tables = np.zeros(
+            (max_batch, max_len // page_size), np.int32
+        )
+        self._lens = np.zeros((max_batch,), np.int64)
+        super().__init__(params, cfg, max_batch, max_len, kv_dtype,
+                         kv_quantized, buckets, fuse)
+
+    def new_cache(self):
+        from ..ops import paged_kv as pkv
+
+        return pkv.init_paged_cache(
+            self.cfg.n_layers, self.max_batch, self.max_len,
+            self.cfg.n_kv_heads, self.cfg.head_dim, self.n_pages,
+            self.page_size, self.kv_dtype, self.kv_quantized,
+        )
+
+    def _sync_tables(self):
+        self.cache = dataclasses.replace(
+            self.cache, page_tables=jnp.asarray(self._tables)
+        )
+
+    def _ensure_pages(self, slot: int, new_len: int) -> None:
+        ps = self.page_size
+        have = -(-int(self._lens[slot]) // ps)
+        need = -(-new_len // ps)
+        for blk in range(have, need):
+            page = self._alloc.alloc_page()
+            if page is None:
+                raise RuntimeError("paged KV pool exhausted")
+            self._tables[slot, blk] = page
+
+    def prefill(self, prompts):
+        from ..ops import kv_cache as kvc
+
+        b = len(prompts)
+        assert b <= self.max_batch
+        ps = self.page_size
+        for i, p in enumerate(prompts):
+            n_blocks = -(-len(p) // ps)
+            first = self._alloc.alloc_run(n_blocks)
+            if first is None:
+                raise RuntimeError("paged KV pool exhausted (prefill)")
+            self._tables[i, :n_blocks] = first + np.arange(n_blocks)
+            self._lens[i] = len(p)
+        self._sync_tables()
+        maxlen = max(len(p) for p in prompts)
+        t = pad_to_bucket(maxlen, self.buckets)
+        ids = np.zeros((self.max_batch, t), np.int32)
+        lens = np.zeros((self.max_batch,), np.int32)
+        for i, p in enumerate(prompts):
+            ids[i, : len(p)] = p
+            lens[i] = len(p)
+        self.cache = kvc.set_lengths(
+            self.cache, jnp.zeros((self.max_batch,), jnp.int32)
+        )
+        logits, self.cache = prefill_step(
+            self.params, self.cfg, self.cache, jnp.asarray(ids),
+            jnp.asarray(lens), jnp.zeros((self.max_batch,), jnp.int32),
+        )
+        return logits
+
+    def decode(self, tokens, active):
+        active_np = np.asarray(active)
+        for slot in np.nonzero(active_np)[0]:
+            self._ensure_pages(int(slot), int(self._lens[slot]) + 1)
+            self._lens[slot] += 1
+        self._sync_tables()
+        logits, self.cache = decode_step(
+            self.params, self.cfg, self.cache, tokens, active
+        )
+        return logits

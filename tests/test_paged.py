@@ -1,0 +1,162 @@
+"""Paged KV cache + paged flash attention (extension beyond the reference):
+physical page pool, page-table indirection in the kernel's BlockSpec,
+contiguous-run prefill writes, per-token decode scatter, allocator."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_speed_tpu.ops import paged_kv as pkv
+from neural_speed_tpu.ops.attention import attention_ref
+from neural_speed_tpu.ops import flash
+
+PS = 128
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("NST_FLASH", "interpret")
+
+
+def _shuffled_setup(b=2, hkv=2, d=128, n_blocks=2, n_pages=8, layers=1,
+                    quantized=False, seed=0):
+    rng = np.random.default_rng(seed)
+    cache = pkv.init_paged_cache(layers, b, n_blocks * PS, hkv, d, n_pages,
+                                 PS, dtype=jnp.float32, quantized=quantized)
+    # assign each slot a SHUFFLED set of physical pages
+    pages = rng.permutation(n_pages)[: b * n_blocks].reshape(b, n_blocks)
+    cache = cache.tree_unflatten(None, (
+        cache.k_pages, cache.v_pages, cache.k_scale, cache.v_scale,
+        jnp.asarray(pages, jnp.int32), cache.lengths,
+    ))
+    return cache, rng
+
+
+def test_prefill_decode_roundtrip_and_attention():
+    b, hkv, d, n_blocks = 2, 2, 128, 2
+    h = 4  # GQA
+    cache, rng = _shuffled_setup(b, hkv, d, n_blocks)
+    s = n_blocks * PS
+
+    # prefill: contiguous page runs for the prompt chunk
+    t0 = 100
+    k0 = jnp.asarray(rng.standard_normal((b, t0, hkv, d)), jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal((b, t0, hkv, d)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(t0)[None], (b, t0)).astype(jnp.int32)
+    # give each slot a contiguous physical run and matching table
+    first = jnp.asarray([0, 2], jnp.int32)
+    tables = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+    cache = pkv.PagedKVCache(cache.k_pages, cache.v_pages, None, None,
+                             tables, cache.lengths)
+    cache = pkv.append_prefill(cache, 0, k0, v0, pos, first)
+    lens = jnp.full((b,), t0, jnp.int32)
+
+    # decode appends for a few tokens (through the table)
+    steps = 6
+    k_extra, v_extra = [], []
+    for i in range(steps):
+        kn = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+        cache = pkv.append_decode(cache, 0, kn, vn,
+                                  jnp.full((b, 1), t0 + i, jnp.int32))
+        k_extra.append(kn)
+        v_extra.append(vn)
+    lens = lens + steps
+
+    # logical K/V for the reference
+    k_log = jnp.concatenate([k0] + k_extra, axis=1)
+    v_log = jnp.concatenate([v0] + v_extra, axis=1)
+    kg, vg = pkv.gathered_layer(cache, 0, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(kg[:, :, : t0 + steps].transpose(0, 2, 1, 3)),
+        np.asarray(k_log), atol=1e-6)  # f32 pool: exact round-trip
+
+    # paged flash attention == reference over the logical sequence
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qpos = (lens - 1)[:, None]
+    out = flash.mha_paged(q, cache, 0, qpos, lens, scale=d ** -0.5)
+    ref = attention_ref(q, k_log, v_log, qpos, lens, scale=d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2,
+                               rtol=2e-2)
+
+
+def test_paged_attention_quantized_shuffled_pages():
+    b, hkv, h, d, n_blocks = 2, 2, 4, 128, 2
+    cache, rng = _shuffled_setup(b, hkv, d, n_blocks, quantized=True, seed=3)
+    t0 = 2 * PS  # fill both blocks exactly via prefill
+    k0 = jnp.asarray(rng.standard_normal((b, t0, hkv, d)), jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal((b, t0, hkv, d)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(t0)[None], (b, t0)).astype(jnp.int32)
+    tables = jnp.asarray([[4, 5], [6, 7]], jnp.int32)
+    cache = pkv.PagedKVCache(cache.k_pages, cache.v_pages, cache.k_scale,
+                             cache.v_scale, tables, cache.lengths)
+    cache = pkv.append_prefill(cache, 0, k0, v0, pos,
+                               jnp.asarray([4, 6], jnp.int32))
+    lens = jnp.full((b,), t0, jnp.int32)
+
+    kg, vg = pkv.gathered_layer(cache, 0, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    qpos = (lens - 1)[:, None]
+    out = flash.mha_paged(q, cache, 0, qpos, lens, scale=d ** -0.5)
+    ref = attention_ref(q, kg.transpose(0, 2, 1, 3), vg.transpose(0, 2, 1, 3),
+                        qpos, lens, scale=d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2,
+                               rtol=3e-2)
+
+
+def test_allocator():
+    a = pkv.PageAllocator(10)
+    first = a.alloc_run(4)
+    assert first == 0 and a.available == 6
+    p = a.alloc_page()
+    assert p not in range(first, first + 4)
+    a.free_pages([0, 1])
+    assert a.alloc_run(2) == 0
+    assert a.alloc_run(7) is None  # not enough contiguous
+    a2 = pkv.PageAllocator(4)
+    a2.free = [3, 1, 0]  # fragmented: no run of 3
+    assert a2.alloc_run(3) is None
+    assert a2.alloc_run(2) == 0
+
+
+@pytest.mark.parametrize("quantized", [False, True], ids=["bf16", "int8"])
+def test_paged_engine_matches_contiguous(quantized, monkeypatch):
+    """End-to-end greedy generation: PagedEngine (shared page pool,
+    fragmented growth) == contiguous Engine, token for token.  Both on the
+    XLA attention path so the comparison is kernel-for-kernel fair (the
+    flash-vs-XLA numeric equivalence is covered by the attention tests)."""
+    monkeypatch.setenv("NST_FLASH", "off")
+    import jax
+    jax.clear_caches()
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.runtime.engine import Engine, PagedEngine
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=128, hidden_size=128,
+                     n_layers=2, n_heads=2, n_kv_heads=2,
+                     intermediate_size=256, max_position_embeddings=256)
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+    prompt = list(range(3, 40))
+
+    eng = Engine(params, cfg, max_batch=1, max_len=256,
+                 kv_dtype=jnp.float32, kv_quantized=quantized)
+    ref = eng.generate_greedy(prompt, 20)
+
+    peng = PagedEngine(params, cfg, max_batch=1, max_len=256,
+                       kv_dtype=jnp.float32, kv_quantized=quantized,
+                       page_size=128, n_pages=4)
+    out = peng.generate_greedy(prompt, 20)
+    assert out == ref
+    # growth actually crossed a page boundary (37 + 20 > 1 page > 128? no:
+    # 57 < 128 — force another: continue decoding past the boundary)
+    eng2 = Engine(params, cfg, max_batch=1, max_len=256,
+                  kv_dtype=jnp.float32, kv_quantized=quantized)
+    ref2 = eng2.generate_greedy(list(range(1, 120)), 30)
+    peng2 = PagedEngine(params, cfg, max_batch=1, max_len=256,
+                        kv_dtype=jnp.float32, kv_quantized=quantized,
+                        page_size=128, n_pages=4)
+    out2 = peng2.generate_greedy(list(range(1, 120)), 30)
+    assert out2 == ref2  # crosses the 128-token page boundary mid-decode
