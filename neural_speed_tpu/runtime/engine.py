@@ -312,15 +312,7 @@ class PagedEngine(Engine):
 
         b = len(prompts)
         assert b <= self.max_batch
-        ps = self.page_size
-        for i, p in enumerate(prompts):
-            n_blocks = -(-len(p) // ps)
-            first = self._alloc.alloc_run(n_blocks)
-            if first is None:
-                raise RuntimeError("paged KV pool exhausted (prefill)")
-            self._tables[i, :n_blocks] = first + np.arange(n_blocks)
-            self._lens[i] = len(p)
-        self._sync_tables()
+        self.prepare_prefill(range(b), [len(p) for p in prompts])
         maxlen = max(len(p) for p in prompts)
         t = pad_to_bucket(maxlen, self.buckets)
         ids = np.zeros((self.max_batch, t), np.int32)
@@ -338,12 +330,51 @@ class PagedEngine(Engine):
         return logits
 
     def decode(self, tokens, active):
-        active_np = np.asarray(active)
-        for slot in np.nonzero(active_np)[0]:
-            self._ensure_pages(int(slot), int(self._lens[slot]) + 1)
-            self._lens[slot] += 1
-        self._sync_tables()
+        self.prepare_decode(np.asarray(active), 1)
         logits, self.cache = decode_step(
             self.params, self.cfg, self.cache, tokens, active
         )
         return logits
+
+    # -- scheduler hooks ----------------------------------------------
+    def prepare_prefill(self, slots, lens, starts=None) -> None:
+        """Reserve page runs + tables for prompts about to prefill."""
+        ps = self.page_size
+        for slot, ln in zip(slots, lens):
+            start = 0 if starts is None else int(starts[slot])
+            blk0 = start // ps
+            n_blocks = -(-(start + int(ln)) // ps)
+            run = n_blocks - blk0
+            if run > 0:
+                first = self._alloc.alloc_run(run)
+                if first is None:
+                    raise RuntimeError("paged KV pool exhausted (prefill)")
+                self._tables[slot, blk0:n_blocks] = first + np.arange(run)
+            self._lens[slot] = start + int(ln)
+        self._sync_tables()
+
+    def prepare_decode(self, active_np, chunk: int = 1) -> None:
+        """Claim growth pages for the next `chunk` decode tokens."""
+        for slot in np.nonzero(active_np)[0]:
+            self._ensure_pages(int(slot), int(self._lens[slot]) + chunk)
+            self._lens[slot] += chunk
+        self._sync_tables()
+
+    def release_slot(self, slot: int) -> None:
+        """Free a finished slot's pages back to the pool."""
+        ps = self.page_size
+        n_blocks = -(-int(self._lens[slot]) // ps)
+        self._alloc.free_pages(self._tables[slot, :n_blocks].tolist())
+        self._tables[slot, :n_blocks] = 0
+        self._lens[slot] = 0
+
+
+# -- scheduler hooks (paged-aware) ---------------------------------------
+
+def _noop(*a, **k):
+    return None
+
+
+Engine.prepare_prefill = _noop
+Engine.prepare_decode = _noop
+Engine.release_slot = _noop

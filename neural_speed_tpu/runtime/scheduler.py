@@ -150,6 +150,8 @@ class ContinuousBatchingScheduler:
             ids[s.slot, : len(p)] = p
             lens[s.slot] = len(p)
             start[s.slot] = s.cached
+        eng.prepare_prefill([s.slot for s in batch],
+                            [lens[s.slot] for s in batch], starts=start)
         with self.timings.timer("prefill", int(lens.sum())):
             logits, eng.cache = prefill_step(
                 eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
@@ -175,6 +177,7 @@ class ContinuousBatchingScheduler:
         # KV overshoot is reset when the slot is reused)
         chunk = self.chunk_size
         self._maybe_evict(active_np, chunk)
+        eng.prepare_decode(active_np, chunk)
         from .engine import decode_sample_chunk
 
         with self.timings.timer("decode", int(active_np.sum()) * chunk):
@@ -203,6 +206,7 @@ class ContinuousBatchingScheduler:
                     self.running.pop(slot, None)
                     self.free_slots.append(slot)
                     self.finished.append(seq)
+                    eng.release_slot(slot)
 
     def _maybe_evict(self, active_np: np.ndarray,
                      lookahead: int = 1) -> None:
@@ -218,6 +222,13 @@ class ContinuousBatchingScheduler:
         full = active_np & (lengths + lookahead > eng.max_len - 1)
         if not full.any():
             return
+        from ..ops import paged_kv as _pkv
+
+        if hasattr(eng, "page_size"):
+            raise NotImplementedError(
+                "StreamingLLM eviction is not supported on the paged KV "
+                "cache (docs/paged_attention.md); raise ctx or use the "
+                "contiguous cache")
         n_keep = eng.n_keep
         nd = max(eng.discard_count(), lookahead)  # stay ahead of the chunk
         if eng.shift_roped_k:

@@ -160,3 +160,42 @@ def test_paged_engine_matches_contiguous(quantized, monkeypatch):
                         page_size=128, n_pages=4)
     out2 = peng2.generate_greedy(list(range(1, 120)), 30)
     assert out2 == ref2  # crosses the 128-token page boundary mid-decode
+
+
+def test_paged_scheduler_serving(monkeypatch):
+    """CB scheduler over the PagedEngine: queued requests share the page
+    pool, pages free on finish and get reused."""
+    monkeypatch.setenv("NST_FLASH", "off")
+    import jax
+    jax.clear_caches()
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.runtime.engine import PagedEngine
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=96, hidden_size=64,
+                     n_layers=1, n_heads=2, n_kv_heads=2,
+                     intermediate_size=128, max_position_embeddings=256)
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+    # pool smaller than requests x max_len: only reuse makes this fit
+    eng = PagedEngine(params, cfg, max_batch=2, max_len=256,
+                      page_size=128, n_pages=5)
+    sched = ContinuousBatchingScheduler(
+        eng, SamplingParams(do_sample=True, temperature=1.0, top_k=8),
+        chunk_size=8,
+    )
+    rng = np.random.default_rng(1)
+    want = {}
+    for i in range(6):
+        plen = int(rng.integers(3, 120))
+        n_new = int(rng.integers(5, 60))
+        rid = sched.add_request(list(rng.integers(1, 96, plen)), n_new)
+        want[rid] = n_new
+    done = sched.run_to_completion()
+    assert sorted(s.request_id for s in done) == sorted(want)
+    for s in done:
+        assert len(s.generated) == want[s.request_id]
+    # all pages returned to the pool
+    assert eng._alloc.available == 5
