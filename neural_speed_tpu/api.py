@@ -12,9 +12,8 @@ The quantized-model cache file is an .npz of the packed pytree
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -29,7 +29,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .kv_cache import KV_SCALE_EPS, quantize_kv
+from .kv_cache import quantize_kv
 
 
 @jax.tree_util.register_pytree_node_class

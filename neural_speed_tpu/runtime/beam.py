@@ -14,7 +14,6 @@ Slot layout: request r's beam b lives in batch slot r*K + b.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import List, Optional, Sequence
 
 import jax

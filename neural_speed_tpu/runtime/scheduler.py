@@ -222,8 +222,6 @@ class ContinuousBatchingScheduler:
         full = active_np & (lengths + lookahead > eng.max_len - 1)
         if not full.any():
             return
-        from ..ops import paged_kv as _pkv
-
         if hasattr(eng, "page_size"):
             raise NotImplementedError(
                 "StreamingLLM eviction is not supported on the paged KV "

@@ -9,12 +9,9 @@ Parity:
 
 from __future__ import annotations
 
-import dataclasses
-import io
 import json
 from typing import Any, Dict, List, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
