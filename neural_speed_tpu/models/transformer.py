@@ -436,15 +436,25 @@ def fuse_params(params: Params, cfg: ArchConfig) -> Params:
             if f is not None:
                 lp["qkv"] = f
                 del lp["q"], lp["k"], lp["v"]
-        ffn_p = lp.get("ffn")
-        if (ffn_p is not None and cfg.gated_ffn and "gate" in ffn_p
-                and "up" in ffn_p):
+        def fuse_gateup(ffn_p):
+            if (ffn_p is None or not cfg.gated_ffn or "gate" not in ffn_p
+                    or "up" not in ffn_p):
+                return ffn_p
             f = _fuse_group([ffn_p["gate"], ffn_p["up"]])
-            if f is not None:
-                ffn_p = dict(ffn_p)
-                ffn_p["gateup"] = f
-                del ffn_p["gate"], ffn_p["up"]
-                lp["ffn"] = ffn_p
+            if f is None:
+                return ffn_p
+            ffn_p = dict(ffn_p)
+            ffn_p["gateup"] = f
+            del ffn_p["gate"], ffn_p["up"]
+            return ffn_p
+
+        if "ffn" in lp:
+            lp["ffn"] = fuse_gateup(lp["ffn"])
+        if "moe" in lp and isinstance(lp["moe"], dict) and "experts" in lp[
+                "moe"]:
+            moe_p = dict(lp["moe"])
+            moe_p["experts"] = [fuse_gateup(e) for e in moe_p["experts"]]
+            lp["moe"] = moe_p
         layers.append(lp)
     out["layers"] = layers
     return _repad_tree(out)

@@ -411,3 +411,103 @@ def convert_whisper(sd: Dict[str, Any], hf_cfg: Dict[str, Any],
         "proj_out": {"w": embed.T},
     }
     return params, cfg
+
+
+def _log_softmax(x):
+    x = x - jnp.max(x, axis=-1, keepdims=True)
+    return x - jnp.log(jnp.sum(jnp.exp(x), axis=-1, keepdims=True))
+
+
+class _WhisperBeam:
+    pass  # namespace marker (kept minimal; see WhisperModel.generate_beam)
+
+
+def _beam_generate(model: "WhisperModel", enc_states, enc_lens,
+                   forced_ids, num_beams: int, max_new_tokens: int,
+                   length_penalty: float = 1.0):
+    """Beam search for whisper (parity: whisper.cpp beam decoding strategy).
+
+    The encoder states are shared across beams; the decoder self-KV cache
+    runs with batch=num_beams and beams reorder via the gather-based
+    kv_cache.reorder (no copies)."""
+    cfg = model.cfg
+    eos = cfg.eos_token_id
+    prefix = [cfg.decoder_start_token_id] + list(forced_ids)
+
+    states = jnp.repeat(enc_states, num_beams, axis=0)
+    lens = jnp.repeat(enc_lens, num_beams, axis=0)
+    cross = tuple(cross_kv(model.params, cfg, states))
+    cache = kvc.init_cache(cfg.decoder_layers, num_beams,
+                           cfg.max_target_positions, cfg.n_heads,
+                           cfg.head_dim, jnp.float32)
+
+    toks = jnp.asarray([prefix] * num_beams, jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(len(prefix))[None],
+                           (num_beams, len(prefix)))
+    kv_lens = jnp.full((num_beams,), len(prefix), jnp.int32)
+    logits, cache = decoder_forward(model.params, cfg, toks, pos, cache,
+                                    kv_lens, cross, lens)
+    cache = kvc.set_lengths(cache, kv_lens)
+
+    logp = np.asarray(_log_softmax(logits[:, -1].astype(jnp.float32)))
+    beams = [list(prefix) for _ in range(num_beams)]
+    # first expansion: top beams from beam 0 only (all identical so far)
+    top = np.argsort(-logp[0])[:num_beams]
+    scores = logp[0][top].astype(np.float64)
+    nxt = [int(t) for t in top]
+    finished: list = []
+
+    for _ in range(max_new_tokens):
+        for i in range(num_beams):
+            beams[i] = beams[i] + [nxt[i]]
+        live = [i for i in range(num_beams) if nxt[i] != eos]
+        for i in range(num_beams):
+            if nxt[i] == eos:
+                lp = scores[i] / (len(beams[i]) - len(prefix)) ** (
+                    length_penalty)
+                finished.append((lp, beams[i]))
+        if not live or len(finished) >= num_beams:
+            break
+
+        n = cache.lengths
+        pos1 = n[:, None]
+        new_len = n + 1  # computed BEFORE the call: `cache` is donated
+        logits, cache = decoder_forward(
+            model.params, cfg, jnp.asarray(nxt, jnp.int32)[:, None],
+            pos1, cache, new_len, cross, lens,
+        )
+        cache = kvc.set_lengths(cache, new_len)
+        logp = np.asarray(_log_softmax(logits[:, 0].astype(jnp.float32)))
+
+        cand = []
+        for i in live:
+            top = np.argsort(-logp[i])[: 2 * num_beams]
+            for t in top:
+                cand.append((scores[i] + float(logp[i][t]), i, int(t)))
+        cand.sort(key=lambda c: -c[0])
+        cand = cand[:num_beams]
+        src = np.asarray([c[1] for c in cand], np.int32)
+        # pad the beam set if fewer live candidates than beams
+        while len(cand) < num_beams:
+            cand.append(cand[-1])
+            src = np.append(src, src[-1])
+        cache = kvc.reorder(cache, jnp.asarray(src))
+        beams = [list(beams[c[1]]) for c in cand]
+        scores = np.asarray([c[0] for c in cand])
+        nxt = [c[2] for c in cand]
+
+    if not finished:
+        for i in range(num_beams):
+            lp = scores[i] / max(len(beams[i]) - len(prefix), 1) ** (
+                length_penalty)
+            finished.append((lp, beams[i]))
+    finished.sort(key=lambda f: -f[0])
+    return finished[0][1]
+
+
+WhisperModel.generate_beam = (
+    lambda self, enc_states, enc_lens, forced_ids, num_beams=4,
+    max_new_tokens=128, length_penalty=1.0: _beam_generate(
+        self, enc_states, enc_lens, forced_ids, num_beams, max_new_tokens,
+        length_penalty)
+)

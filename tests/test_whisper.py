@@ -140,3 +140,33 @@ def test_timestamp_rules(hf_whisper, features):
     for (t0, t1, toks) in segs:
         assert t1 >= t0
         assert all(tok < ts_begin for tok in toks)
+
+
+def test_whisper_beam(hf_whisper, features):
+    """Beam search: beam=1 == greedy; beam=3 returns a hypothesis whose
+    total logprob is >= the greedy path's."""
+    m, params, cfg = hf_whisper
+    wm = W.WhisperModel(params, cfg)
+    states, enc_lens = wm.encode_audio(
+        np.random.default_rng(2).standard_normal(16000).astype(np.float32)
+        * 0.1
+    )
+    forced = [50259, 50359, 50363]
+    greedy = wm.generate(states, enc_lens, forced, max_new_tokens=10)
+    b1 = wm.generate_beam(states, enc_lens, forced, num_beams=1,
+                          max_new_tokens=10)
+    assert b1 == greedy
+
+    def score(ids):
+        import torch
+        with torch.no_grad():
+            lg = m(input_features=torch.tensor(np.asarray(
+                       features))[None],
+                   decoder_input_ids=torch.tensor([ids[:-1]])).logits[0]
+        lp = torch.log_softmax(lg.float(), -1)
+        start = len(forced)  # skip scoring the forced prefix
+        return sum(float(lp[i, ids[i + 1]]) for i in range(start, len(ids) - 1))
+
+    b3 = wm.generate_beam(states, enc_lens, forced, num_beams=3,
+                          max_new_tokens=10)
+    assert score(b3) >= score(greedy) - 1e-4
