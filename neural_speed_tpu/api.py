@@ -164,6 +164,23 @@ class Model:
         and its stored token prefix matches the (single) prompt, the cached
         KV is restored and only the remainder is prefilled; the session is
         re-saved after generation.  Single-prompt, non-beam only."""
+        if kwargs:
+            # kwargs allowlist parity (__init__.py valid_args:324-329)
+            import warnings
+
+            warnings.warn("ignoring unsupported generate() kwargs: "
+                          f"{sorted(kwargs)}", stacklevel=2)
+        from .utils.profiler import verbose_level
+
+        if verbose_level() >= 1:
+            # generation-config echo (parity: main_pybind.cpp:143-147)
+            import sys
+
+            print(f"generation config: max_new_tokens={max_new_tokens} "
+                  f"do_sample={do_sample} temperature={temperature} "
+                  f"top_k={top_k} top_p={top_p} "
+                  f"repetition_penalty={repetition_penalty} "
+                  f"num_beams={num_beams} seed={seed}", file=sys.stderr)
         ids = self._to_list_batch(input_ids)
         cached = 0
         if session_path is not None:
