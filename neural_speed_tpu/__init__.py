@@ -17,8 +17,12 @@ from .ops import QSpec, QTensor, QType, named_qspec  # noqa: F401
 
 
 def __getattr__(name):
-    if name in ("Model", "ModelServer"):
+    if name in ("Model", "ModelServer", "AudioModel"):
         from . import api
 
         return getattr(api, name)
+    if name == "convert_model":
+        from .convert import convert_model
+
+        return convert_model
     raise AttributeError(name)
