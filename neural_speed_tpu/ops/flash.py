@@ -282,7 +282,7 @@ def mha(
                                       # or the full stacked cache
                                       # [L, B, Hkv, S, D] with `layer` set
     v: jax.Array,
-    k_scale: Optional[jax.Array],     # [B, Hkv, S] ([L, B, Hkv, S]) f32
+    k_scale: Optional[jax.Array],     # [B, Hkv, 1, S] ([L, B, Hkv, 1, S])
     v_scale: Optional[jax.Array],
     q_positions: jax.Array,           # [B, T] int32
     kv_lens: jax.Array,               # [B] int32
@@ -329,11 +329,10 @@ def mha(
             sl = jnp.pad(sl, ((0, 0), (0, rp - r)))
         slope_rows = sl[..., None]
 
-    k_scale_t = v_scale_t = None
-    if k_scale is not None:
-        # [..., Hkv, S] -> [..., Hkv, 1, S]: scales ride the lane dim
-        k_scale_t = k_scale.astype(jnp.float32)[..., None, :]
-        v_scale_t = v_scale.astype(jnp.float32)[..., None, :]
+    # scales arrive in the cache's native [..., Hkv, 1, S] layout —
+    # reshaping here made XLA copy the whole tensor per call
+    k_scale_t = k_scale
+    v_scale_t = v_scale
 
     # decode (tiny R): large KV blocks minimize grid-cell overhead (the
     # whole cache streams through either way); prefill: 512 balances VMEM

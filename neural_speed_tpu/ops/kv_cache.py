@@ -40,8 +40,11 @@ class KVCache:
 
     k, v       : [L, B, H_kv, S, D]  (dtype = `dtype`, or int8 when quantized)
     k_scale,
-    v_scale    : [L, B, H_kv, S] f32 per-token-per-head scales (quantized
-                 only, else None)
+    v_scale    : [L, B, H_kv, 1, S] f32 per-token-per-head scales (quantized
+                 only, else None).  The singleton axis puts S on lanes in
+                 EXACTLY the layout the flash kernel blocks want — a
+                 reshape at call time made XLA copy the whole tensor per
+                 layer per step.
     lengths    : [B] int32 — tokens currently stored per slot (== n_past)
     """
 
@@ -89,8 +92,8 @@ def init_cache(layers: int, batch: int, max_len: int, kv_heads: int,
     if quantized:
         k = jnp.zeros(shape, jnp.int8)
         v = jnp.zeros(shape, jnp.int8)
-        ks = jnp.zeros(shape[:-1], jnp.float32)
-        vs = jnp.zeros(shape[:-1], jnp.float32)
+        ks = jnp.zeros(shape[:3] + (1, max_len), jnp.float32)
+        vs = jnp.zeros(shape[:3] + (1, max_len), jnp.float32)
     else:
         k = jnp.zeros(shape, dtype)
         v = jnp.zeros(shape, dtype)
@@ -105,6 +108,15 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     scale = amax / 127.0
     codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return codes.astype(jnp.int8), scale
+
+
+def _write_scale_window(dst, upd, layer: int, bi: int, start, keep):
+    """Blend-write upd [H, T] into dst [L, B, H, 1, S] lanes start.."""
+    h, t = upd.shape
+    idx = (layer, bi, 0, 0, start)
+    cur = jax.lax.dynamic_slice(dst, idx, (1, 1, h, 1, t))
+    new = jnp.where(keep, upd[:, None, :][None, None].astype(dst.dtype), cur)
+    return jax.lax.dynamic_update_slice(dst, new, idx)
 
 
 def _append_scatter(cache: KVCache, layer: int, k_new: jax.Array,
@@ -129,9 +141,9 @@ def _append_scatter(cache: KVCache, layer: int, k_new: jax.Array,
             cache,
             k=cache.k.at[layer, bidx, hidx, pidx].set(kc),
             v=cache.v.at[layer, bidx, hidx, pidx].set(vc),
-            k_scale=cache.k_scale.at[layer, bidx, hidx, pidx].set(
+            k_scale=cache.k_scale.at[layer, bidx, hidx, 0, pidx].set(
                 ks[..., 0]),
-            v_scale=cache.v_scale.at[layer, bidx, hidx, pidx].set(
+            v_scale=cache.v_scale.at[layer, bidx, hidx, 0, pidx].set(
                 vs[..., 0]),
         )
     return dataclasses.replace(
@@ -189,10 +201,10 @@ def append_layer(cache: KVCache, layer: int, k_new: jax.Array,
         for bi in range(b):
             k = _write_window(k, kc[bi], layer, bi, start[bi], active[bi])
             v = _write_window(v, vc[bi], layer, bi, start[bi], active[bi])
-            k_scale = _write_window(k_scale, ks[bi, ..., 0], layer, bi,
-                                    start[bi], active[bi])
-            v_scale = _write_window(v_scale, vs[bi, ..., 0], layer, bi,
-                                    start[bi], active[bi])
+            k_scale = _write_scale_window(k_scale, ks[bi, ..., 0], layer,
+                                          bi, start[bi], active[bi])
+            v_scale = _write_scale_window(v_scale, vs[bi, ..., 0], layer,
+                                          bi, start[bi], active[bi])
         return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
                                    v_scale=v_scale)
     for bi in range(b):
@@ -208,8 +220,10 @@ def read_layer(cache: KVCache, layer: int,
     k = cache.k[layer]
     v = cache.v[layer]
     if cache.quantized:
-        k = k.astype(jnp.float32) * cache.k_scale[layer][..., None]
-        v = v.astype(jnp.float32) * cache.v_scale[layer][..., None]
+        ks = jnp.swapaxes(cache.k_scale[layer], -1, -2)  # [B,H,S,1]
+        vs = jnp.swapaxes(cache.v_scale[layer], -1, -2)
+        k = k.astype(jnp.float32) * ks
+        v = v.astype(jnp.float32) * vs
     return (k.astype(dtype).transpose(0, 2, 1, 3),
             v.astype(dtype).transpose(0, 2, 1, 3))
 
@@ -246,14 +260,19 @@ def evict(cache: KVCache, n_keep: int, n_discard: int,
     plain (non-shift) RoPE the caller must re-evaluate the slid tokens,
     exactly like the reference."""
 
-    def slide(a):
+    def slide(a, axis=3):
         if a is None:
             return None
-        # S is axis 3 for k/v [L,B,H,S,D] and axis 3 for scales [L,B,H,S]
-        head = a[:, :, :, :n_keep]
-        tail = a[:, :, :, n_keep + n_discard:]
-        pad = a[:, :, :, -n_discard:]  # stale; masked via lengths
-        slid = jnp.concatenate([head, tail, pad], axis=3)
+        # S: axis 3 for k/v [L,B,H,S,D]; axis 4 for scales [L,B,H,1,S]
+        sl = [slice(None)] * a.ndim
+        def take(lo, hi):
+            s = list(sl)
+            s[axis] = slice(lo, hi)
+            return a[tuple(s)]
+        head = take(0, n_keep)
+        tail = take(n_keep + n_discard, None)
+        pad = take(a.shape[axis] - n_discard, None)  # stale; masked
+        slid = jnp.concatenate([head, tail, pad], axis=axis)
         if slot_mask is None:
             return slid
         shape = (1, a.shape[1]) + (1,) * (a.ndim - 2)
@@ -263,8 +282,8 @@ def evict(cache: KVCache, n_keep: int, n_discard: int,
     if slot_mask is not None:
         new_len = jnp.where(slot_mask, new_len, cache.lengths)
     return KVCache(
-        slide(cache.k), slide(cache.v), slide(cache.k_scale),
-        slide(cache.v_scale), new_len,
+        slide(cache.k), slide(cache.v), slide(cache.k_scale, axis=4),
+        slide(cache.v_scale, axis=4), new_len,
     )
 
 
@@ -284,10 +303,11 @@ def shift_ring(cache: KVCache, n_keep: int, n_discard: int,
     delta = jnp.where(mask, delta, 0)
     if out.quantized:
         # dequantize -> rotate -> requantize the shifted span
-        kf = out.k.astype(jnp.float32) * out.k_scale[..., None]
+        kf = out.k.astype(jnp.float32) * jnp.swapaxes(out.k_scale, -1, -2)
         kr = _rotate_stack(kf, delta, inv_freq, style, rot_dim)
         kc, ks = quantize_kv(kr)
-        return dataclasses.replace(out, k=kc, k_scale=ks[..., 0])
+        return dataclasses.replace(out, k=kc,
+                                   k_scale=jnp.swapaxes(ks, -1, -2))
     kr = _rotate_stack(out.k.astype(jnp.float32), delta, inv_freq, style,
                        rot_dim)
     return dataclasses.replace(out, k=kr.astype(out.k.dtype))
