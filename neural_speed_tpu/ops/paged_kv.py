@@ -240,7 +240,8 @@ def append_decode(cache: PagedKVCache, layer: int, k_new: jax.Array,
                                axis=1)[:, 0]
     row = page * ps + pos % ps                     # [B] physical rows
     if active is not None:
-        # park inactive writes on the last row of the last page
+        # park inactive writes on the trash page (the pool's LAST page,
+        # which the engine's allocator never hands out)
         row = jnp.where(active, row, cache.n_pages * ps - 1)
     kt = k_new[:, 0]                               # [B, H, D]
     vt = v_new[:, 0]

@@ -274,8 +274,11 @@ class PagedEngine(Engine):
         from ..ops import paged_kv as pkv
 
         self.page_size = page_size
-        self.n_pages = n_pages or (max_batch * max_len) // page_size
-        self._alloc = pkv.PageAllocator(self.n_pages)
+        # +1: the last physical page is RESERVED as the trash page that
+        # inactive slots' masked decode writes park on (ops/paged_kv.py
+        # append_decode) — it must never be allocated to a sequence
+        self.n_pages = (n_pages or (max_batch * max_len) // page_size) + 1
+        self._alloc = pkv.PageAllocator(self.n_pages - 1)
         self._tables = np.zeros(
             (max_batch, max_len // page_size), np.int32
         )

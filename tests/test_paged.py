@@ -199,3 +199,49 @@ def test_paged_scheduler_serving(monkeypatch):
         assert len(s.generated) == want[s.request_id]
     # all pages returned to the pool
     assert eng._alloc.available == 5
+
+
+def test_inactive_slot_never_corrupts_neighbors(monkeypatch):
+    """An inactive slot's parked decode writes must not touch pages
+    belonging to live sequences (regression: the trash row used to land on
+    the last *allocated* page)."""
+    monkeypatch.setenv("NST_FLASH", "off")
+    import jax
+    jax.clear_caches()
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.runtime.engine import Engine, PagedEngine
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=96, hidden_size=64,
+                     n_layers=1, n_heads=2, n_kv_heads=2,
+                     intermediate_size=128, max_position_embeddings=256)
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+    # tight pool: slot 1's pages INCLUDE the highest allocatable page
+    peng = PagedEngine(params, cfg, max_batch=2, max_len=256,
+                       page_size=128, n_pages=4)
+    prompts = [list(range(3, 20)), list(range(5, 40))]
+    logits = peng.prefill(prompts)
+    tok1 = int(jnp.argmax(logits[1]))  # slot 1's pending token
+    toks = jnp.argmax(logits, -1).astype(jnp.int32)
+    # only slot 0 decodes; slot 1 is an inactive spectator
+    active = jnp.asarray([True, False])
+    for _ in range(6):
+        lg = peng.decode(toks, active)
+        toks = jnp.argmax(lg, -1).astype(jnp.int32)
+    # now decode slot 1: its results must match a fresh engine that never
+    # had slot 0 decoding next to it
+    eng = Engine(params, cfg, max_batch=2, max_len=256)
+    l2 = eng.prefill(prompts)
+    out_ref, out_paged = [], []
+    a1 = jnp.asarray([False, True])
+    tp_ = jnp.asarray([0, tok1], jnp.int32)
+    tr_ = jnp.asarray([0, tok1], jnp.int32)
+    for _ in range(5):
+        lp = peng.decode(tp_, a1)
+        lr = eng.decode(tr_, a1)
+        tp_ = jnp.argmax(lp, -1).astype(jnp.int32)
+        tr_ = jnp.argmax(lr, -1).astype(jnp.int32)
+        out_paged.append(int(tp_[1]))
+        out_ref.append(int(tr_[1]))
+    assert out_paged == out_ref
