@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--prompt", type=int, default=1975)  # reference's prompt
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
+    ap.add_argument("--kv", default="int8", choices=["bf16", "int8"],
                     help="KV cache dtype (int8 engages the quantized-KV "
                          "flash kernel)")
     ap.add_argument("--small", action="store_true",
@@ -113,7 +113,8 @@ def main():
         f"{s2*b/t2:.2f} tok/s")
 
     print(json.dumps({
-        "metric": "llama2-7b int4-g128 decode throughput (1 chip, batch 1)",
+        "metric": "llama2-7b int4-g128 decode tok/s (1 chip, batch 1, "
+                  f"{args.kv} KV)",
         "value": round(tok_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / BASELINE_DECODE_TOKS, 3),

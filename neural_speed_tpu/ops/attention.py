@@ -192,11 +192,8 @@ def attention_cache(
     k_all = cache.k[layer_idx]
     v_all = cache.v[layer_idx]
     if cache.quantized:
-        # scales are [B, H, 1, S]; broadcast over D via a free swap
-        k_all = k_all.astype(jnp.float32) * jnp.swapaxes(
-            cache.k_scale[layer_idx], -1, -2)
-        v_all = v_all.astype(jnp.float32) * jnp.swapaxes(
-            cache.v_scale[layer_idx], -1, -2)
+        k_all = k_all.astype(jnp.float32) * cache.k_scale[layer_idx][..., None]
+        v_all = v_all.astype(jnp.float32) * cache.v_scale[layer_idx][..., None]
     return _attention_ref_hsd(
         q, k_all, v_all, q_positions, kv_lens, scale=scale, causal=causal,
         alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,

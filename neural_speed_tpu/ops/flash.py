@@ -69,6 +69,21 @@ def _supported(head_dim: int, s: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _sel_scale(s_ref, h, h_blk: int, block_s: int):
+    """Select this head's scale row [1, BS] from an [h_blk, BS] block.
+
+    Scales live in standard (8,128)-tiled [.., H, S] arrays (anything else
+    makes XLA relayout-copy the whole tensor per call); Mosaic forbids
+    dynamic sublane slicing, so the row is picked with an iota mask-sum —
+    h_blk rows of VPU work, no relayout anywhere."""
+    s_all = s_ref[...].reshape(h_blk, block_s)
+    if h_blk == 1:
+        return s_all
+    row = jax.lax.rem(h, h_blk)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (h_blk, 1), 0) == row
+    return jnp.sum(jnp.where(sel, s_all, 0.0), axis=0, keepdims=True)
+
+
 def _mha_kernel(
     # scalar prefetch
     kvlen_ref,                    # [B] int32
@@ -86,6 +101,7 @@ def _mha_kernel(
     sm_scale: float,
     block_s: int,
     n_s: int,
+    h_blk: int = 1,               # heads per scale block (see _sel_scale)
 ):
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
@@ -94,6 +110,7 @@ def _mha_kernel(
         o_ref, m_ref, l_ref, acc_ref = rest
 
     b = pl.program_id(0)
+    h_id = pl.program_id(1)
     j = pl.program_id(3)
 
     @pl.when(j == 0)
@@ -120,7 +137,7 @@ def _mha_kernel(
             preferred_element_type=jnp.float32,
         )                                              # [BR, BS]
         if quantized:
-            s = s * ks_ref[...].reshape(1, block_s)    # K scales
+            s = s * _sel_scale(ks_ref, h_id, h_blk, block_s)  # K scales
         s = s * sm_scale
         if softcap > 0.0:
             s = softcap * jnp.tanh(s / softcap)
@@ -148,7 +165,7 @@ def _mha_kernel(
 
         vc = v_ref[...].reshape(block_s, d)            # [BS, D]
         if quantized:
-            p = p * vs_ref[...].reshape(1, block_s)    # fold V scales into P
+            p = p * _sel_scale(vs_ref, h_id, h_blk, block_s)  # V scales
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), vc.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -181,7 +198,7 @@ def _mha_packed(
     q4: jax.Array,                # [B, Hkv, Rp, D] bf16
     k: jax.Array,                 # [(L,) B, Hkv, S, D] (fp or int8)
     v: jax.Array,
-    k_scale_t: Optional[jax.Array],   # [(L,) B, Hkv, 1, S] f32 or None
+    k_scale_t: Optional[jax.Array],   # [(L,) B, Hkv, S] f32 or None
     v_scale_t: Optional[jax.Array],
     pos_rows: jax.Array,          # [B, Rp, 1] int32
     slope_rows: Optional[jax.Array],  # [Hkv, Rp, 1] f32 or None
@@ -209,18 +226,24 @@ def _mha_packed(
 
     grid = (b, hkv, rp // br, n_s)
     # index maps get the scalar-prefetch ref(s) appended after grid indices
+    h_blk = 1
+    for cand in (8, 4, 2, 1):
+        if hkv % cand == 0:
+            h_blk = cand
+            break
     if layer is None:
         kv_spec = pl.BlockSpec((1, 1, block_s, d),
                                lambda bi, h, r, j, *_: (bi, h, j, 0))
-        sc_spec = pl.BlockSpec((1, 1, 1, block_s),
-                               lambda bi, h, r, j, *_: (bi, h, 0, j))
+        sc_spec = pl.BlockSpec(
+            (1, h_blk, block_s),
+            lambda bi, h, r, j, *_: (bi, h // h_blk, j))
     else:
         kv_spec = pl.BlockSpec(
             (1, 1, 1, block_s, d),
             lambda bi, h, r, j, *_: (layer, bi, h, j, 0))
         sc_spec = pl.BlockSpec(
-            (1, 1, 1, 1, block_s),
-            lambda bi, h, r, j, *_: (layer, bi, h, 0, j))
+            (1, 1, h_blk, block_s),
+            lambda bi, h, r, j, *_: (layer, bi, h // h_blk, j))
     in_specs = [
         pl.BlockSpec((1, br, 1), lambda bi, h, r, j, *_: (bi, r, 0)),    # pos
         pl.BlockSpec((1, br, 1), lambda bi, h, r, j, *_: (h, r, 0)),     # slope
@@ -243,6 +266,7 @@ def _mha_packed(
         sm_scale=scale,
         block_s=block_s,
         n_s=n_s,
+        h_blk=h_blk,
     )
     kv_bytes = block_s * d * (1 if quantized else 2)
     cost = pl.CostEstimate(
@@ -282,7 +306,7 @@ def mha(
                                       # or the full stacked cache
                                       # [L, B, Hkv, S, D] with `layer` set
     v: jax.Array,
-    k_scale: Optional[jax.Array],     # [B, Hkv, 1, S] ([L, B, Hkv, 1, S])
+    k_scale: Optional[jax.Array],     # [B, Hkv, S] ([L, B, Hkv, S]) f32
     v_scale: Optional[jax.Array],
     q_positions: jax.Array,           # [B, T] int32
     kv_lens: jax.Array,               # [B] int32
@@ -329,8 +353,7 @@ def mha(
             sl = jnp.pad(sl, ((0, 0), (0, rp - r)))
         slope_rows = sl[..., None]
 
-    # scales arrive in the cache's native [..., Hkv, 1, S] layout —
-    # reshaping here made XLA copy the whole tensor per call
+    # scales pass through in the cache's [..., Hkv, S] layout untouched
     k_scale_t = k_scale
     v_scale_t = v_scale
 
@@ -434,7 +457,7 @@ def _mha_paged(
         # table_ref is consumed by the index maps only
         _mha_kernel(kvlen_ref, *rest, quantized=quantized, causal=causal,
                     use_alibi=use_alibi, softcap=softcap, sm_scale=scale,
-                    block_s=ps, n_s=n_blocks)
+                    block_s=ps, n_s=n_blocks, h_blk=1)
 
     out = pl.pallas_call(
         kernel,

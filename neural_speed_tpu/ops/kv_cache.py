@@ -40,11 +40,11 @@ class KVCache:
 
     k, v       : [L, B, H_kv, S, D]  (dtype = `dtype`, or int8 when quantized)
     k_scale,
-    v_scale    : [L, B, H_kv, 1, S] f32 per-token-per-head scales (quantized
-                 only, else None).  The singleton axis puts S on lanes in
-                 EXACTLY the layout the flash kernel blocks want — a
-                 reshape at call time made XLA copy the whole tensor per
-                 layer per step.
+    v_scale    : [L, B, H_kv, S] f32 per-token-per-head scales (quantized
+                 only, else None).  Standard (8,128)-tiled layout so append
+                 scatters stay in place; the flash kernel reads an 8-head
+                 scale block and selects its row with an iota mask (any
+                 other layout made XLA relayout-copy the tensor per call).
     lengths    : [B] int32 — tokens currently stored per slot (== n_past)
     """
 
@@ -92,8 +92,8 @@ def init_cache(layers: int, batch: int, max_len: int, kv_heads: int,
     if quantized:
         k = jnp.zeros(shape, jnp.int8)
         v = jnp.zeros(shape, jnp.int8)
-        ks = jnp.zeros(shape[:3] + (1, max_len), jnp.float32)
-        vs = jnp.zeros(shape[:3] + (1, max_len), jnp.float32)
+        ks = jnp.zeros(shape[:-1], jnp.float32)
+        vs = jnp.zeros(shape[:-1], jnp.float32)
     else:
         k = jnp.zeros(shape, dtype)
         v = jnp.zeros(shape, dtype)
@@ -111,11 +111,11 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _write_scale_window(dst, upd, layer: int, bi: int, start, keep):
-    """Blend-write upd [H, T] into dst [L, B, H, 1, S] lanes start.."""
+    """Blend-write upd [H, T] into dst [L, B, H, S] rows start.."""
     h, t = upd.shape
-    idx = (layer, bi, 0, 0, start)
-    cur = jax.lax.dynamic_slice(dst, idx, (1, 1, h, 1, t))
-    new = jnp.where(keep, upd[:, None, :][None, None].astype(dst.dtype), cur)
+    idx = (layer, bi, 0, start)
+    cur = jax.lax.dynamic_slice(dst, idx, (1, 1, h, t))
+    new = jnp.where(keep, upd[None, None].astype(dst.dtype), cur)
     return jax.lax.dynamic_update_slice(dst, new, idx)
 
 
@@ -141,9 +141,9 @@ def _append_scatter(cache: KVCache, layer: int, k_new: jax.Array,
             cache,
             k=cache.k.at[layer, bidx, hidx, pidx].set(kc),
             v=cache.v.at[layer, bidx, hidx, pidx].set(vc),
-            k_scale=cache.k_scale.at[layer, bidx, hidx, 0, pidx].set(
+            k_scale=cache.k_scale.at[layer, bidx, hidx, pidx].set(
                 ks[..., 0]),
-            v_scale=cache.v_scale.at[layer, bidx, hidx, 0, pidx].set(
+            v_scale=cache.v_scale.at[layer, bidx, hidx, pidx].set(
                 vs[..., 0]),
         )
     return dataclasses.replace(
@@ -220,10 +220,8 @@ def read_layer(cache: KVCache, layer: int,
     k = cache.k[layer]
     v = cache.v[layer]
     if cache.quantized:
-        ks = jnp.swapaxes(cache.k_scale[layer], -1, -2)  # [B,H,S,1]
-        vs = jnp.swapaxes(cache.v_scale[layer], -1, -2)
-        k = k.astype(jnp.float32) * ks
-        v = v.astype(jnp.float32) * vs
+        k = k.astype(jnp.float32) * cache.k_scale[layer][..., None]
+        v = v.astype(jnp.float32) * cache.v_scale[layer][..., None]
     return (k.astype(dtype).transpose(0, 2, 1, 3),
             v.astype(dtype).transpose(0, 2, 1, 3))
 
@@ -263,7 +261,7 @@ def evict(cache: KVCache, n_keep: int, n_discard: int,
     def slide(a, axis=3):
         if a is None:
             return None
-        # S: axis 3 for k/v [L,B,H,S,D]; axis 4 for scales [L,B,H,1,S]
+        # S: axis 3 for k/v [L,B,H,S,D] and for scales [L,B,H,S]
         sl = [slice(None)] * a.ndim
         def take(lo, hi):
             s = list(sl)
@@ -282,8 +280,8 @@ def evict(cache: KVCache, n_keep: int, n_discard: int,
     if slot_mask is not None:
         new_len = jnp.where(slot_mask, new_len, cache.lengths)
     return KVCache(
-        slide(cache.k), slide(cache.v), slide(cache.k_scale, axis=4),
-        slide(cache.v_scale, axis=4), new_len,
+        slide(cache.k), slide(cache.v), slide(cache.k_scale),
+        slide(cache.v_scale), new_len,
     )
 
 
@@ -303,11 +301,10 @@ def shift_ring(cache: KVCache, n_keep: int, n_discard: int,
     delta = jnp.where(mask, delta, 0)
     if out.quantized:
         # dequantize -> rotate -> requantize the shifted span
-        kf = out.k.astype(jnp.float32) * jnp.swapaxes(out.k_scale, -1, -2)
+        kf = out.k.astype(jnp.float32) * out.k_scale[..., None]
         kr = _rotate_stack(kf, delta, inv_freq, style, rot_dim)
         kc, ks = quantize_kv(kr)
-        return dataclasses.replace(out, k=kc,
-                                   k_scale=jnp.swapaxes(ks, -1, -2))
+        return dataclasses.replace(out, k=kc, k_scale=ks[..., 0])
     kr = _rotate_stack(out.k.astype(jnp.float32), delta, inv_freq, style,
                        rot_dim)
     return dataclasses.replace(out, k=kr.astype(out.k.dtype))

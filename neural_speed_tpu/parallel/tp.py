@@ -133,8 +133,8 @@ def cache_specs(shard_kv: bool) -> kvc.KVCache:
     kvspec = P(None, "dp", "tp", None, None) if shard_kv else P(
         None, "dp", None, None, None
     )
-    sspec = P(None, "dp", "tp", None, None) if shard_kv else P(
-        None, "dp", None, None, None
+    sspec = P(None, "dp", "tp", None) if shard_kv else P(
+        None, "dp", None, None
     )
     return kvc.KVCache(kvspec, kvspec, sspec, sspec, P("dp"))
 

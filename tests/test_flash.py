@@ -34,8 +34,8 @@ def _mha(q, k, v, ks, vs, pos, kv_lens, **kw):
     """flash.mha with [B,S,H,D]-layout k/v (and [B,S,H,1] scales) as used by
     attention_ref, transposed to the kernel's cache layout."""
     t = lambda a: None if a is None else a.transpose(0, 2, 1, 3)
-    ks_t = None if ks is None else ks[..., 0].transpose(0, 2, 1)[:, :, None]
-    vs_t = None if vs is None else vs[..., 0].transpose(0, 2, 1)[:, :, None]
+    ks_t = None if ks is None else ks[..., 0].transpose(0, 2, 1)
+    vs_t = None if vs is None else vs[..., 0].transpose(0, 2, 1)
     return flash.mha(q, t(k), t(v), ks_t, vs_t, pos, kv_lens, **kw)
 
 
