@@ -154,6 +154,8 @@ class Model:
         stopping_criteria: Optional[Callable[[List[int]], bool]] = None,
         ignore_prompt: bool = False,
         session_path: Optional[str] = None,
+        speculative: bool = False,
+        speculative_k: int = 7,
         **kwargs,
     ):
         """HF-style generate (parity: __init__.py:337-411 incl. streamer +
@@ -188,6 +190,26 @@ class Model:
                 raise ValueError("session_path needs a single prompt, "
                                  "num_beams=1")
             cached = self._load_session_prefix(session_path, ids[0])
+        if speculative:
+            # prompt-lookup speculative greedy decoding (EXTENSION —
+            # runtime/speculative.py): output is exactly the greedy sequence
+            if (do_sample or num_beams > 1 or len(ids) != 1
+                    or stopping_criteria is not None or cached):
+                raise ValueError("speculative=True needs a single prompt, "
+                                 "greedy sampling, num_beams=1, no "
+                                 "stopping_criteria/session")
+            from .runtime.speculative import generate_greedy_speculative
+
+            out = generate_greedy_speculative(
+                self.engine, ids[0], max_new_tokens, eos_id=self.eos_id,
+                k=speculative_k,
+                sp=SamplingParams(do_sample=False,
+                                  repetition_penalty=repetition_penalty),
+            )
+            if streamer is not None:
+                for t in out:
+                    streamer(t)
+            return [(ids[0] if not ignore_prompt else []) + out]
         if num_beams > 1:
             from .runtime.beam import BeamConfig, beam_search
 

@@ -1,0 +1,222 @@
+"""Prompt-lookup speculative decoding (EXTENSION beyond the reference).
+
+Greedy decoding verifies k draft tokens per model call instead of one:
+drafts come from n-gram matches against the already-generated context
+("prompt lookup" / assisted generation — no draft model needed), and a
+single multi-token forward scores draft+1 positions.  The accept rule
+keeps the longest prefix whose argmax agrees with the draft, plus the
+first correction — so the OUTPUT EQUALS THE GREEDY SEQUENCE (including
+repetition/frequency/presence penalties when a `SamplingParams` is
+given, replicating ops/sampling.py `sample()` greedy semantics), only
+faster when text is locally repetitive (code, extraction, summaries
+that quote the prompt).
+
+TPU mapping: the verify forward is the same static-shape bucketed
+multi-token step as prefill (positions `n .. n+k` over the existing
+cache), so it rides the MXU instead of the memory-bound 1-token GEMV —
+k tokens verified for roughly the cost of one decode step.  Rejected
+draft KV rows need no erase: `cache.lengths` is rolled back to the
+accepted prefix and later writes simply overwrite the stale rows (the
+same trash-tolerant cache contract prefill padding uses).
+
+Exactness caveat (inherent to speculative decoding on real hardware):
+the verify forward runs at T=k+1 while plain decode runs at T=1, so
+GEMM blocking differs and logits can differ by ~1e-3; on a real model's
+logit gaps this virtually never flips an argmax, but it can on a
+random-init model with near-uniform logits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import SamplingParams
+from .engine import Engine, pad_to_bucket
+
+
+def propose_ngram(context: List[int], k: int, max_ngram: int = 3,
+                  min_ngram: int = 1) -> Optional[List[int]]:
+    """Draft the k tokens that followed the most recent match of the
+    longest context-suffix n-gram (HF 'prompt lookup decoding')."""
+    n_ctx = len(context)
+    if n_ctx < min_ngram + 1:
+        return None
+    for n in range(min(max_ngram, n_ctx - 1), min_ngram - 1, -1):
+        tail = context[n_ctx - n:]
+        for start in range(n_ctx - n - 1, -1, -1):
+            if context[start:start + n] == tail:
+                cont = context[start + n: start + n + k]
+                if cont:
+                    return list(cont)
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("cache",))
+def _verify_forward(params, cfg, cache, ids, pos, kv_lens):
+    """Full-logits multi-token forward over the existing cache (the
+    prefill_step pattern minus the last-token gather — verification
+    needs the logits at EVERY draft position)."""
+    from ..models.transformer import forward
+
+    return forward(params, cfg, ids, pos, cache, kv_lens)
+
+
+class _PenalizedGreedy:
+    """Host-side replica of ops/sampling.py greedy-with-penalties:
+    repetition penalty over the last-`penalty_window` OBSERVED tokens
+    (the scheduler observes `prompt[-window:]` then every generated
+    token — scheduler.py:282-289) + OpenAI frequency/presence over the
+    observed-token counts, all in f32 like `apply_penalties`."""
+
+    def __init__(self, prompt: List[int], sp: Optional[SamplingParams]):
+        self.sp = sp
+        if sp is not None and sp.do_sample:
+            raise ValueError("speculative decoding is greedy-only")
+        self.obs: List[int] = (
+            list(prompt[-sp.penalty_window:]) if sp is not None else []
+        )
+
+    def pick(self, row: np.ndarray, extra: List[int]) -> int:
+        """argmax of penalties(row) given observed = self.obs + extra."""
+        sp = self.sp
+        if sp is None:
+            return int(np.argmax(row))
+        l = np.asarray(row, np.float32).copy()
+        obs = self.obs + extra
+        if sp.repetition_penalty != 1.0 and obs:
+            rp = np.float32(sp.repetition_penalty)
+            win = np.unique(np.asarray(obs[-sp.penalty_window:], np.int64))
+            win = win[(win >= 0) & (win < l.shape[0])]
+            lw = l[win]
+            l[win] = np.where(lw > 0, lw / rp, lw * rp)
+        if sp.frequency_penalty != 0.0 or sp.presence_penalty != 0.0:
+            cnt = np.bincount(
+                np.clip(np.asarray(obs, np.int64), 0, l.shape[0] - 1),
+                minlength=l.shape[0],
+            ).astype(np.float32)
+            l = l - cnt * np.float32(sp.frequency_penalty) - (
+                cnt > 0
+            ).astype(np.float32) * np.float32(sp.presence_penalty)
+        return int(np.argmax(l))
+
+    def observe(self, tokens: List[int]) -> None:
+        if self.sp is not None:
+            self.obs.extend(tokens)
+
+
+def generate_greedy_speculative(
+    engine: Engine,
+    prompt: List[int],
+    max_new_tokens: int,
+    eos_id: Optional[int] = None,
+    k: int = 7,
+    max_ngram: int = 3,
+    sp: Optional[SamplingParams] = None,
+) -> List[int]:
+    """Greedy generation with n-gram speculation; output is token-for-token
+    identical to `Engine.generate_greedy` (sp=None) or to the scheduler's
+    penalized greedy (sp given) — tested in tests/test_speculative.py."""
+    from ..ops import kv_cache as kvc
+
+    if not isinstance(engine.cache, kvc.KVCache):
+        raise NotImplementedError(
+            "speculative decoding requires the contiguous KV cache "
+            "(PagedEngine page growth is not transactional under rollback)"
+        )
+    b = engine.max_batch
+    pen = _PenalizedGreedy(prompt, sp)
+    logits = engine.prefill([prompt])
+    out: List[int] = []
+    tok = pen.pick(np.asarray(logits[0], np.float32), [])
+    pen.observe([tok])
+    n_past = len(prompt)
+    pad_t = pad_to_bucket(k + 1, engine.buckets)
+    # The verify forward is masked by its explicit kv_lens/pos arguments,
+    # not by cache.lengths, so the device `lengths` vector only has to be
+    # correct when the fallback `engine.decode` path reads it (and at loop
+    # exit, so the cache is left consistent).  Tracking it host-side and
+    # syncing lazily removes one device dispatch + one host sync per
+    # iteration — the dominant cost per step on a dispatch-latency-bound
+    # serving loop (each verify accepts ~k tokens, so dispatch overhead is
+    # amortized; set_lengths was pure overhead).
+    base_lens = np.asarray(engine.cache.lengths)  # spectator slots
+    lens_dirty = False
+
+    def _sync_lengths():
+        nonlocal lens_dirty
+        engine.cache = kvc.set_lengths(
+            engine.cache,
+            jnp.asarray(
+                np.where(np.arange(b) == 0, n_past, base_lens), np.int32
+            ),
+        )
+        lens_dirty = False
+
+    while len(out) < max_new_tokens:
+        out.append(tok)
+        if (eos_id is not None and tok == eos_id) or len(out) >= max_new_tokens:
+            break
+        draft = propose_ngram(prompt + out, k, max_ngram=max_ngram)
+        if not draft:
+            if lens_dirty:
+                _sync_lengths()
+            active = jnp.zeros((b,), bool).at[0].set(True)
+            logits = engine.decode(jnp.full((b,), tok, jnp.int32), active)
+            tok = pen.pick(np.asarray(logits[0], np.float32), [])
+            pen.observe([tok])
+            n_past += 1  # decode_step advanced the device lengths too
+            continue
+
+        # verify [tok, *draft] in ONE forward: k+1 tokens -> k+1 logits.
+        # Causal masking makes each position's logits independent of the
+        # (possibly wrong) later draft rows, so results are exact.
+        seq = [tok] + draft
+        ids = np.zeros((b, pad_t), np.int32)
+        ids[0, : len(seq)] = seq
+        pos = np.arange(pad_t)[None, :] + np.where(
+            np.arange(b) == 0, n_past, 0
+        )[:, None]
+        in_range = (np.arange(pad_t)[None, :] < len(seq)) & (
+            np.arange(b) == 0
+        )[:, None]
+        pos = np.where(in_range, pos, engine.max_len - 1)
+        kv_lens = np.where(np.arange(b) == 0, n_past + len(seq), base_lens)
+        all_logits, engine.cache = _verify_forward(
+            engine.params, engine.cfg, engine.cache, jnp.asarray(ids),
+            jnp.asarray(pos), jnp.asarray(kv_lens, dtype=np.int32),
+        )
+        rows = np.asarray(all_logits[0, : len(seq)], np.float32)
+
+        # row j scores the token FOLLOWING seq[j]; its penalty state has
+        # observed draft[:j] on top of everything up to tok
+        accepted = 0
+        nxt = None
+        while True:
+            g = pen.pick(rows[accepted], draft[:accepted])
+            if (accepted < len(draft)
+                    and len(out) + accepted + 1 < max_new_tokens
+                    and g == draft[accepted]
+                    and not (eos_id is not None and g == eos_id)):
+                accepted += 1
+            else:
+                nxt = g
+                break
+        out.extend(draft[:accepted])
+        pen.observe(draft[:accepted])
+        tok = nxt  # first correction / next greedy token (may be eos)
+        pen.observe([tok])
+        n_past += 1 + accepted
+        # logical rollback to the accepted prefix: stale draft rows beyond
+        # n_past are masked by kv_lens and overwritten by later appends;
+        # the device lengths are synced lazily (see above)
+        lens_dirty = True
+
+    if lens_dirty:
+        _sync_lengths()
+    return out

@@ -47,6 +47,10 @@ def add_gen_args(ap: argparse.ArgumentParser) -> None:
                     help="attention-sink tokens kept on eviction")
     ap.add_argument("--n_discard", type=int, default=-1,
                     help="tokens discarded on eviction (-1 = half)")
+    ap.add_argument("--speculative", action="store_true",
+                    help="prompt-lookup speculative greedy decoding")
+    ap.add_argument("--speculative_k", type=int, default=7,
+                    help="draft tokens verified per step")
 
 
 def qspec_from_args(args):

@@ -58,6 +58,7 @@ def main():
         top_k=args.top_k, top_p=args.top_p,
         repetition_penalty=args.repetition_penalty,
         num_beams=args.num_beams, seed=args.seed,
+        speculative=args.speculative, speculative_k=args.speculative_k,
     )
     for row in out:
         print(emit(model, row))
