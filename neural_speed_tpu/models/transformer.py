@@ -17,6 +17,7 @@ dense array — matching the reference's mixed quantized/fp graphs.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -104,36 +105,94 @@ def ffn(x: jax.Array, p: Params, cfg: ArchConfig,
     return linear(a(linear(x, p["up"])), p["down"], axis_name)
 
 
+def _expert_view(stacked: dict, e: int) -> Params:
+    """ffn()-shaped param dict for one expert of a stacked MoE block."""
+    return {key: {"w": st.expert(e)} for key, st in stacked.items()}
+
+
+def _moe_grouped(x: jax.Array, stacked: dict, topi: jax.Array,
+                 probs: jax.Array, cfg: ArchConfig,
+                 axis_name: Optional[str],
+                 interpret: bool = False) -> jax.Array:
+    """Grouped (megablocks-style) expert dispatch for multi-token steps:
+    sort token rows by expert into block-aligned segments, run the whole
+    FFN chain as grouped GEMMs (~top_k/E of the dense path's FLOPs), then
+    gather-combine.  Exact — no capacity drops (ops/moe.py)."""
+    from ..ops import moe as moe_ops
+
+    b, t, h = x.shape
+    n = b * t
+    kk = topi.shape[-1]
+    eid = topi.reshape(n * kk)
+    max_k = max(st.local_view().shape[0] for st in stacked.values())
+    bm = moe_ops.choose_bm(max_k, x.dtype)
+    r = moe_ops.route_tokens(eid, cfg.moe.num_experts, kk, bm)
+
+    xf = x.reshape(n, h)
+    xz = jnp.concatenate([xf, jnp.zeros((1, h), xf.dtype)], axis=0)
+    xs = xz[r.src]                                     # [M_pad, H]
+    a = _ACTS[cfg.act]
+    gq = functools.partial(moe_ops.grouped_qmatmul, block_expert=r.block_expert,
+                           bm=bm, interpret=interpret)
+    if "gateup" in stacked:
+        gu = gq(xs, stacked["gateup"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        mid = a(gate) * up
+    elif "gate" in stacked:
+        mid = a(gq(xs, stacked["gate"])) * gq(xs, stacked["up"])
+    else:
+        mid = a(gq(xs, stacked["up"]))
+    y = gq(mid.astype(x.dtype), stacked["down"])       # [M_pad, H] f32
+    y_asg = y[r.dest_by_a].reshape(n, kk, h)
+    out = jnp.einsum("nkh,nk->nh", y_asg,
+                     probs.reshape(n, kk).astype(jnp.float32))
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out.reshape(b, t, h).astype(x.dtype)
+
+
 def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig,
             axis_name: Optional[str] = None) -> jax.Array:
     """Top-k expert mixing (mixtral/grok; llama.cpp:620-689 ne_mul_mat_id).
 
-    Round-1 strategy: compute every expert densely and weight by the
-    router's top-k mask — correct and jit-static; grouped (megablocks-style)
-    dispatch is a planned perf step.
+    Three paths:
+      * B*T == 1 (decode): lax.switch over the selected experts only
+        (parity: the reference's serial selected-expert compute,
+        llama.cpp:641-680) — E/top_k x less weight traffic.
+      * multi-token with stacked experts (fuse_params): grouped dispatch
+        (_moe_grouped) — ~top_k/E of the dense FLOPs, exact.
+      * fallback: dense-all-experts weighted by the router mask.
     """
     m = cfg.moe
     b, t, _ = x.shape
     router_logits = linear(x, p["router"]).astype(jnp.float32)  # [B,T,E]
     topv, topi = jax.lax.top_k(router_logits, m.top_k)
     probs = jax.nn.softmax(topv, axis=-1)  # normalize over selected experts
+    stacked = p.get("experts_stacked")
 
     if b * t == 1:
-        # decode fast path: run ONLY the selected experts via lax.switch
-        # (parity: the reference computes experts serially per selection,
-        # llama.cpp:641-680 ne_mul_mat_id) — E/top_k x less weight traffic
         out = jnp.zeros_like(x).astype(jnp.float32)
-        branches = [
-            (lambda xx, e=e: ffn(xx, p["experts"][e], cfg).astype(
-                jnp.float32))
-            for e in range(m.num_experts)
-        ]
+        if stacked is not None:
+            branches = [
+                (lambda xx, e=e: ffn(xx, _expert_view(stacked, e), cfg)
+                 .astype(jnp.float32))
+                for e in range(m.num_experts)
+            ]
+        else:
+            branches = [
+                (lambda xx, e=e: ffn(xx, p["experts"][e], cfg).astype(
+                    jnp.float32))
+                for e in range(m.num_experts)
+            ]
         for j in range(m.top_k):
             contrib = jax.lax.switch(topi[0, 0, j], branches, x)
             out = out + contrib * probs[0, 0, j]
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
         return out.astype(x.dtype)
+
+    if stacked is not None:
+        return _moe_grouped(x, stacked, topi, probs, cfg, axis_name)
 
     onehot = jax.nn.one_hot(topi, m.num_experts, dtype=jnp.float32)  # [B,T,k,E]
     weights = jnp.einsum("btk,btke->bte", probs, onehot)
@@ -457,4 +516,43 @@ def fuse_params(params: Params, cfg: ArchConfig) -> Params:
             lp["moe"] = moe_p
         layers.append(lp)
     out["layers"] = layers
-    return _repad_tree(out)
+    out = _repad_tree(out)
+    # stack eligible MoE experts [E, ...] (after repad so planes are
+    # kernel-aligned) — enables grouped prefill dispatch (ops/moe.py) and
+    # replaces the per-expert list so weights are not duplicated in HBM
+    for lp in out.get("layers", []):
+        moe_p = lp.get("moe")
+        if isinstance(moe_p, dict) and "experts" in moe_p:
+            st = _stack_expert_ffns(moe_p["experts"])
+            if st is not None:
+                moe_p["experts_stacked"] = st
+                del moe_p["experts"]
+    return out
+
+
+def _stack_expert_ffns(experts):
+    """Stack each projection of the expert FFNs, or None when any expert
+    is not stackable (mixed structures, biases, act-order perms, non-packed
+    weights)."""
+    from ..ops.moe import stack_experts
+
+    if not experts:
+        return None
+    keys = set(experts[0].keys())
+    if keys not in ({"gateup", "down"}, {"gate", "up", "down"},
+                    {"up", "down"}):
+        return None
+    stacked = {}
+    for key in keys:
+        parts = [ep.get(key) for ep in experts]
+        if any(
+            pp is None or set(pp) - {"w"} or not isinstance(pp.get("w"),
+                                                            QTensor)
+            for pp in parts
+        ):
+            return None
+        st = stack_experts([pp["w"] for pp in parts])
+        if st is None:
+            return None
+        stacked[key] = st
+    return stacked

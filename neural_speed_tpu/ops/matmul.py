@@ -107,6 +107,14 @@ def _band_scales(s_all, band: int, gb: int, bkw: int, g: int, k: int, cdt):
     ).reshape(bkw, sblk.shape[-1]).astype(cdt)
 
 
+def _squeeze_lead(ref):
+    """Block value squeezed to its last two dims: grouped-MoE variants of
+    the kernels carry leading expert/K-block dims of size 1 (ops/moe.py);
+    the plain launcher passes 2-D (weights) / 3-D (scales) blocks."""
+    arr = ref[...]
+    return arr.reshape(arr.shape[-2], arr.shape[-1])
+
+
 def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
                      spec: QSpec, k: int, g: int, cdt, n_kb: int):
     """Fused dequant-GEMM kernel for single-plane INT widths (4/2/1/8-bit
@@ -121,6 +129,7 @@ def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
     x_ref: [BM, K] activations, resident across K blocks (the launcher
            only K-grids when offsets are 128-lane aligned)
     w_ref: [BKW, BN] packed word block (uint32), or int8 rows (bits==8)
+           (leading size-1 expert dim allowed — grouped MoE)
     s_ref: [1, e*gb, BN] per-block scale rows (pre-permuted by the launcher)
     z_ref: [1, e*gb, BN] zeros (uint8) or None
     o_ref: [BM, BN] f32 out (written on the last K block)
@@ -132,7 +141,8 @@ def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
     else:
         e = 32 // width
         kw = k // e
-    bkw = w_ref.shape[0]
+    w_blk = _squeeze_lead(w_ref)
+    bkw = w_blk.shape[0]
     gb = bkw // g if g < k else 1
     kb = pl.program_id(2)
 
@@ -140,16 +150,16 @@ def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s_all = s_ref[0]
-    z_all = z_ref[0] if z_ref is not None else None
+    s_all = _squeeze_lead(s_ref)
+    z_all = _squeeze_lead(z_ref) if z_ref is not None else None
     acc = jnp.zeros_like(acc_ref)
     group_dot = (g >= 128 and g < k and width != 1
                  and (n_kb == 1 or g % 128 == 0))
     for band in range(e):
         if width == 8:
-            codes = w_ref[:].astype(jnp.int32)
+            codes = w_blk.astype(jnp.int32)
         else:
-            codes = _unpack_band(w_ref[:], width, band).astype(jnp.int32)
+            codes = _unpack_band(w_blk, width, band).astype(jnp.int32)
         if group_dot:
             # comp-int style: dot RAW codes per group, rescale the [BM, BN]
             # partial AFTER the dot — the scale multiply moves from
@@ -195,7 +205,8 @@ def _gemm_kernel_lut(x_ref, w_ref, s_ref, o_ref, acc_ref, *, spec: QSpec,
     as _gemm_kernel_int."""
     e = 8
     kw = k // e
-    bkw = w_ref.shape[0]
+    w_blk = _squeeze_lead(w_ref)
+    bkw = w_blk.shape[0]
     gb = bkw // g if g < k else 1
     kb = pl.program_id(2)
 
@@ -203,10 +214,10 @@ def _gemm_kernel_lut(x_ref, w_ref, s_ref, o_ref, acc_ref, *, spec: QSpec,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s_all = s_ref[0]
+    s_all = _squeeze_lead(s_ref)
     acc = jnp.zeros_like(acc_ref)
     for band in range(e):
-        codes = _unpack_band(w_ref[:], 4, band).astype(jnp.int32)
+        codes = _unpack_band(w_blk, 4, band).astype(jnp.int32)
         vals = decode_lut(codes, spec, cdt)
         sfull = _band_scales(s_all, band, gb, bkw, g, k, cdt)
         xb = _x_chunk(x_ref, band, kw, bkw, kb, n_kb).astype(cdt)

@@ -79,11 +79,33 @@ def _linear_spec(p: Dict[str, Any], kind: str) -> Dict[str, Any]:
 def _ffn_specs(fp: Dict[str, Any], tp_shard: bool) -> Dict[str, Any]:
     out = {}
     for key, sub in fp.items():
-        if key in ("gate", "up"):
+        if key in ("gate", "up", "gateup"):
             out[key] = _linear_spec(sub, "col" if tp_shard else "rep")
         elif key == "down":
             out[key] = _linear_spec(sub, "row" if tp_shard else "rep")
     return out
+
+
+def _stacked_spec(st, row: bool):
+    """Spec pytree for a StackedExperts: expert axis replicated, K or N on
+    'tp' exactly like the per-expert QTensor splits."""
+    import dataclasses as _dc
+
+    d = tuple(P(None, "tp", None) if row else P(None, None, "tp")
+              for _ in st.data)
+    s = P(None, "tp", None) if row else P(None, None, "tp")
+    return _dc.replace(st, data=d, scales=s,
+                       zeros=None if st.zeros is None else s)
+
+
+def _stacked_experts_specs(sd: Dict[str, Any]) -> Dict[str, Any]:
+    if "gateup" in sd:
+        # fused gate+up cannot be column-split naively (shard 0 would get
+        # all of gate): TP flows shard the UNFUSED per-projection stacks —
+        # same rule as the dense FFN (shard_params runs on unfused params)
+        raise ValueError("TP sharding requires unfused expert gate/up "
+                         "stacks (build params with fuse=False)")
+    return {key: _stacked_spec(st, key == "down") for key, st in sd.items()}
 
 
 def param_specs(params: Dict[str, Any], cfg: ArchConfig,
@@ -107,10 +129,14 @@ def param_specs(params: Dict[str, Any], cfg: ArchConfig,
                     elif k2 == "moe":
                         ms: Dict[str, Any] = {
                             "router": _linear_spec(v2["router"], "rep"),
-                            "experts": [
-                                _ffn_specs(ep, True) for ep in v2["experts"]
-                            ],
                         }
+                        if "experts" in v2:
+                            ms["experts"] = [
+                                _ffn_specs(ep, True) for ep in v2["experts"]
+                            ]
+                        if "experts_stacked" in v2:
+                            ms["experts_stacked"] = _stacked_experts_specs(
+                                v2["experts_stacked"])
                         for nk in ("pre_norm", "post_norm"):
                             if nk in v2:
                                 ms[nk] = jax.tree_util.tree_map(
@@ -169,6 +195,16 @@ def repack_row_parallel(params: Dict[str, Any], tp: int) -> Dict[str, Any]:
                     if isinstance(w, QTensor):
                         v2 = {**v2, "w": repack(w, tp)}
                     out[k2] = v2
+                elif k2 == "experts_stacked":
+                    from ..ops.moe import stack_experts
+
+                    out[k2] = {
+                        sk: (stack_experts(
+                            [repack(sv.expert(e), tp)
+                             for e in range(sv.n_experts)])
+                            if sk in ROW_KEYS else sv)
+                        for sk, sv in v2.items()
+                    }
                 else:
                     out[k2] = walk(v2, k2)
             return out
