@@ -75,12 +75,16 @@ def main():
     start = jnp.zeros((b,), jnp.int32)
     tic = time.time()
     logits, cache = prefill_step(params, cfg, cache, ids, lens, start)
-    logits.block_until_ready()
+    float(logits[0, 0])  # drain the lazy queue (params synth + this run)
     log(f"prefill compile+run {time.time()-tic:.1f}s")
     cache = kvc.set_lengths(cache, jnp.zeros((b,), jnp.int32))
+    # distinct input + scalar host fetch: the tunnel dedups repeat
+    # dispatches and treats block_until_ready as a no-op for queued work,
+    # so identical re-runs time at ~0 (BENCH_NOTES.md measurement notes)
+    ids2 = ids.at[:, 0].set(7)
     tic = time.time()
-    logits, cache2 = prefill_step(params, cfg, cache, ids, lens, start)
-    logits.block_until_ready()
+    logits, cache2 = prefill_step(params, cfg, cache, ids2, lens, start)
+    float(logits[0, 0])
     ttft = time.time() - tic
     log(f"prefill ({t} tokens) = {ttft*1e3:.1f} ms "
         f"(reference fused-attn: 1475.6 ms)")
@@ -94,10 +98,17 @@ def main():
     # overhead of the remote-tunnel execution path.
     s1, s2 = args.steps, args.steps * 4
 
+    seq = [0]
+
     def timed(n, t0k):
+        # perturb the input token per call and fetch a scalar result:
+        # distinct dispatches + forced materialization (the tunnel dedups
+        # identical dispatches and lazily skips un-fetched chains)
+        seq[0] += 1
+        t0k = (t0k + seq[0]) % cfg.vocab_size
         tic = time.time()
         toks, c = decode_n_steps(params, cfg, cache2, t0k, active, n)
-        toks.block_until_ready()
+        int(toks[0, -1])
         return time.time() - tic, toks, c
 
     _, toks, cache2 = timed(s1, tok)          # compile s1
