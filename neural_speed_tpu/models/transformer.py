@@ -56,7 +56,22 @@ def linear(x: jax.Array, p: Params, axis_name: Optional[str] = None) -> jax.Arra
         x = jnp.take(x, perm, axis=-1)
     w = p["w"]
     if isinstance(w, QTensor):
-        out = qmatmul(x, w)
+        import os
+
+        m_rows = 1
+        for d in x.shape[:-1]:
+            m_rows *= d
+        # comp_int8 routing (reference: q4_j with int8 compute type is its
+        # headline config): int8-MXU kernel for multi-token steps; decode
+        # (m==1) stays on the weight-only path (HBM-bound — activation
+        # quant would add error for no speed)
+        comp = os.environ.get("NST_COMP")
+        if comp in ("int8", "int8t") and m_rows >= 32:
+            from ..ops.matmul import qmatmul_int8
+
+            out = qmatmul_int8(x, w, per_token=comp == "int8t")
+        else:
+            out = qmatmul(x, w)
     else:
         out = jnp.matmul(
             x, w.astype(x.dtype), preferred_element_type=jnp.float32

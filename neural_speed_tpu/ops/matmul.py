@@ -453,33 +453,248 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=None,
     return out.reshape(*lead, qt.shape[1])
 
 
-def qmatmul_int8(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
+def _act_quant(xf: jax.Array, g: int):
+    """Per-token, per-group sym int8 activation quant (parity:
+    bestla_prologue_a.h ActivationKBlockQuantize).  [M, K] f32 ->
+    (int8 [M, K], f32 scales [M, K/g]).  g >= K -> one scale per token
+    (per-row dynamic quant; cheaper rescale, slightly coarser)."""
+    m, k = xf.shape
+    g = min(g, k)
+    xg = xf.reshape(m, k // g, g)
+    amax = jnp.maximum(jnp.max(jnp.abs(xg), axis=-1), 1e-8)  # [M, G]
+    ascale = amax / 127.0
+    xq = jnp.clip(jnp.round(xg / ascale[..., None]), -127, 127).astype(
+        jnp.int8).reshape(m, k)
+    return xq, ascale
+
+
+def _int8_kernel(xq_ref, a_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                 spec: QSpec, k: int, g: int, n_kb: int,
+                 per_token: bool = False):
+    """comp_int8 GEMM: int8 activations x int-coded weights on the MXU
+    (int32 accumulate), f32 rescale per group by ascale x wscale.  The
+    weight zero-point / symmetric offset is folded into the int8 weight
+    values before the dot (codes - zp fits int8), so no activation-sum
+    correction term is needed.
+
+    xq_ref : [BM, K] int8 (resident across K blocks)
+    a_ref  : [1, BM, e*gb] f32 activation scales, pre-permuted per K block
+    w_ref  : [BKW, BN] packed words / int8 rows
+    s_ref  : [1, e*gb, BN] weight scale rows (pre-permuted)
+    z_ref  : [1, e*gb, BN] zeros or None
+    """
+    width = spec.bits
+    if width == 8:
+        e, kw = 1, k
+    else:
+        e = 32 // width
+        kw = k // e
+    w_blk = _squeeze_lead(w_ref)
+    bkw = w_blk.shape[0]
+    gb = bkw // g
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_all = _squeeze_lead(s_ref)
+    z_all = _squeeze_lead(z_ref) if z_ref is not None else None
+    a_all = None if per_token else a_ref[0]  # [BM, e*gb]
+    acc = jnp.zeros_like(acc_ref)
+    for band in range(e):
+        if width == 8:
+            codes = w_blk.astype(jnp.int32)
+        else:
+            codes = _unpack_band(w_blk, width, band).astype(jnp.int32)
+        for gg in range(gb):
+            gi = band * gb + gg
+            csub = codes[gg * g:(gg + 1) * g]
+            if z_all is not None:
+                wsub = (csub - z_all[gi][None, :].astype(jnp.int32)).astype(
+                    jnp.int8)
+            else:
+                wsub = (csub - spec.code_offset).astype(jnp.int8)
+            xb = _x_chunk(xq_ref, band, kw, g, kb, n_kb, sub_off=gg * g,
+                          blk=bkw)
+            d = jax.lax.dot_general(
+                xb, wsub, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            if per_token:
+                # per-row activation scale applied once outside the kernel
+                acc = acc + d * s_all[gi][None, :].astype(jnp.float32)
+            else:
+                acc = acc + d * (a_all[:, gi][:, None]
+                                 * s_all[gi][None, :].astype(jnp.float32))
+    acc_ref[:] += acc
+
+    @pl.when(kb == n_kb - 1)
+    def _store():
+        o_ref[:] = acc_ref[:]
+
+
+def _int8_pallas_ok(qt: QTensor, m: int) -> bool:
+    spec = qt.spec
+    if spec.qtype != QType.INT or spec.bits not in (4, 8):
+        return False
+    if qt.k_shards != 1 or len(qt.data) != 1 or spec.double_quant:
+        return False
+    if qt.zeros is not None and (
+            jnp.issubdtype(qt.zeros.dtype, jnp.floating) or spec.bits == 8):
+        return False  # 8-bit asym codes - zp overflows int8
+    if m % 32:  # int8 sublane tile
+        return False
+    k = qt.shape[0]
+    g = qt.spec.effective_group(k)
+    # activation quant granularity == weight group; kernel needs the
+    # group to fill whole 128-lane MXU contractions
+    return g < k and g % 128 == 0 and _kernel_group(qt) == g
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "per_token"))
+def _qmatmul_int8_pallas(xq: jax.Array, ascale, qt: QTensor,
+                         interpret: bool = False,
+                         per_token: bool = False) -> jax.Array:
+    spec = qt.spec
+    k, n = qt.shape
+    m = xq.shape[0]
+    g = spec.effective_group(k)
+    bn = _choose_bn(n)
+    cap = max(32, (2 * 1024 * 1024) // k)  # int8 x block ~2MB
+    bm = m
+    for c in (256, 128, 64, 32):
+        if m % c == 0 and c <= cap:
+            bm = c
+            break
+    e = _bands(spec)
+    wq = qt.data[0]
+    scales = qt.effective_scales(jnp.float32)
+    zeros = qt.zeros
+    kw_words = wq.shape[0]
+    bkw = _choose_bkw(kw_words, g, bn)
+    n_kb = kw_words // bkw
+    gb = bkw // g
+    grid = (m // bm, n // bn, n_kb)
+
+    idx = np.asarray(
+        [(band * kw_words + kb_i * bkw) // g + t
+         for kb_i in range(n_kb) for band in range(e)
+         for t in range(gb)], np.int32)
+    s_perm = jnp.take(scales, idx, axis=0).reshape(n_kb, e * gb, n)
+    z_perm = (jnp.take(zeros, idx, axis=0).reshape(n_kb, e * gb, n)
+              if zeros is not None else None)
+    # activation scales with the same group permutation, groups on lanes:
+    # [n_kb, M, e*gb] so the kernel slices a static lane column per group
+    a_perm = None if per_token else jnp.swapaxes(
+        jnp.take(ascale, idx, axis=1).reshape(m, n_kb, e * gb), 0, 1)
+
+    x_spec = pl.BlockSpec((bm, k), lambda i, j, kb: (i, 0),
+                          memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, bm, e * gb), lambda i, j, kb: (kb, i, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((bkw, bn), lambda i, j, kb: (kb, j),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, e * gb, bn), lambda i, j, kb: (kb, 0, j),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j),
+                          memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=m * k + wq.size * wq.dtype.itemsize + m * n * 4,
+        transcendentals=0,
+    )
+    body = functools.partial(_int8_kernel, spec=spec, k=k, g=g, n_kb=n_kb,
+                             per_token=per_token)
+    if per_token:
+        if zeros is not None:
+            def kern(xq_ref, w_ref, s_ref, z_ref, o_ref, acc_ref):
+                body(xq_ref, None, w_ref, s_ref, z_ref, o_ref, acc_ref)
+            in_specs = [x_spec, w_spec, s_spec, s_spec]
+            args = (xq, wq, s_perm, z_perm)
+        else:
+            def kern(xq_ref, w_ref, s_ref, o_ref, acc_ref):  # noqa: F811
+                body(xq_ref, None, w_ref, s_ref, None, o_ref, acc_ref)
+            in_specs = [x_spec, w_spec, s_spec]
+            args = (xq, wq, s_perm)
+    elif zeros is not None:
+        kern = body
+        in_specs = [x_spec, a_spec, w_spec, s_spec, s_spec]
+        args = (xq, a_perm, wq, s_perm, z_perm)
+    else:
+        def kern(xq_ref, a_ref, w_ref, s_ref, o_ref, acc_ref):  # noqa: F811
+            body(xq_ref, a_ref, w_ref, s_ref, None, o_ref, acc_ref)
+        in_specs = [x_spec, a_spec, w_spec, s_spec]
+        args = (xq, a_perm, wq, s_perm)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def qmatmul_int8(x: jax.Array, qt: QTensor, out_dtype=None,
+                 force_xla: bool = False, interpret: bool = False,
+                 per_token: bool = False) -> jax.Array:
     """comp_int8 analogue: dynamic per-token int8 activation quant then
     int8 x int-weight matmul accumulated in int32 on the MXU, with the
     float correction applied per group.
 
     Parity: bestla_prologue_a.h ActivationKBlockQuantize +
-    LauncherIntKBlock int8 compute (bestla_wrapper.h:547+), and the
-    asym zero-point correction of bestla_epilogue.h:278-311.
+    LauncherIntKBlock int8 compute (bestla_wrapper.h:547+); the weight
+    zero-point is folded into the int8 weight values (replacing the
+    activation-reduce correction of bestla_epilogue.h:278-311).
 
-    Currently implemented as an XLA program (int8 dot hits the MXU via
-    preferred_element_type=int32); a Pallas variant is a planned perf step.
+    Dispatch: Pallas kernel (int8 MXU — 2x the bf16 macs/clock) when the
+    pack qualifies, else an XLA einsum program; both share the same
+    quantization math.  `per_token=True` uses one activation scale per
+    row (applied outside the kernel) instead of one per group — cheaper
+    epilogue, slightly coarser activation quant.
     """
     spec = qt.spec
-    if spec.qtype != QType.INT or not spec.symmetric:
+    qt = qt.local_view()
+    if spec.qtype != QType.INT:
         return qmatmul(x, qt, out_dtype)
     out_dtype = out_dtype or x.dtype
     k, n = qt.shape
     g = spec.effective_group(k)
     lead = x.shape[:-1]
+    if x.shape[-1] != k:  # K-padded pack
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, k - x.shape[-1])])
     xf = x.reshape(-1, k).astype(jnp.float32)
     m = xf.shape[0]
 
-    # per-token, per-group activation quant (sym int8)
-    xg = xf.reshape(m, k // g, g)
-    amax = jnp.maximum(jnp.max(jnp.abs(xg), axis=-1), 1e-8)  # [M, G]
-    ascale = amax / 127.0
-    xq = jnp.clip(jnp.round(xg / ascale[..., None]), -127, 127).astype(jnp.int8)
+    mp = m if m <= 256 else -(-m // 256) * 256
+    use_pallas = ((interpret or _use_pallas()) and not force_xla
+                  and _int8_pallas_ok(qt, mp if mp % 32 == 0 else m))
+    if use_pallas:
+        if mp != m:
+            xf = jnp.pad(xf, ((0, mp - m), (0, 0)))
+        xq, ascale = _act_quant(xf, k if per_token else g)
+        out = _qmatmul_int8_pallas(xq, ascale, qt, interpret=interpret,
+                                   per_token=per_token)
+        if per_token:
+            out = out * ascale
+        if mp != m:
+            out = out[:m]
+        return out.reshape(*lead, n).astype(out_dtype)
+
+    if not spec.symmetric:
+        return qmatmul(x, qt, out_dtype)
+    xq, ascale = _act_quant(xf, k if per_token else g)
+    if per_token:
+        ascale = jnp.broadcast_to(ascale, (m, k // g))
 
     from .quantize import unpack_codes
 
@@ -490,7 +705,8 @@ def qmatmul_int8(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
     # group-wise int8 dot then float rescale:  out = sum_g (xq_g @ wq_g) * (as*ws)
     wq_g = wvals.reshape(k // g, g, n)
     acc = jnp.einsum(
-        "mgk,gkn->mgn", xq.astype(jnp.int32), wq_g.astype(jnp.int32),
+        "mgk,gkn->mgn", xq.reshape(m, k // g, g).astype(jnp.int32),
+        wq_g.astype(jnp.int32),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
     out = jnp.einsum("mgn,mg,gn->mn", acc, ascale, wscale)

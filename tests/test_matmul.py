@@ -11,6 +11,7 @@ import pytest
 from neural_speed_tpu.ops import QSpec, QType, named_qspec
 from neural_speed_tpu.ops.matmul import qmatmul, qmatmul_int8, qmatmul_xla
 from neural_speed_tpu.ops.quantize import dequantize, quantize
+from neural_speed_tpu.utils.synthetic import synth_qtensor
 
 M, K, N = 16, 256, 128
 
@@ -142,3 +143,75 @@ def test_repad_k_lossless():
         out = qmatmul(x, padded, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("spec,kn", [
+    (QSpec(QType.INT, 4, 128, True), (1024, 256)),
+    (QSpec(QType.INT, 4, 128, True), (2048, 512)),
+    (QSpec(QType.INT, 8, 128, True), (1024, 256)),
+])
+def test_int8_pallas_matches_xla(spec, kn):
+    """The int8-MXU Pallas kernel and the XLA einsum path share the same
+    quantization math: integer dots are exact, so results agree to f32
+    rounding."""
+    from neural_speed_tpu.ops.matmul import _int8_pallas_ok
+
+    k, n = kn
+    key = jax.random.PRNGKey(11)
+    qt = synth_qtensor(key, k, n, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (64, k),
+                          jnp.float32) * 0.5
+    assert _int8_pallas_ok(qt, 64)
+    ref = qmatmul_int8(x, qt, force_xla=True, out_dtype=jnp.float32)
+    out = qmatmul_int8(x, qt, interpret=True, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_int8_pallas_asym():
+    """Asym int4: zero-point folded into the int8 weight values; compare
+    against the fp dequant reference within activation-quant error."""
+    spec = QSpec(QType.INT, 4, 128, False)
+    k, n = 1024, 256
+    key = jax.random.PRNGKey(12)
+    qt = synth_qtensor(key, k, n, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (64, k),
+                          jnp.float32) * 0.5
+    ref = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+    out = qmatmul_int8(x, qt, interpret=True, out_dtype=jnp.float32)
+    denom = float(jnp.sqrt(jnp.mean(ref ** 2)))
+    rel = float(jnp.sqrt(jnp.mean((out - ref) ** 2))) / max(denom, 1e-8)
+    assert rel < 0.02, rel
+
+
+def test_int8_pallas_odd_m_fallback_consistent():
+    """m not a multiple of 32 (and <=256) falls back to XLA — same math."""
+    spec = QSpec(QType.INT, 4, 128, True)
+    k, n = 1024, 256
+    key = jax.random.PRNGKey(13)
+    qt = synth_qtensor(key, k, n, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (7, k), jnp.float32)
+    out = qmatmul_int8(x, qt, out_dtype=jnp.float32)
+    ref = qmatmul_int8(x, qt, force_xla=True, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_int8_pallas_per_token_matches_xla():
+    spec = QSpec(QType.INT, 4, 128, True)
+    k, n = 1024, 256
+    key = jax.random.PRNGKey(14)
+    qt = synth_qtensor(key, k, n, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (64, k),
+                          jnp.float32) * 0.5
+    ref = qmatmul_int8(x, qt, force_xla=True, per_token=True,
+                       out_dtype=jnp.float32)
+    out = qmatmul_int8(x, qt, interpret=True, per_token=True,
+                       out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    # still close to the fp reference
+    fp = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+    denom = float(jnp.sqrt(jnp.mean(fp ** 2)))
+    rel = float(jnp.sqrt(jnp.mean((out - fp) ** 2))) / max(denom, 1e-8)
+    assert rel < 0.03, rel
