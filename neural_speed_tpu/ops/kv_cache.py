@@ -119,38 +119,74 @@ def _write_scale_window(dst, upd, layer: int, bi: int, start, keep):
     return jax.lax.dynamic_update_slice(dst, new, idx)
 
 
+def _rmw_row(dst: jax.Array, upd: jax.Array, layer: int, bi: int,
+             base, off, keep) -> jax.Array:
+    """Write ONE token row into dst[layer, bi, :, base+off] via an
+    8-row-aligned read-modify-write window.
+
+    Why not a 1-row DUS/scatter: XLA relayout-copies the whole per-layer
+    cache around any S-extent-1 write (measured 411us/layer/step at B=32 —
+    the dominant decode cost), while extent>=8 windows update IN PLACE
+    (~1us).  upd: [H, 1, D]."""
+    h, _, d = upd.shape
+    w = min(8, dst.shape[3])
+    cur = jax.lax.dynamic_slice(dst, (layer, bi, 0, base, 0),
+                                (1, 1, h, w, d))
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w, 1), 3) == off
+    sel = jnp.logical_and(row, keep)
+    new = jnp.where(sel, upd[None, None].astype(dst.dtype), cur)
+    return jax.lax.dynamic_update_slice(dst, new, (layer, bi, 0, base, 0))
+
+
+def _rmw_scale_row(dst: jax.Array, val: jax.Array, layer: int, bi: int,
+                   pos, keep) -> jax.Array:
+    """Write one scale column into dst[layer, bi, :, pos] via a 128-lane
+    aligned RMW window (same relayout-avoidance as _rmw_row; S is the
+    lane dim of the [L, B, H, S] scale arrays).  val: [H]."""
+    h = val.shape[0]
+    s = dst.shape[3]
+    w = min(128, s)
+    sbase = jnp.clip((pos // w) * w, 0, s - w)
+    cur = jax.lax.dynamic_slice(dst, (layer, bi, 0, sbase), (1, 1, h, w))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3) == (
+        pos - sbase)
+    sel = jnp.logical_and(col, keep)
+    new = jnp.where(sel, val[None, None, :, None].astype(dst.dtype), cur)
+    return jax.lax.dynamic_update_slice(dst, new, (layer, bi, 0, sbase))
+
+
 def _append_scatter(cache: KVCache, layer: int, k_new: jax.Array,
                     v_new: jax.Array, positions: jax.Array,
                     active=None) -> KVCache:
-    """Advanced-indexing scatter append (small: B*H*T rows).  Used for
-    decode steps; inactive slots park their write on the trash row."""
+    """Single-token decode append: per-slot aligned-window RMW writes
+    (see _rmw_row).  Inactive slots write nothing (blend keeps the old
+    window)."""
     b, t = positions.shape
-    h = k_new.shape[2]
-    pos = jnp.clip(positions, 0, cache.max_len - 1)
-    if active is not None:
-        pos = jnp.where(active[:, None], pos, cache.max_len - 1)
-    bidx = jnp.arange(b)[:, None, None]
-    hidx = jnp.arange(h)[None, :, None]
-    pidx = pos[:, None, :]
-    kt = k_new.transpose(0, 2, 1, 3)
+    pos = jnp.clip(positions[:, 0], 0, cache.max_len - 1)
+    keep = active if active is not None else jnp.ones((b,), bool)
+    w = min(8, cache.max_len)
+    base = jnp.clip((pos // w) * w, 0, max(cache.max_len - w, 0))
+    off = pos - base
+    kt = k_new.transpose(0, 2, 1, 3)                    # [B, H, 1, D]
     vt = v_new.transpose(0, 2, 1, 3)
+    k, v = cache.k, cache.v
     if cache.quantized:
         kc, ks = quantize_kv(kt)
         vc, vs = quantize_kv(vt)
-        return dataclasses.replace(
-            cache,
-            k=cache.k.at[layer, bidx, hidx, pidx].set(kc),
-            v=cache.v.at[layer, bidx, hidx, pidx].set(vc),
-            k_scale=cache.k_scale.at[layer, bidx, hidx, pidx].set(
-                ks[..., 0]),
-            v_scale=cache.v_scale.at[layer, bidx, hidx, pidx].set(
-                vs[..., 0]),
-        )
-    return dataclasses.replace(
-        cache,
-        k=cache.k.at[layer, bidx, hidx, pidx].set(kt.astype(cache.k.dtype)),
-        v=cache.v.at[layer, bidx, hidx, pidx].set(vt.astype(cache.v.dtype)),
-    )
+        k_scale, v_scale = cache.k_scale, cache.v_scale
+        for bi in range(b):
+            k = _rmw_row(k, kc[bi], layer, bi, base[bi], off[bi], keep[bi])
+            v = _rmw_row(v, vc[bi], layer, bi, base[bi], off[bi], keep[bi])
+            k_scale = _rmw_scale_row(k_scale, ks[bi, :, 0, 0], layer, bi,
+                                     pos[bi], keep[bi])
+            v_scale = _rmw_scale_row(v_scale, vs[bi, :, 0, 0], layer, bi,
+                                     pos[bi], keep[bi])
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
+    for bi in range(b):
+        k = _rmw_row(k, kt[bi], layer, bi, base[bi], off[bi], keep[bi])
+        v = _rmw_row(v, vt[bi], layer, bi, base[bi], off[bi], keep[bi])
+    return dataclasses.replace(cache, k=k, v=v)
 
 
 def _write_window(dst: jax.Array, upd: jax.Array, layer: int, bi: int,
