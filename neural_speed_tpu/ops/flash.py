@@ -180,6 +180,182 @@ def _mha_kernel(
         o_ref[0, 0] = (acc_ref[:] * inv).astype(o_ref.dtype)
 
 
+def _mha_kernel_hblk(
+    # scalar prefetch
+    kvlen_ref,                    # [B] int32
+    # inputs
+    pos_ref,                      # [1, BR, 1] int32
+    slope_ref,                    # [HB, BR, 1] f32
+    q_ref,                        # [1, HB, BR, D]
+    k_ref,                        # [1, HB, BS, D] (maybe leading layer dim)
+    v_ref,
+    *rest,                        # [ks_ref, vs_ref,] o_ref, m, l, acc
+    quantized: bool,
+    causal: bool,
+    use_alibi: bool,
+    softcap: float,
+    sm_scale: float,
+    block_s: int,
+    n_s: int,
+    hb: int,
+):
+    """Decode variant: HB KV heads per grid program.  One (HB x BS x D)
+    DMA replaces HB tiny per-head fetches — at single-token decode the
+    per-program overhead (~0.5us) dominated the streaming of the KV cache
+    (~35% of HBM peak with one head per program).  The head loop is
+    unrolled; softmax stats carry a leading head dim in scratch."""
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
+
+    b = pl.program_id(0)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INIT)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kv_len = kvlen_ref[b]
+    pos = pos_ref[0]                                   # [BR, 1]
+    run = (j * block_s) < kv_len
+    if causal:
+        run = jnp.logical_and(run, (j * block_s) <= jnp.max(pos))
+
+    @pl.when(run)
+    def _block():
+        br, d = q_ref.shape[2], q_ref.shape[3]
+        kc_all = k_ref[...].reshape(hb, block_s, d)
+        vc_all = v_ref[...].reshape(hb, block_s, d)
+        ks_all = (ks_ref[...].reshape(hb, block_s) if quantized else None)
+        vs_all = (vs_ref[...].reshape(hb, block_s) if quantized else None)
+        col = jax.lax.broadcasted_iota(jnp.int32, (br, block_s), 1) + (
+            j * block_s
+        )
+        valid = col < kv_len
+        if causal:
+            valid = jnp.logical_and(valid, col <= pos)
+        maskadd = jnp.where(valid, 0.0, MASK_VALUE)
+        for hh in range(hb):
+            q = q_ref[0, hh].astype(jnp.bfloat16)      # [BR, D]
+            s = jax.lax.dot_general(
+                q, kc_all[hh].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [BR, BS]
+            if quantized:
+                s = s * ks_all[hh][None, :]
+            s = s * sm_scale
+            if softcap > 0.0:
+                s = softcap * jnp.tanh(s / softcap)
+            if use_alibi:
+                slope = slope_ref[hh]                  # [BR, 1]
+                s = s + slope * (col.astype(jnp.float32)
+                                 - pos.astype(jnp.float32))
+            s = s + maskadd
+
+            m_prev = m_ref[hh]                         # [BR, LANES]
+            l_prev = l_ref[hh]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_ref[hh] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[hh] = m_next
+            if quantized:
+                p = p * vs_all[hh][None, :]
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vc_all[hh].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[hh] = acc_ref[hh] * alpha[:, :1] + pv
+
+    @pl.when(j == n_s - 1)
+    def _finalize():
+        for hh in range(hb):
+            l = l_ref[hh][:, :1]
+            inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            o_ref[0, hh] = (acc_ref[hh] * inv).astype(o_ref.dtype)
+
+
+def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
+                     kv_lens, *, use_alibi, quantized, scale, causal,
+                     softcap, out_dtype, block_s, interpret, layer, hb, rp,
+                     n_s):
+    """Head-blocked decode launcher: grid (B, Hkv/HB, 1, S/BS)."""
+    b, hkv, _, d = q4.shape
+    grid = (b, hkv // hb, 1, n_s)
+    if layer is None:
+        kv_spec = pl.BlockSpec((1, hb, block_s, d),
+                               lambda bi, h, r, j, *_: (bi, h, j, 0))
+        sc_spec = pl.BlockSpec((1, hb, block_s),
+                               lambda bi, h, r, j, *_: (bi, h, j))
+    else:
+        kv_spec = pl.BlockSpec(
+            (1, 1, hb, block_s, d),
+            lambda bi, h, r, j, *_: (layer, bi, h, j, 0))
+        sc_spec = pl.BlockSpec(
+            (1, 1, hb, block_s),
+            lambda bi, h, r, j, *_: (layer, bi, h, j))
+    in_specs = [
+        pl.BlockSpec((1, rp, 1), lambda bi, h, r, j, *_: (bi, 0, 0)),   # pos
+        pl.BlockSpec((hb, rp, 1), lambda bi, h, r, j, *_: (h, 0, 0)),   # slope
+        pl.BlockSpec((1, hb, rp, d),
+                     lambda bi, h, r, j, *_: (bi, h, 0, 0)),            # q
+        kv_spec,                                                        # k
+        kv_spec,                                                        # v
+    ]
+    args = [pos_rows, slope_rows, q4, k, v]
+    if quantized:
+        in_specs += [sc_spec, sc_spec]
+        args += [k_scale_t, v_scale_t]
+    kernel = functools.partial(
+        _mha_kernel_hblk,
+        quantized=quantized,
+        causal=causal,
+        use_alibi=use_alibi,
+        softcap=softcap,
+        sm_scale=scale,
+        block_s=block_s,
+        n_s=n_s,
+        hb=hb,
+    )
+    kv_bytes = hb * block_s * d * (1 if quantized else 2)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * b * hkv * rp * n_s * block_s * d,
+        bytes_accessed=b * (hkv // hb) * n_s * (2 * kv_bytes)
+        + b * hkv * rp * d * 4,
+        transcendentals=b * hkv * rp * n_s * block_s,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, hb, rp, d), lambda bi, h, r, j, *_: (bi, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hb, rp, LANES), jnp.float32),   # m
+                pltpu.VMEM((hb, rp, LANES), jnp.float32),   # l
+                pltpu.VMEM((hb, rp, d), jnp.float32),       # acc
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rp, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), *args)
+
+
 # ---------------------------------------------------------------------------
 # launcher
 # ---------------------------------------------------------------------------
@@ -231,6 +407,13 @@ def _mha_packed(
         if hkv % cand == 0:
             h_blk = cand
             break
+    if rp <= 8 and h_blk > 1:
+        return _mha_packed_hblk(
+            q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows, kv_lens,
+            use_alibi=use_alibi, quantized=quantized, scale=scale,
+            causal=causal, softcap=softcap, out_dtype=out_dtype,
+            block_s=block_s, interpret=interpret, layer=layer, hb=h_blk,
+            rp=rp, n_s=n_s)
     if layer is None:
         kv_spec = pl.BlockSpec((1, 1, block_s, d),
                                lambda bi, h, r, j, *_: (bi, h, j, 0))
