@@ -113,6 +113,8 @@ def main():
 
     _, toks, cache2 = timed(s1, tok)          # compile s1
     _, toks, cache2 = timed(s2, toks[:, -1])  # compile s2
+    _, toks, cache2 = timed(s1, toks[:, -1])  # warm (first post-compile
+    #                                           run can still be slow)
     t1, toks, cache2 = timed(s1, toks[:, -1])
     t2, toks, cache2 = timed(s2, toks[:, -1])
     dt = max(t2 - t1, 1e-6)
