@@ -291,14 +291,20 @@ def _choose_bm(m: int, k: int) -> int:
     return min(m, 8)
 
 
-def _choose_bkw(kw: int, g_rows: int, bn: int) -> int:
+def _choose_bkw(kw: int, g_rows: int, bn: int, m: int = 0) -> int:
     """Word-row block for the K grid: a divisor of kw, multiple of the
     scale-group row count, sized so a [bkw, bn] uint32 block is ~256KB
-    (deep enough pipeline without tiny DMAs)."""
+    (deep enough pipeline without tiny DMAs).
+
+    GEMV/decode (m <= 32): monolithic K — measured 759 vs 578 GB/s
+    effective at m=1 (93% vs 71% of v5e HBM peak): with only one sublane
+    of x, per-grid-program overhead (~0.3 us) dominates the K-grid's DMA
+    pipelining benefit (BENCH_NOTES.md kernel-lab sweep)."""
     import os
 
     target_bytes = int(os.environ.get("NST_BKW_TARGET", str(512 * 1024)))
-    if target_bytes <= 0:
+    if target_bytes <= 0 or (0 < m <= 32 and os.environ.get(
+            "NST_GEMV_MONO", "1") != "0"):
         return kw  # monolithic K
     target = max(1, target_bytes // (bn * 4))
     if kw % 128:
@@ -336,7 +342,7 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
             zeros = jnp.repeat(zeros, rep, axis=0)
         g = g_eff
     kw_words = wq.shape[0]
-    bkw = _choose_bkw(kw_words, g if g < k else 0, bn)
+    bkw = _choose_bkw(kw_words, g if g < k else 0, bn, m=m)
     n_kb = kw_words // bkw
     grid = (m // bm, n // bn, n_kb)
     e = _bands(spec)
@@ -353,9 +359,16 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
             [(band * kw_words + kb_i * bkw) // g + t
              for kb_i in range(n_kb) for band in range(e)
              for t in range(gb)], np.int32)
-        scales = jnp.take(scales, idx, axis=0).reshape(n_kb, e * gb, n)
+        # monolithic K (n_kb==1) makes idx the identity permutation; skip
+        # the gather — XLA re-ran it every decode step inside the while
+        # loop (~1.45 ms/step of take/select_n glue at 7B, profiler)
+        if not np.array_equal(idx, np.arange(idx.size, dtype=np.int32)):
+            scales = jnp.take(scales, idx, axis=0)
+            if zeros is not None:
+                zeros = jnp.take(zeros, idx, axis=0)
+        scales = scales.reshape(n_kb, e * gb, n)
         if zeros is not None:
-            zeros = jnp.take(zeros, idx, axis=0).reshape(n_kb, e * gb, n)
+            zeros = zeros.reshape(n_kb, e * gb, n)
     else:
         gb = 1
         scales = jnp.broadcast_to(scales[None], (n_kb, 1, n))
@@ -572,7 +585,7 @@ def _qmatmul_int8_pallas(xq: jax.Array, ascale, qt: QTensor,
     scales = qt.effective_scales(jnp.float32)
     zeros = qt.zeros
     kw_words = wq.shape[0]
-    bkw = _choose_bkw(kw_words, g, bn)
+    bkw = _choose_bkw(kw_words, g, bn, m=m)
     n_kb = kw_words // bkw
     gb = bkw // g
     grid = (m // bm, n // bn, n_kb)
