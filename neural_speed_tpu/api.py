@@ -193,23 +193,40 @@ class Model:
         if speculative:
             # prompt-lookup speculative greedy decoding (EXTENSION —
             # runtime/speculative.py): output is exactly the greedy sequence
-            if (do_sample or num_beams > 1 or len(ids) != 1
+            if (do_sample or num_beams > 1
                     or stopping_criteria is not None or cached):
-                raise ValueError("speculative=True needs a single prompt, "
-                                 "greedy sampling, num_beams=1, no "
-                                 "stopping_criteria/session")
-            from .runtime.speculative import generate_greedy_speculative
+                raise ValueError("speculative=True needs greedy sampling, "
+                                 "num_beams=1, no stopping_criteria/session")
+            sp = SamplingParams(do_sample=False,
+                                repetition_penalty=repetition_penalty)
+            if len(ids) == 1:
+                from .runtime.speculative import generate_greedy_speculative
 
-            out = generate_greedy_speculative(
-                self.engine, ids[0], max_new_tokens, eos_id=self.eos_id,
-                k=speculative_k,
-                sp=SamplingParams(do_sample=False,
-                                  repetition_penalty=repetition_penalty),
+                out = generate_greedy_speculative(
+                    self.engine, ids[0], max_new_tokens, eos_id=self.eos_id,
+                    k=speculative_k, sp=sp,
+                )
+                if streamer is not None:
+                    for t in out:
+                        streamer(t)
+                return [(ids[0] if not ignore_prompt else []) + out]
+            # batched prompts: the continuous-batching scheduler runs one
+            # multi-token verify forward over ALL slots per step
+            # (runtime/scheduler.py _spec_decode_step)
+            from .runtime.scheduler import ContinuousBatchingScheduler
+
+            sched = ContinuousBatchingScheduler(
+                self.engine, sp, eos_id=self.eos_id, seed=seed,
+                speculative=True, spec_k=speculative_k,
             )
-            if streamer is not None:
-                for t in out:
-                    streamer(t)
-            return [(ids[0] if not ignore_prompt else []) + out]
+            rids = [sched.add_request(p, max_new_tokens, streamer=streamer)
+                    for p in ids]
+            done = {s.request_id: s.generated
+                    for s in sched.run_to_completion()}
+            return [
+                (p if not ignore_prompt else []) + done[r]
+                for p, r in zip(ids, rids)
+            ]
         if num_beams > 1:
             from .runtime.beam import BeamConfig, beam_search
 

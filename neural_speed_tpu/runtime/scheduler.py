@@ -59,7 +59,9 @@ class ContinuousBatchingScheduler:
     def __init__(self, engine: Engine,
                  params: Optional[smp.SamplingParams] = None,
                  eos_id: Optional[int] = None, seed: int = 0,
-                 chunk_size: int = 8):
+                 chunk_size: int = 8, speculative: bool = False,
+                 spec_k: int = 7, spec_min_k: int = 3,
+                 spec_max_ngram: int = 3):
         from ..utils.profiler import Timings
 
         self.engine = engine
@@ -71,6 +73,33 @@ class ContinuousBatchingScheduler:
         # (needed when a stopping_criteria must run between tokens)
         self.chunk_size = max(1, chunk_size)
         self.sp = params or smp.SamplingParams(do_sample=False)
+        # -- batched speculative decoding (EXTENSION; greedy-only) --------
+        # Each step every slot proposes its own prompt-lookup draft and one
+        # multi-token verify forward scores all slots at once (see
+        # runtime/speculative.py for the single-sequence version + the
+        # exactness argument).  Adaptive policy: the draft length tracks an
+        # EMA of accepted-tokens-per-verify (long drafts only pay when text
+        # is locally repetitive), and when acceptance collapses the
+        # scheduler falls back to plain chunked decode for a while before
+        # re-probing ("backoff": verify at T>=2 costs more than a T=1
+        # decode step, so speculating into random text is a net loss).
+        self.speculative = speculative
+        if speculative:
+            if self.sp.do_sample:
+                raise ValueError("speculative scheduling is greedy-only")
+            if hasattr(engine, "page_size"):
+                raise NotImplementedError(
+                    "speculative scheduling requires the contiguous KV "
+                    "cache (paged page growth is not transactional under "
+                    "draft rollback)")
+        self.spec_k = spec_k
+        self.spec_min_k = spec_min_k
+        self.spec_max_ngram = spec_max_ngram
+        self.spec_backoff_chunks = 4      # plain chunks per backoff spell
+        self._pens: Dict[int, object] = {}          # slot -> _PenalizedGreedy
+        self._spec_gain_ema = float(spec_k) / 2     # optimistic start
+        self._spec_backoff = 0
+        self._dev_lens_dirty = False
         self._slot_len = np.zeros((engine.max_batch,), np.int64)  # host KV mirror
         self.waiting: Deque[Sequence] = deque()
         self.running: Dict[int, Sequence] = {}  # slot -> seq
@@ -115,7 +144,32 @@ class ContinuousBatchingScheduler:
         if self.waiting and self.free_slots:
             self._prefill_batch()
         elif self.running:
-            self._decode_step()
+            if self.speculative and self._spec_backoff == 0:
+                self._spec_decode_step()
+            else:
+                if self._spec_backoff > 0:
+                    self._spec_backoff -= 1
+                    if self._spec_backoff == 0:
+                        # re-probe speculation with a clean slate
+                        self._spec_gain_ema = 1.0
+                self._decode_step()
+
+    def _sync_dev_lengths(self) -> None:
+        """Push the host KV-length mirror to the device cache.  Spec verify
+        masks by explicit kv_lens args, so device `cache.lengths` is synced
+        lazily — only prefill/eviction/chunked-decode actually read it."""
+        from ..ops import kv_cache as kvc
+
+        self.engine.cache = kvc.set_lengths(
+            self.engine.cache,
+            jnp.asarray(self._slot_len.astype(np.int32)),
+        )
+        self._dev_lens_dirty = False
+
+    def _penalties_active(self) -> bool:
+        return (self.sp.repetition_penalty != 1.0
+                or self.sp.frequency_penalty != 0.0
+                or self.sp.presence_penalty != 0.0)
 
     def run_to_completion(self) -> List[Sequence]:
         res = []
@@ -126,6 +180,8 @@ class ContinuousBatchingScheduler:
 
     # ------------------------------------------------------------------
     def _prefill_batch(self) -> None:
+        if self._dev_lens_dirty:
+            self._sync_dev_lengths()  # spectator kv_lens read cache.lengths
         # admission rule parity: min(free slots, waiting)
         batch: List[Sequence] = []
         while self.waiting and self.free_slots:
@@ -165,6 +221,9 @@ class ContinuousBatchingScheduler:
             s.status = SeqStatus.DECODING
 
     def _decode_step(self) -> None:
+        if self._dev_lens_dirty:
+            self._sync_dev_lengths()
+            self._sync_sampler_from_pens()
         eng = self.engine
         active_np = np.zeros((eng.max_batch,), bool)
         for slot, seq in self.running.items():
@@ -195,6 +254,9 @@ class ContinuousBatchingScheduler:
                 tok = int(toks_np[slot, step])
                 seq.generated.append(tok)
                 self._last_tokens[slot] = tok
+                pen = self._pens.get(slot)
+                if pen is not None:
+                    pen.observe([tok])  # keep host greedy state resumable
                 if seq.streamer is not None:
                     seq.streamer(tok)
                 if (self.eos_id is not None and tok == self.eos_id) or len(
@@ -206,7 +268,142 @@ class ContinuousBatchingScheduler:
                     self.running.pop(slot, None)
                     self.free_slots.append(slot)
                     self.finished.append(seq)
+                    self._pens.pop(slot, None)
                     eng.release_slot(slot)
+
+    # -- batched speculative decoding ----------------------------------
+    def _spec_decode_step(self) -> None:
+        """One verify step for ALL decoding slots: each slot drafts its own
+        prompt-lookup continuation, one multi-token forward scores every
+        slot's [last_tok, *draft] row, and each slot keeps the longest
+        agreeing prefix plus the first correction — per-slot output is
+        exactly the (penalized-)greedy sequence, ~1+accepted tokens per
+        dispatch.  Generalizes speculative.py's single-sequence loop."""
+        from .speculative import (_SPEC_BUCKETS, _verify_forward,
+                                  _verify_forward_argmax, propose_ngram)
+
+        eng = self.engine
+        slots = [(slot, seq) for slot, seq in self.running.items()
+                 if seq.status == SeqStatus.DECODING]
+        if not slots:
+            return
+        # adaptive draft length: long drafts only pay off when acceptance
+        # is high (verify cost grows with the padded bucket)
+        k = self.spec_k if self._spec_gain_ema >= 2.0 else self.spec_min_k
+        b = eng.max_batch
+        drafts: Dict[int, List[int]] = {}
+        for slot, seq in slots:
+            d = propose_ngram(seq.prompt + seq.generated, k,
+                              max_ngram=self.spec_max_ngram) or []
+            # never draft past the remaining budget (keeps the accept loop's
+            # invariant that only the correction token can finish a slot)
+            room = seq.max_new_tokens - len(seq.generated) - 1
+            drafts[slot] = d[:max(0, room)]
+        max_seq = 1 + max(len(d) for d in drafts.values())
+        pad_t = pad_to_bucket(max_seq, _SPEC_BUCKETS)
+
+        active_np = np.zeros((b,), bool)
+        for slot, _ in slots:
+            active_np[slot] = True
+        if (self._slot_len[active_np] + pad_t > eng.max_len - 1).any():
+            if self._dev_lens_dirty:
+                self._sync_dev_lengths()  # evict ops read cache.lengths
+            self._maybe_evict(active_np, pad_t)
+
+        ids = np.zeros((b, pad_t), np.int32)
+        seq_lens = np.zeros((b,), np.int32)
+        for slot, seq in slots:
+            row = [self._last_tokens[slot]] + drafts[slot]
+            ids[slot, : len(row)] = row
+            seq_lens[slot] = len(row)
+        pos = np.arange(pad_t)[None, :] + self._slot_len[:, None]
+        in_range = np.arange(pad_t)[None, :] < seq_lens[:, None]
+        pos = np.where(in_range, pos, eng.max_len - 1).astype(np.int32)
+        kv_lens = (self._slot_len + seq_lens).astype(np.int32)
+
+        penalized = self._penalties_active()
+        n_drafted = int(seq_lens.sum()) - len(slots)
+        with self.timings.timer("decode", len(slots) + n_drafted):
+            if penalized:
+                all_logits, eng.cache = _verify_forward(
+                    eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
+                    jnp.asarray(pos), jnp.asarray(kv_lens),
+                )
+                rows_np = np.asarray(all_logits, np.float32)
+            else:
+                g_ids, eng.cache = _verify_forward_argmax(
+                    eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
+                    jnp.asarray(pos), jnp.asarray(kv_lens),
+                )
+                g_np = np.asarray(g_ids)  # [B, pad_t] — the one host sync
+
+        gain_total = 0
+        for slot, seq in slots:
+            draft = drafts[slot]
+            pen = self._pens[slot]
+            if penalized:
+                picks = lambda j: pen.pick(rows_np[slot, j], draft[:j])  # noqa: B023,E731,E501
+            else:
+                picks = lambda j: int(g_np[slot, j])  # noqa: B023,E731
+            accepted = 0
+            while True:
+                g = picks(accepted)
+                if (accepted < len(draft) and g == draft[accepted]
+                        and not (self.eos_id is not None
+                                 and g == self.eos_id)):
+                    accepted += 1
+                else:
+                    nxt = g
+                    break
+            committed = draft[:accepted] + [nxt]
+            gain_total += accepted
+            pen.observe(committed)
+            # KV advanced by last_tok + accepted drafts; nxt's KV is written
+            # by the NEXT step (it is that step's input token).  Rejected
+            # rows need no erase: kv_lens masks them and later writes
+            # overwrite (trash-tolerant cache contract).
+            self._slot_len[slot] += 1 + accepted
+            self._dev_lens_dirty = True
+            for tok in committed:
+                seq.generated.append(tok)
+                self._last_tokens[slot] = tok
+                if seq.streamer is not None:
+                    seq.streamer(tok)
+                if (self.eos_id is not None and tok == self.eos_id) or len(
+                    seq.generated
+                ) >= seq.max_new_tokens:
+                    seq.status = SeqStatus.FINISHED
+                    seq.end_time = time.time()
+                    self.running.pop(slot, None)
+                    self.free_slots.append(slot)
+                    self.finished.append(seq)
+                    self._pens.pop(slot, None)
+                    eng.release_slot(slot)
+                    break
+
+        mean_gain = gain_total / len(slots)
+        self._spec_gain_ema = 0.8 * self._spec_gain_ema + 0.2 * mean_gain
+        if self._spec_gain_ema < 0.35 and self.spec_backoff_chunks > 0:
+            # speculation is not paying — plain chunked decode for a spell
+            self._spec_backoff = self.spec_backoff_chunks
+
+    def _sync_sampler_from_pens(self) -> None:
+        """Rebuild the device sampler's penalty state from the host greedy
+        replicas (the device ring/counts go stale during spec steps, and
+        the chunked-decode fallback samples on device)."""
+        if not (self.speculative and self._penalties_active()):
+            return
+        for slot, seq in self.running.items():
+            pen = self._pens.get(slot)
+            if pen is None:
+                continue
+            self.sampler = smp.reset_slot(
+                self.sampler, slot, self.sp.mirostat_tau
+            )
+            if pen.obs:
+                self.sampler = smp.observe_prompt_slot(
+                    self.sampler, slot, pen.obs
+                )
 
     def _maybe_evict(self, active_np: np.ndarray,
                      lookahead: int = 1) -> None:
@@ -292,6 +489,12 @@ class ContinuousBatchingScheduler:
             tok = int(toks_np[slot])
             seq.generated.append(tok)
             self._last_tokens[slot] = tok
+            if self.speculative:
+                from .speculative import _PenalizedGreedy
+
+                pen = _PenalizedGreedy(seq.prompt, self.sp)
+                pen.observe([tok])
+                self._pens[slot] = pen
             if seq.streamer is not None:
                 seq.streamer(tok)
             if (self.eos_id is not None and tok == self.eos_id) or len(
@@ -302,3 +505,4 @@ class ContinuousBatchingScheduler:
                 self.running.pop(slot, None)
                 self.free_slots.append(slot)
                 self.finished.append(seq)
+                self._pens.pop(slot, None)

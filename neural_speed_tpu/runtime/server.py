@@ -26,8 +26,12 @@ class ModelServer:
         sampling: Optional[SamplingParams] = None,
         eos_id: Optional[int] = None,
         max_new_tokens: int = 128,
+        speculative: bool = False,
+        spec_k: int = 7,
     ):
-        self.sched = ContinuousBatchingScheduler(engine, sampling, eos_id)
+        self.sched = ContinuousBatchingScheduler(
+            engine, sampling, eos_id, speculative=speculative, spec_k=spec_k,
+        )
         self.response_fn = response_fn
         self.max_new_tokens = max_new_tokens
         self._queue: "queue.Queue" = queue.Queue()

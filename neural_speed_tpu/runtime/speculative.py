@@ -39,10 +39,30 @@ from ..ops.sampling import SamplingParams
 from .engine import Engine, pad_to_bucket
 
 
+# Verify-forward pad buckets: the engine's prefill buckets start at 32,
+# which would run every k<=7 verify at T=32 (4x the attention/logit work
+# and a 4x larger logits fetch).  Dedicated small buckets keep the verify
+# forward at the next power of two >= k+1; each bucket is one extra jit
+# variant of the same forward.
+_SPEC_BUCKETS = (2, 4, 8, 16, 32)
+
+
 def propose_ngram(context: List[int], k: int, max_ngram: int = 3,
                   min_ngram: int = 1) -> Optional[List[int]]:
     """Draft the k tokens that followed the most recent match of the
-    longest context-suffix n-gram (HF 'prompt lookup decoding')."""
+    longest context-suffix n-gram (HF 'prompt lookup decoding').
+
+    Long contexts take a vectorized path: the Python scan is O(n_ctx *
+    max_ngram) list compares per call, which at B=32 serving slots and
+    2k-token contexts costs more host time than the verify dispatch."""
+    if len(context) > 64:
+        return _propose_ngram_np(np.asarray(context, np.int32), k,
+                                 max_ngram, min_ngram)
+    return _propose_ngram_list(context, k, max_ngram, min_ngram)
+
+
+def _propose_ngram_list(context: List[int], k: int, max_ngram: int,
+                        min_ngram: int) -> Optional[List[int]]:
     n_ctx = len(context)
     if n_ctx < min_ngram + 1:
         return None
@@ -56,6 +76,24 @@ def propose_ngram(context: List[int], k: int, max_ngram: int = 3,
     return None
 
 
+def _propose_ngram_np(ctx: np.ndarray, k: int, max_ngram: int,
+                      min_ngram: int) -> Optional[List[int]]:
+    """Vectorized propose_ngram: all window-vs-suffix compares in one
+    numpy op per n-gram size (same most-recent-longest-match result)."""
+    n_ctx = ctx.size
+    for n in range(min(max_ngram, n_ctx - 1), min_ngram - 1, -1):
+        tail = ctx[n_ctx - n:]
+        # candidate starts 0 .. n_ctx-1-n (the suffix itself is excluded)
+        win = np.lib.stride_tricks.sliding_window_view(ctx[: n_ctx - 1], n)
+        hits = np.nonzero((win == tail).all(axis=1))[0]
+        if hits.size:
+            start = int(hits[-1])  # most recent match
+            cont = ctx[start + n: start + n + k]
+            if cont.size:
+                return [int(t) for t in cont]
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnames=("cache",))
 def _verify_forward(params, cfg, cache, ids, pos, kv_lens):
@@ -65,6 +103,19 @@ def _verify_forward(params, cfg, cache, ids, pos, kv_lens):
     from ..models.transformer import forward
 
     return forward(params, cfg, ids, pos, cache, kv_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("cache",))
+def _verify_forward_argmax(params, cfg, cache, ids, pos, kv_lens):
+    """Verify forward reduced to per-position argmax token ids on device
+    ([B, T] int32 instead of a [B, T, vocab] logits fetch — the full-row
+    host transfer dominates the verify step through the device tunnel).
+    Only valid for UNPENALIZED greedy: penalties need the logit rows."""
+    from ..models.transformer import forward
+
+    logits, cache = forward(params, cfg, ids, pos, cache, kv_lens)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
 class _PenalizedGreedy:
@@ -136,7 +187,7 @@ def generate_greedy_speculative(
     tok = pen.pick(np.asarray(logits[0], np.float32), [])
     pen.observe([tok])
     n_past = len(prompt)
-    pad_t = pad_to_bucket(k + 1, engine.buckets)
+    pad_t = pad_to_bucket(k + 1, _SPEC_BUCKETS)
     # The verify forward is masked by its explicit kv_lens/pos arguments,
     # not by cache.lengths, so the device `lengths` vector only has to be
     # correct when the fallback `engine.decode` path reads it (and at loop
@@ -187,18 +238,27 @@ def generate_greedy_speculative(
         )[:, None]
         pos = np.where(in_range, pos, engine.max_len - 1)
         kv_lens = np.where(np.arange(b) == 0, n_past + len(seq), base_lens)
-        all_logits, engine.cache = _verify_forward(
-            engine.params, engine.cfg, engine.cache, jnp.asarray(ids),
-            jnp.asarray(pos), jnp.asarray(kv_lens, dtype=np.int32),
-        )
-        rows = np.asarray(all_logits[0, : len(seq)], np.float32)
+        if sp is None:
+            g_ids, engine.cache = _verify_forward_argmax(
+                engine.params, engine.cfg, engine.cache, jnp.asarray(ids),
+                jnp.asarray(pos), jnp.asarray(kv_lens, dtype=np.int32),
+            )
+            g_row = np.asarray(g_ids[0, : len(seq)])
+            picks = lambda j: int(g_row[j])  # noqa: E731
+        else:
+            all_logits, engine.cache = _verify_forward(
+                engine.params, engine.cfg, engine.cache, jnp.asarray(ids),
+                jnp.asarray(pos), jnp.asarray(kv_lens, dtype=np.int32),
+            )
+            rows = np.asarray(all_logits[0, : len(seq)], np.float32)
+            picks = lambda j: pen.pick(rows[j], draft[:j])  # noqa: E731
 
         # row j scores the token FOLLOWING seq[j]; its penalty state has
         # observed draft[:j] on top of everything up to tok
         accepted = 0
         nxt = None
         while True:
-            g = pen.pick(rows[accepted], draft[:accepted])
+            g = picks(accepted)
             if (accepted < len(draft)
                     and len(out) + accepted + 1 < max_new_tokens
                     and g == draft[accepted]

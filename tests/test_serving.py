@@ -239,3 +239,20 @@ def test_prompt_session_cache(our_model, tmp_path):
     ref2 = our_model.generate([longer], max_new_tokens=4,
                               repetition_penalty=1.0)[0]
     assert out2 == ref2
+
+
+def test_batched_speculative_generate(our_model):
+    """generate(speculative=True) with multiple prompts routes through the
+    scheduler's batched verify step and must equal plain batched greedy."""
+    prompts = [[1, 17, 9, 33] * 5, [2, 5, 8, 13, 21, 34], [7, 7, 7] * 6]
+    ref = our_model.generate(prompts, max_new_tokens=10, ignore_prompt=True,
+                             repetition_penalty=1.0)
+    got = our_model.generate(prompts, max_new_tokens=10, ignore_prompt=True,
+                             repetition_penalty=1.0, speculative=True)
+    assert got == ref
+    # and with the default repetition penalty (penalized verify path)
+    ref_p = our_model.generate(prompts, max_new_tokens=10,
+                               ignore_prompt=True)
+    got_p = our_model.generate(prompts, max_new_tokens=10,
+                               ignore_prompt=True, speculative=True)
+    assert got_p == ref_p

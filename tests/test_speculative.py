@@ -106,3 +106,113 @@ def test_paged_engine_rejected():
     eng = PagedEngine(params, cfg, max_batch=1, max_len=256, page_size=64)
     with pytest.raises(NotImplementedError):
         generate_greedy_speculative(eng, [1, 2, 3], 4)
+
+
+def test_propose_ngram_np_matches_list():
+    """The vectorized long-context proposer must return exactly what the
+    reference list scan returns (most-recent longest-suffix match)."""
+    import numpy as np
+
+    from neural_speed_tpu.runtime.speculative import (_propose_ngram_list,
+                                                      _propose_ngram_np)
+
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        n = int(rng.integers(2, 220))
+        vocab = int(rng.integers(2, 7))  # tiny vocab -> frequent matches
+        ctx = rng.integers(0, vocab, size=n).tolist()
+        for k in (1, 3, 6):
+            a = _propose_ngram_list(ctx, k, 3, 1)
+            b = _propose_ngram_np(np.asarray(ctx, np.int32), k, 3, 1)
+            assert a == b, (ctx, k, a, b)
+
+
+def _run_sched(engine, prompts, sp, mx=32, **kw):
+    from neural_speed_tpu.runtime.scheduler import (
+        ContinuousBatchingScheduler)
+
+    sched = ContinuousBatchingScheduler(engine, sp, **kw)
+    rids = [sched.add_request(p, max_new_tokens=mx) for p in prompts]
+    done = {s.request_id: s.generated for s in sched.run_to_completion()}
+    return [done[r] for r in rids], sched
+
+
+def test_scheduler_speculative_exact():
+    """Batched spec scheduling == plain scheduling, token for token, across
+    repetitive/random prompts, queueing (more requests than slots), and
+    slot reuse."""
+    from neural_speed_tpu.ops.sampling import SamplingParams
+
+    cfg = _cfg()
+    prompts = [
+        list(range(1, 9)) * 4,               # repetitive: drafts accepted
+        [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],   # sparse matches
+        [17, 23, 42],                        # short
+        list(range(40, 48)) * 3,             # repetitive again (slot reuse)
+    ]
+    sp = SamplingParams(do_sample=False)
+    ref, _ = _run_sched(_engine(cfg), prompts, sp)
+    out, sched = _run_sched(_engine(cfg), prompts, sp, speculative=True,
+                            spec_k=5)
+    assert out == ref
+    assert not sched._dev_lens_dirty or not sched.running
+
+
+def test_scheduler_speculative_penalized():
+    from neural_speed_tpu.ops.sampling import SamplingParams
+
+    cfg = _cfg()
+    prompts = [list(range(1, 9)) * 4, [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]]
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1,
+                        frequency_penalty=0.05, presence_penalty=0.02)
+    ref, _ = _run_sched(_engine(cfg), prompts, sp)
+    out, _ = _run_sched(_engine(cfg), prompts, sp, speculative=True,
+                        spec_k=5)
+    assert out == ref
+
+
+def test_scheduler_speculative_backoff_and_eos():
+    """Acceptance collapse must trigger chunked-decode backoff (and the
+    sampler resync for the penalized path), and eos must stop slots exactly
+    where the plain scheduler stops them."""
+    from neural_speed_tpu.ops.sampling import SamplingParams
+
+    cfg = _cfg()
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.05)
+    prompts = [[17, 23, 42, 7], [91, 13, 5]]   # non-repetitive: low gain
+    ref, _ = _run_sched(_engine(cfg), prompts, sp, mx=48)
+    eng = _engine(cfg)
+    from neural_speed_tpu.runtime.scheduler import (
+        ContinuousBatchingScheduler)
+
+    sched = ContinuousBatchingScheduler(eng, sp, speculative=True, spec_k=5,
+                                        chunk_size=4)
+    saw_backoff = False
+    rids = [sched.add_request(p, max_new_tokens=48) for p in prompts]
+    while sched.has_work:
+        sched.step()
+        saw_backoff = saw_backoff or sched._spec_backoff > 0
+    done = {s.request_id: s.generated for s in sched.pop_finished()}
+    assert [done[r] for r in rids] == ref
+    assert saw_backoff  # random text must push the gain EMA under 0.35
+
+    # eos stopping: pick an eos from the reference stream of prompt 0
+    eos = ref[0][10]
+    ref_eos, _ = _run_sched(_engine(cfg), prompts, sp, mx=48, eos_id=eos)
+    out_eos, _ = _run_sched(_engine(cfg), prompts, sp, mx=48, eos_id=eos,
+                            speculative=True, spec_k=5)
+    assert out_eos == ref_eos
+
+
+def test_scheduler_speculative_rejects_sampling():
+    import pytest as _pytest
+
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.runtime.scheduler import (
+        ContinuousBatchingScheduler)
+
+    cfg = _cfg()
+    with _pytest.raises(ValueError):
+        ContinuousBatchingScheduler(
+            _engine(cfg), SamplingParams(do_sample=True, temperature=0.8),
+            speculative=True)
