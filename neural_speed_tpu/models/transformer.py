@@ -17,6 +17,7 @@ dense array — matching the reference's mixed quantized/fp graphs.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 from typing import Any, Dict, Optional, Tuple
@@ -166,8 +167,62 @@ def _moe_grouped(x: jax.Array, stacked: dict, topi: jax.Array,
     return out.reshape(b, t, h).astype(x.dtype)
 
 
+def _moe_ep(x: jax.Array, stacked: dict, topi: jax.Array, probs: jax.Array,
+            cfg: ArchConfig, tp_axis: Optional[str],
+            ep_axis: str) -> jax.Array:
+    """Expert parallelism (EXTENSION — the reference has 1-D TP only,
+    SURVEY.md §2.7): experts sharded on the mesh `ep` axis, routing
+    localized per device.  Remote assignments keep their rows but get
+    combine weight 0 (exact under the final psum — no token drops, no
+    all-to-all; the classic inference-EP layout where attention is
+    replicated across `ep` and expert weight traffic splits ep-ways).
+
+    Paths mirror moe_ffn: decode -> lax.switch over LOCAL experts with a
+    zero branch for remote picks; multi-token -> grouped dispatch over the
+    local shard (dense-local when E_local <= top_k: fewer FLOPs than
+    top_k*T grouped rows)."""
+    e_local = next(iter(stacked.values())).data[0].shape[0]
+    offset = (jax.lax.axis_index(ep_axis) * e_local).astype(topi.dtype)
+    local_idx = topi - offset
+    is_local = (local_idx >= 0) & (local_idx < e_local)
+    topi_l = jnp.clip(local_idx, 0, e_local - 1)
+    probs_l = jnp.where(is_local, probs, 0.0)
+    axes = (ep_axis,) if tp_axis is None else (tp_axis, ep_axis)
+    b, t, _ = x.shape
+    kk = topi.shape[-1]
+
+    if b * t == 1:
+        out = jnp.zeros_like(x).astype(jnp.float32)
+        branches = [
+            (lambda xx, e=e: ffn(xx, _expert_view(stacked, e), cfg)
+             .astype(jnp.float32))
+            for e in range(e_local)
+        ] + [lambda xx: jnp.zeros(xx.shape, jnp.float32)]
+        for j in range(kk):
+            idx = jnp.where(is_local[0, 0, j], topi_l[0, 0, j], e_local)
+            out = out + jax.lax.switch(idx, branches, x) * probs_l[0, 0, j]
+        return jax.lax.psum(out, axes).astype(x.dtype)
+
+    if e_local <= kk:
+        # every local expert runs over all tokens anyway; the dense-local
+        # mask costs E_local*T rows vs the grouped path's top_k*T
+        onehot = jax.nn.one_hot(topi_l, e_local, dtype=jnp.float32)
+        weights = jnp.einsum("btk,btke->bte", probs_l, onehot)
+        out = jnp.zeros_like(x).astype(jnp.float32)
+        for e in range(e_local):
+            contrib = ffn(x, _expert_view(stacked, e), cfg).astype(
+                jnp.float32)
+            out = out + contrib * weights[..., e: e + 1]
+        return jax.lax.psum(out, axes).astype(x.dtype)
+
+    cfg_l = dataclasses.replace(
+        cfg, moe=dataclasses.replace(cfg.moe, num_experts=e_local))
+    return _moe_grouped(x, stacked, topi_l, probs_l, cfg_l, axes)
+
+
 def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig,
-            axis_name: Optional[str] = None) -> jax.Array:
+            axis_name: Optional[str] = None,
+            ep_axis_name: Optional[str] = None) -> jax.Array:
     """Top-k expert mixing (mixtral/grok; llama.cpp:620-689 ne_mul_mat_id).
 
     Three paths:
@@ -177,6 +232,7 @@ def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig,
       * multi-token with stacked experts (fuse_params): grouped dispatch
         (_moe_grouped) — ~top_k/E of the dense FLOPs, exact.
       * fallback: dense-all-experts weighted by the router mask.
+    With `ep_axis_name`, experts are sharded over that mesh axis (_moe_ep).
     """
     m = cfg.moe
     b, t, _ = x.shape
@@ -184,6 +240,12 @@ def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig,
     topv, topi = jax.lax.top_k(router_logits, m.top_k)
     probs = jax.nn.softmax(topv, axis=-1)  # normalize over selected experts
     stacked = p.get("experts_stacked")
+
+    if ep_axis_name is not None:
+        if stacked is None:
+            raise ValueError("expert parallelism requires stacked experts "
+                             "(fuse_params / stack_experts-compatible spec)")
+        return _moe_ep(x, stacked, topi, probs, cfg, axis_name, ep_axis_name)
 
     if b * t == 1:
         out = jnp.zeros_like(x).astype(jnp.float32)
@@ -261,6 +323,7 @@ def decoder_layer(
     slopes: Optional[jax.Array],
     block_positions: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
+    ep_axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     b, t, _ = x.shape
     h, hkv, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -326,7 +389,8 @@ def decoder_layer(
         else:
             ffn_in = norm(x, lp["ffn_norm"], cfg)
         if cfg.moe is not None:
-            ffn_out = moe_ffn(ffn_in, lp["moe"], cfg, axis_name)
+            ffn_out = moe_ffn(ffn_in, lp["moe"], cfg, axis_name,
+                              ep_axis_name)
         else:
             ffn_out = ffn(ffn_in, lp["ffn"], cfg, axis_name=axis_name)
         if cfg.post_ffn_norm:
@@ -345,7 +409,7 @@ def decoder_layer(
         z = ffn_in
         if cfg.moe.pre_norm:
             z = norm(z, mp["pre_norm"], cfg)
-        ffn_out = moe_ffn(z, mp, cfg, axis_name)
+        ffn_out = moe_ffn(z, mp, cfg, axis_name, ep_axis_name)
         if cfg.moe.post_norm:
             ffn_out = norm(ffn_out, mp["post_norm"], cfg)
     else:
@@ -375,6 +439,7 @@ def forward(
     axis_name: Optional[str] = None,
     n_heads_global: Optional[int] = None,
     gather_logits: bool = False,
+    ep_axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """Full decoder step: embeds `token_ids`, runs all layers appending to
     `cache`, returns logits `[B, T, vocab]` and the updated cache.
@@ -413,7 +478,7 @@ def forward(
     for i, lp in enumerate(params["layers"]):
         x, cache = decoder_layer(
             x, lp, cfg, i, cache, positions, kv_lens, inv_freq, mscale,
-            slopes, block_positions, axis_name,
+            slopes, block_positions, axis_name, ep_axis_name,
         )
 
     if cfg.final_norm:

@@ -39,10 +39,16 @@ ROW_KEYS = {"o", "down"}
 REPLICATED_LINEAR_KEYS = {"router"}
 
 
-def make_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
+def make_mesh(tp: int = 1, dp: int = 1, ep: int = 1, devices=None) -> Mesh:
+    """dp x (ep x) tp device mesh.  `ep` (expert parallelism, MoE only)
+    shards the stacked expert axis; with ep == 1 the mesh stays 2-D so
+    non-MoE flows are unchanged."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    assert devices.size >= tp * dp, (devices.size, tp, dp)
-    return Mesh(devices[: tp * dp].reshape(dp, tp), ("dp", "tp"))
+    assert devices.size >= tp * dp * ep, (devices.size, tp, dp, ep)
+    if ep == 1:
+        return Mesh(devices[: tp * dp].reshape(dp, tp), ("dp", "tp"))
+    return Mesh(devices[: tp * dp * ep].reshape(dp, ep, tp),
+                ("dp", "ep", "tp"))
 
 
 def _qtensor_spec(qt: QTensor, row: bool) -> QTensor:
@@ -86,30 +92,34 @@ def _ffn_specs(fp: Dict[str, Any], tp_shard: bool) -> Dict[str, Any]:
     return out
 
 
-def _stacked_spec(st, row: bool):
-    """Spec pytree for a StackedExperts: expert axis replicated, K or N on
-    'tp' exactly like the per-expert QTensor splits."""
+def _stacked_spec(st, row: bool, ep: bool):
+    """Spec pytree for a StackedExperts: expert axis on 'ep' (or
+    replicated), K or N on 'tp' exactly like the per-expert QTensor
+    splits."""
     import dataclasses as _dc
 
-    d = tuple(P(None, "tp", None) if row else P(None, None, "tp")
+    e = "ep" if ep else None
+    d = tuple(P(e, "tp", None) if row else P(e, None, "tp")
               for _ in st.data)
-    s = P(None, "tp", None) if row else P(None, None, "tp")
+    s = P(e, "tp", None) if row else P(e, None, "tp")
     return _dc.replace(st, data=d, scales=s,
                        zeros=None if st.zeros is None else s)
 
 
-def _stacked_experts_specs(sd: Dict[str, Any]) -> Dict[str, Any]:
+def _stacked_experts_specs(sd: Dict[str, Any],
+                           ep: bool = False) -> Dict[str, Any]:
     if "gateup" in sd:
         # fused gate+up cannot be column-split naively (shard 0 would get
         # all of gate): TP flows shard the UNFUSED per-projection stacks —
         # same rule as the dense FFN (shard_params runs on unfused params)
         raise ValueError("TP sharding requires unfused expert gate/up "
                          "stacks (build params with fuse=False)")
-    return {key: _stacked_spec(st, key == "down") for key, st in sd.items()}
+    return {key: _stacked_spec(st, key == "down", ep)
+            for key, st in sd.items()}
 
 
 def param_specs(params: Dict[str, Any], cfg: ArchConfig,
-                shard_kv: bool) -> Dict[str, Any]:
+                shard_kv: bool, ep: bool = False) -> Dict[str, Any]:
     """PartitionSpec pytree mirroring the params structure."""
     specs: Dict[str, Any] = {}
     for key, val in params.items():
@@ -131,12 +141,17 @@ def param_specs(params: Dict[str, Any], cfg: ArchConfig,
                             "router": _linear_spec(v2["router"], "rep"),
                         }
                         if "experts" in v2:
+                            if ep:
+                                raise ValueError(
+                                    "expert parallelism needs stacked "
+                                    "experts (stack_experts-compatible "
+                                    "qspec)")
                             ms["experts"] = [
-                                _ffn_specs(ep, True) for ep in v2["experts"]
+                                _ffn_specs(e2, True) for e2 in v2["experts"]
                             ]
                         if "experts_stacked" in v2:
                             ms["experts_stacked"] = _stacked_experts_specs(
-                                v2["experts_stacked"])
+                                v2["experts_stacked"], ep)
                         for nk in ("pre_norm", "post_norm"):
                             if nk in v2:
                                 ms[nk] = jax.tree_util.tree_map(
@@ -217,11 +232,16 @@ def repack_row_parallel(params: Dict[str, Any], tp: int) -> Dict[str, Any]:
 
 def shard_params(params: Dict[str, Any], cfg: ArchConfig,
                  mesh: Mesh) -> Tuple[Dict[str, Any], Any]:
-    """device_put the params with TP shardings; returns (params, specs)."""
+    """device_put the params with TP (+EP) shardings; returns
+    (params, specs)."""
     tp = mesh.shape["tp"]
+    ep = mesh.shape.get("ep", 1)
+    if ep > 1:
+        assert cfg.moe is not None and cfg.moe.num_experts % ep == 0, (
+            "ep axis requires a MoE model with num_experts % ep == 0")
     _, shard_kv = local_arch(cfg, tp)
     params = repack_row_parallel(params, tp)
-    specs = param_specs(params, cfg, shard_kv)
+    specs = param_specs(params, cfg, shard_kv, ep=ep > 1)
     is_spec = lambda x: isinstance(x, P)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     spec_leaves = jax.tree_util.tree_flatten(specs, is_leaf=is_spec)[0]
@@ -240,11 +260,14 @@ def make_tp_step(cfg: ArchConfig, mesh: Mesh, params_specs):
     cfg_local, shard_kv = local_arch(cfg, tp)
     cspec = cache_specs(shard_kv)
 
+    ep_axis = "ep" if "ep" in mesh.shape and mesh.shape["ep"] > 1 else None
+
     def step(params, cache, ids, positions, kv_lens):
         logits, cache = forward(
             params, cfg_local, ids, positions, cache, kv_lens,
             axis_name="tp", n_heads_global=cfg.n_heads,
             gather_logits="lm_head" in params and not cfg.tie_word_embeddings,
+            ep_axis_name=ep_axis,
         )
         return logits, cache
 

@@ -55,11 +55,19 @@ def synth_params(cfg: ArchConfig, spec: QSpec, seed: int = 0,
                  dtype=jnp.bfloat16) -> Dict[str, Any]:
     key = jax.random.PRNGKey(seed)
     e = cfg.hidden_size
-    n_keys = cfg.n_layers * 8 + 3
+    n_exp = cfg.moe.num_experts if cfg.moe is not None else 0
+    n_keys = cfg.n_layers * (8 + 3 * n_exp + 1) + 3
     keys = iter(jax.random.split(key, n_keys))
 
     def lin(k, n):
         return {"w": synth_qtensor(next(keys), k, n, spec)}
+
+    def expert_stack(k, n):
+        from ..ops.moe import stack_experts
+
+        return stack_experts(
+            [synth_qtensor(next(keys), k, n, spec) for _ in range(n_exp)]
+        )
 
     p: Dict[str, Any] = {
         "embed": {
@@ -73,21 +81,33 @@ def synth_params(cfg: ArchConfig, spec: QSpec, seed: int = 0,
         "lm_head": lin(e, cfg.vocab_size),
     }
     for _ in range(cfg.n_layers):
-        p["layers"].append(
-            {
-                "attn_norm": {"weight": jnp.ones((e,), jnp.float32)},
-                "ffn_norm": {"weight": jnp.ones((e,), jnp.float32)},
-                "q": lin(e, cfg.q_dim),
-                "k": lin(e, cfg.kv_dim),
-                "v": lin(e, cfg.kv_dim),
-                "o": lin(cfg.q_dim, e),
-                "ffn": {
-                    "gate": lin(e, cfg.intermediate_size),
-                    "up": lin(e, cfg.intermediate_size),
-                    "down": lin(cfg.intermediate_size, e),
+        lp: Dict[str, Any] = {
+            "attn_norm": {"weight": jnp.ones((e,), jnp.float32)},
+            "ffn_norm": {"weight": jnp.ones((e,), jnp.float32)},
+            "q": lin(e, cfg.q_dim),
+            "k": lin(e, cfg.kv_dim),
+            "v": lin(e, cfg.kv_dim),
+            "o": lin(cfg.q_dim, e),
+        }
+        if cfg.moe is not None:
+            lp["moe"] = {
+                "router": {
+                    "w": jax.random.normal(next(keys), (e, n_exp),
+                                           jnp.float32) * 0.02
+                },
+                "experts_stacked": {
+                    "gate": expert_stack(e, cfg.intermediate_size),
+                    "up": expert_stack(e, cfg.intermediate_size),
+                    "down": expert_stack(cfg.intermediate_size, e),
                 },
             }
-        )
+        else:
+            lp["ffn"] = {
+                "gate": lin(e, cfg.intermediate_size),
+                "up": lin(e, cfg.intermediate_size),
+                "down": lin(cfg.intermediate_size, e),
+            }
+        p["layers"].append(lp)
     return p
 
 
