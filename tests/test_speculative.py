@@ -216,3 +216,21 @@ def test_scheduler_speculative_rejects_sampling():
         ContinuousBatchingScheduler(
             _engine(cfg), SamplingParams(do_sample=True, temperature=0.8),
             speculative=True)
+
+
+def test_scheduler_speculative_quantized_kv():
+    from neural_speed_tpu.ops.sampling import SamplingParams
+
+    cfg = _cfg()
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+
+    def eng():
+        return Engine(params, cfg, max_batch=2, max_len=256,
+                      kv_quantized=True)
+
+    prompts = [list(range(1, 9)) * 4, list(range(40, 48)) * 3]
+    sp = SamplingParams(do_sample=False)
+    ref, _ = _run_sched(eng(), prompts, sp, mx=24)
+    out, _ = _run_sched(eng(), prompts, sp, mx=24, speculative=True,
+                        spec_k=5)
+    assert out == ref
