@@ -33,7 +33,7 @@ M >= S microbatches hides them.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,10 +49,13 @@ from ..ops.norms import layer_norm
 from ..ops.rope import rope_inv_freq
 
 
-def make_pp_mesh(pp: int, devices=None) -> Mesh:
+def make_pp_mesh(pp: int, tp: int = 1, devices=None) -> Mesh:
+    """('pp',) or ('pp', 'tp') mesh: stages x tensor-parallel shards."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    assert devices.size >= pp, (devices.size, pp)
-    return Mesh(devices[:pp], ("pp",))
+    assert devices.size >= pp * tp, (devices.size, pp, tp)
+    if tp == 1:
+        return Mesh(devices[:pp], ("pp",))
+    return Mesh(devices[: pp * tp].reshape(pp, tp), ("pp", "tp"))
 
 
 def stack_layers(layers) -> Any:
@@ -66,14 +69,38 @@ def layer_specs(stacked) -> Any:
     return jax.tree.map(lambda _: P("pp"), stacked)
 
 
-def shard_pp_params(params: Dict[str, Any], mesh: Mesh
+def layer_specs_tp(params: Dict[str, Any], cfg: ArchConfig,
+                   shard_kv: bool) -> Any:
+    """PP x TP: per-layer TP specs (the Megatron split table from
+    parallel/tp.py) with 'pp' prepended for the stacked layer axis."""
+    from . import tp as tpmod
+
+    per_layer = tpmod.param_specs(params, cfg, shard_kv)["layers"][0]
+    return jax.tree.map(
+        lambda sp: P("pp", *tuple(sp)), per_layer,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_pp_params(params: Dict[str, Any], mesh: Mesh,
+                    cfg: Optional[ArchConfig] = None
                     ) -> Tuple[Dict[str, Any], Any, Any]:
     """Returns (shared_params, stacked_layers, stacked_specs): the layer
-    stack device_put with its layer axis on 'pp', everything else
-    replicated."""
+    stack device_put with its layer axis on 'pp' (each leaf additionally
+    TP-split when the mesh has a 'tp' axis), everything else replicated.
+    `cfg` is required for PP x TP (split table + row-slab repacking)."""
+    from . import tp as tpmod
+
+    tp = mesh.shape.get("tp", 1)
+    if tp > 1:
+        assert cfg is not None, "cfg required for pp x tp sharding"
+        params = tpmod.repack_row_parallel(params, tp)
+        _, shard_kv = tpmod.local_arch(cfg, tp)
+        specs = layer_specs_tp(params, cfg, shard_kv)
     shared = {k: v for k, v in params.items() if k != "layers"}
     stacked = stack_layers(params["layers"])
-    specs = layer_specs(stacked)
+    if tp == 1:
+        specs = layer_specs(stacked)
     stacked = jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
         stacked, specs,
@@ -84,7 +111,11 @@ def shard_pp_params(params: Dict[str, Any], mesh: Mesh
     return shared, stacked, specs
 
 
-def cache_pp_specs() -> kvc.KVCache:
+def cache_pp_specs(shard_kv: bool = False) -> kvc.KVCache:
+    if shard_kv:  # layer axis on 'pp', KV heads on 'tp'
+        kvspec = P("pp", None, "tp", None, None)
+        sspec = P("pp", None, "tp", None)
+        return kvc.KVCache(kvspec, kvspec, sspec, sspec, P())
     return kvc.KVCache(P("pp"), P("pp"), P("pp"), P("pp"), P())
 
 
@@ -122,10 +153,18 @@ def make_pp_step(cfg: ArchConfig, mesh: Mesh, n_microbatches: int):
     Semantics match `transformer.forward` (same masking contract: caller
     sets `cache.lengths` afterwards).  Batch must divide n_microbatches.
     """
+    from . import tp as tpmod
+
     s_stages = mesh.shape["pp"]
     assert cfg.n_layers % s_stages == 0, (cfg.n_layers, s_stages)
     l_loc = cfg.n_layers // s_stages
     m_mb = n_microbatches
+    tp = mesh.shape.get("tp", 1)
+    if tp > 1:
+        cfg_layer, shard_kv = tpmod.local_arch(cfg, tp)
+        tp_axis = "tp"
+    else:
+        cfg_layer, shard_kv, tp_axis = cfg, False, None
 
     def step(shared, stacked, cache, ids, positions, kv_lens):
         r = jax.lax.axis_index("pp")
@@ -139,7 +178,13 @@ def make_pp_step(cfg: ArchConfig, mesh: Mesh, n_microbatches: int):
             inv_freq, mscale = rope_inv_freq(
                 rot, cfg.rope_base, cfg.rope_scaling, seq_len=cache.max_len
             )
-        slopes = alibi_slopes(cfg.n_heads) if cfg.use_alibi else None
+        slopes = None
+        if cfg.use_alibi:
+            slopes = alibi_slopes(cfg.n_heads)
+            if tp_axis is not None and cfg_layer.n_heads != cfg.n_heads:
+                hs = jax.lax.axis_index(tp_axis) * cfg_layer.n_heads
+                slopes = jax.lax.dynamic_slice(
+                    slopes, (hs,), (cfg_layer.n_heads,))
 
         def embed_mb(mi):
             idm = jax.lax.dynamic_slice_in_dim(ids, mi * bm, bm, 0)
@@ -186,8 +231,8 @@ def make_pp_step(cfg: ArchConfig, mesh: Mesh, n_microbatches: int):
             for i in range(l_loc):
                 lp = jax.tree.map(lambda a, i=i: a[i], stacked)
                 h, sub = decoder_layer(
-                    h, lp, cfg, i, sub, pos_mb, lens_mb, inv_freq, mscale,
-                    slopes,
+                    h, lp, cfg_layer, i, sub, pos_mb, lens_mb, inv_freq,
+                    mscale, slopes, axis_name=tp_axis,
                 )
             cache = _cache_merge(cache, sub, start, valid)
             # last stage: commit this microbatch's logits
@@ -206,11 +251,16 @@ def make_pp_step(cfg: ArchConfig, mesh: Mesh, n_microbatches: int):
         logits = jax.lax.psum(logits, "pp")
         return logits, cache
 
-    def build(shared, stacked):
-        """Bind the actual param pytrees (specs mirror their structure)."""
+    def build(shared, stacked, stacked_specs=None):
+        """Bind the actual param pytrees (specs mirror their structure).
+        `stacked_specs`: the specs returned by `shard_pp_params` — required
+        for PP x TP (per-leaf TP splits can't be rebuilt from shapes alone);
+        defaults to plain 'pp'-on-layer-axis specs for pure PP."""
         shared_specs = jax.tree.map(lambda _: P(), shared)
-        stacked_specs = layer_specs(stacked)
-        cspec = cache_pp_specs()
+        if stacked_specs is None:
+            assert tp == 1, "pp x tp needs the specs from shard_pp_params"
+            stacked_specs = layer_specs(stacked)
+        cspec = cache_pp_specs(shard_kv)
         f = jax.shard_map(
             step,
             mesh=mesh,

@@ -92,6 +92,61 @@ def test_pp_prefill_then_decode():
                                atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("qspec", [None, QSpec(QType.INT, 4, 16, True)],
+                         ids=["fp", "int4"])
+@pytest.mark.parametrize("kv", [2, 1], ids=["shard_kv", "rep_kv"])
+def test_pp_tp_matches_single_device(qspec, kv):
+    """PP x TP: 2 stages x 2 Megatron shards on a (2,2) mesh must equal the
+    single-device forward (kv=1 exercises the replicated-KV GQA path)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), n_kv_heads=kv)
+    params = _params(cfg, qspec, seed=5)
+    ids, pos, lens = _inputs(6)
+
+    cache0 = kvc.init_cache(cfg.n_layers, B, 32, cfg.n_kv_heads,
+                            cfg.head_dim, jnp.float32)
+    ref, _ = forward(params, cfg, ids, pos, cache0, lens)
+
+    mesh = ppmod.make_pp_mesh(2, tp=2)
+    shared, stacked, specs = ppmod.shard_pp_params(params, mesh, cfg)
+    step = ppmod.make_pp_step(cfg, mesh, 2)(shared, stacked, specs)
+    cache = kvc.init_cache(cfg.n_layers, B, 32, cfg.n_kv_heads,
+                           cfg.head_dim, jnp.float32)
+    logits, _ = step(shared, stacked, cache, ids, pos, lens)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_pp_tp_prefill_then_decode():
+    """KV written through the PP x TP pipeline (head-sharded on 'tp', layer-
+    sharded on 'pp') must support a subsequent decode step."""
+    cfg = _cfg()
+    params = _params(cfg, QSpec(QType.INT, 4, 16, True), seed=7)
+    ids, pos, lens = _inputs(8)
+
+    cache0 = kvc.init_cache(cfg.n_layers, B, 32, cfg.n_kv_heads,
+                            cfg.head_dim, jnp.float32)
+    lg0, cache0 = forward(params, cfg, ids, pos, cache0, lens)
+    cache0 = kvc.set_lengths(cache0, lens)
+    tok = jnp.argmax(lg0[:, -1], -1).astype(jnp.int32)
+    ref, _ = forward(params, cfg, tok[:, None], lens[:, None], cache0,
+                     lens + 1)
+
+    mesh = ppmod.make_pp_mesh(2, tp=2)
+    shared, stacked, specs = ppmod.shard_pp_params(params, mesh, cfg)
+    step = ppmod.make_pp_step(cfg, mesh, 2)(shared, stacked, specs)
+    cache = kvc.init_cache(cfg.n_layers, B, 32, cfg.n_kv_heads,
+                           cfg.head_dim, jnp.float32)
+    lg1, cache = step(shared, stacked, cache, ids, pos, lens)
+    cache = kvc.set_lengths(cache, lens)
+    tok1 = jnp.argmax(lg1[:, -1], -1).astype(jnp.int32)
+    lg2, _ = step(shared, stacked, cache, tok1[:, None], lens[:, None],
+                  lens + 1)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
 def test_pp_quantized_kv():
     cfg = _cfg(2)
     params = _params(cfg, QSpec(QType.INT, 4, 16, True))
