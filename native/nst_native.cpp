@@ -16,6 +16,12 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <unordered_map>
+#include <vector>
 
 namespace {
 
@@ -244,6 +250,153 @@ int nst_rtn_quantize_sym(const float* w, int64_t k, int64_t n, int64_t group,
     }
   }
   return 0;
+}
+
+}  // extern "C"
+
+// ---- SPM tokenizer (score-based greedy bigram merge) ---------------------
+// Parity: the reference tokenizes natively (model_tokenize,
+// model_utils.cpp:1858-1881 — the llama.cpp llm_tokenizer_spm algorithm).
+// Priority-queue implementation, O(n log n) vs the Python fallback's
+// rescan loop (convert/gguf.py GGUFTokenizer.encode); results are
+// bit-identical: the queue pops the globally best-scoring currently-valid
+// bigram, ties broken by leftmost position — exactly the Python scan order.
+
+namespace {
+
+struct SpmVocab {
+  std::vector<std::string> tokens;
+  std::vector<float> scores;
+  std::unordered_map<std::string, int32_t> lookup;
+};
+
+std::vector<std::unique_ptr<SpmVocab>> g_spm;
+std::mutex g_spm_mu;
+
+struct SpmSym {
+  int prev, next;
+  const char* p;
+  int n;  // bytes; 0 = merged away
+};
+
+struct SpmBigram {
+  int left;     // symbol index of the left element
+  float score;  // vocab score of the merged token
+  int size;     // total bytes at push time (staleness check)
+  int32_t id;
+};
+
+struct SpmCmp {
+  // max-heap on score; ties -> leftmost first (Python scan order).
+  bool operator()(const SpmBigram& a, const SpmBigram& b) const {
+    return a.score < b.score || (a.score == b.score && a.left > b.left);
+  }
+};
+
+inline int utf8_len(uint8_t c) {
+  if (c < 0x80) return 1;
+  if ((c & 0xE0) == 0xC0) return 2;
+  if ((c & 0xF0) == 0xE0) return 3;
+  if ((c & 0xF8) == 0xF0) return 4;
+  return 1;  // invalid byte: treat as 1 (mirrors Python's per-char split)
+}
+
+}  // namespace
+
+extern "C" {
+
+// tokens = concatenated UTF-8 bytes, offsets[n+1] prefix offsets.
+int64_t nst_spm_new(const uint8_t* bytes, const int64_t* offsets, int32_t n,
+                    const float* scores) {
+  auto v = std::make_unique<SpmVocab>();
+  v->tokens.reserve(n);
+  v->scores.assign(scores, scores + n);
+  for (int32_t i = 0; i < n; ++i)
+    v->tokens.emplace_back(reinterpret_cast<const char*>(bytes) + offsets[i],
+                           (size_t)(offsets[i + 1] - offsets[i]));
+  // duplicate tokens: last index wins (Python dict-comprehension semantics)
+  for (int32_t i = 0; i < n; ++i) v->lookup[v->tokens[i]] = i;
+  std::lock_guard<std::mutex> g(g_spm_mu);
+  g_spm.push_back(std::move(v));
+  return (int64_t)g_spm.size();  // handle = index + 1
+}
+
+void nst_spm_free(int64_t handle) {
+  std::lock_guard<std::mutex> g(g_spm_mu);
+  if (handle >= 1 && handle <= (int64_t)g_spm.size())
+    g_spm[handle - 1].reset();
+}
+
+// text: normalized UTF-8 (caller did the "▁" substitution);
+// byte_ids[256]: id of <0xXX> byte-fallback tokens, -1 if absent.
+// Returns the number of ids written (<= max_out), or -1 on bad handle.
+int64_t nst_spm_encode(int64_t handle, const uint8_t* text, int64_t len,
+                       const int32_t* byte_ids, int32_t unk_id, int32_t* out,
+                       int64_t max_out) {
+  const SpmVocab* v;
+  {
+    std::lock_guard<std::mutex> g(g_spm_mu);
+    if (handle < 1 || handle > (int64_t)g_spm.size() || !g_spm[handle - 1])
+      return -1;
+    v = g_spm[handle - 1].get();
+  }
+  // split into code points
+  std::vector<SpmSym> syms;
+  for (int64_t i = 0; i < len;) {
+    int n = utf8_len(text[i]);
+    if (i + n > len) n = (int)(len - i);
+    SpmSym s;
+    s.p = reinterpret_cast<const char*>(text) + i;
+    s.n = n;
+    s.prev = (int)syms.size() - 1;
+    s.next = (i + n < len) ? (int)syms.size() + 1 : -1;
+    syms.push_back(s);
+    i += n;
+  }
+
+  std::priority_queue<SpmBigram, std::vector<SpmBigram>, SpmCmp> work;
+  std::string cat;
+  auto try_add = [&](int l, int r) {
+    if (l < 0 || r < 0) return;
+    cat.assign(syms[l].p, (size_t)(syms[l].n + syms[r].n));
+    auto it = v->lookup.find(cat);
+    if (it == v->lookup.end()) return;
+    work.push({l, v->scores[it->second], syms[l].n + syms[r].n, it->second});
+  };
+  for (int i = 0; i + 1 < (int)syms.size(); ++i) try_add(i, i + 1);
+
+  while (!work.empty()) {
+    SpmBigram b = work.top();
+    work.pop();
+    SpmSym& l = syms[b.left];
+    if (l.n == 0 || l.next < 0) continue;
+    SpmSym& r = syms[l.next];
+    if (l.n + r.n != b.size) continue;  // stale
+    l.n += r.n;
+    r.n = 0;
+    l.next = r.next;
+    if (r.next >= 0) syms[r.next].prev = b.left;
+    try_add(l.prev, b.left);
+    try_add(b.left, l.next);
+  }
+
+  int64_t m = 0;
+  for (int i = 0; i >= 0 && i < (int)syms.size(); i = syms[i].next) {
+    if (syms[i].n == 0) continue;
+    cat.assign(syms[i].p, (size_t)syms[i].n);
+    auto it = v->lookup.find(cat);
+    if (it != v->lookup.end()) {
+      if (m >= max_out) return m;
+      out[m++] = it->second;
+    } else {
+      for (int j = 0; j < syms[i].n; ++j) {
+        int32_t id = byte_ids[(uint8_t)cat[j]];
+        if (m >= max_out) return m;
+        out[m++] = id >= 0 ? id : unk_id;
+      }
+    }
+  }
+  return m;
 }
 
 }  // extern "C"

@@ -447,11 +447,34 @@ class GGUFTokenizer:
             tok = f"<0x{b:02X}>"
             if tok in self.vocab:
                 self.byte_ids[b] = self.vocab[tok]
+        self._native = 0  # 0 = untried, None = unavailable, else handle
+
+    def _encode_native(self, text: str) -> Optional[List[int]]:
+        """Native (C++) priority-queue SPM merge — bit-identical to the
+        Python loop below, O(n log n) (parity: the reference tokenizes in
+        C++ too, model_utils.cpp:1858-1881)."""
+        from .. import native
+
+        if self._native == 0:
+            self._native = native.spm_new(self.tokens, self.scores)
+            if self._native is not None:
+                bt = np.full(256, -1, np.int32)
+                for b, tid in self.byte_ids.items():
+                    bt[b] = tid
+                self._byte_table = bt
+        if self._native is None:
+            return None
+        return native.spm_encode(self._native, text, self._byte_table,
+                                 self.unk_id)
 
     def encode(self, text: str, add_bos: Optional[bool] = None) -> List[int]:
         text = text.replace(" ", "▁")
         if not text.startswith("▁"):
             text = "▁" + text
+        bos = add_bos if add_bos is not None else self.add_bos
+        ids = self._encode_native(text)
+        if ids is not None:
+            return [self.bos_token_id] + ids if bos else ids
         syms = list(text)
         # greedy best-score merging
         while True:

@@ -126,6 +126,45 @@ def unpack_planar(words: np.ndarray, width: int) -> Optional[np.ndarray]:
     return out
 
 
+# ---- SPM tokenizer ----------------------------------------------------------
+
+
+def spm_new(tokens, scores) -> Optional[int]:
+    """Build a native SPM vocab; returns a handle or None."""
+    L = lib()
+    if L is None:
+        return None
+    blobs = [t.encode("utf-8") for t in tokens]
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    data = np.frombuffer(b"".join(blobs), np.uint8) if blobs else np.zeros(
+        0, np.uint8)
+    sc = np.ascontiguousarray(scores, np.float32)
+    L.nst_spm_new.restype = ctypes.c_int64
+    h = L.nst_spm_new(_p(data), _p(offsets), ctypes.c_int32(len(blobs)),
+                      _p(sc))
+    return int(h) if h > 0 else None
+
+
+def spm_encode(handle: int, text: str, byte_ids: np.ndarray,
+               unk_id: int) -> Optional[list]:
+    """Encode normalized text with a native SPM handle; None if native
+    unavailable.  `byte_ids` is an int32[256] table (-1 = absent)."""
+    L = lib()
+    if L is None:
+        return None
+    raw = np.frombuffer(text.encode("utf-8"), np.uint8)
+    out = np.empty(raw.size + 8, np.int32)
+    L.nst_spm_encode.restype = ctypes.c_int64
+    n = L.nst_spm_encode(ctypes.c_int64(handle), _p(raw),
+                         ctypes.c_int64(raw.size), _p(byte_ids),
+                         ctypes.c_int32(unk_id), _p(out),
+                         ctypes.c_int64(out.size))
+    if n < 0:
+        return None
+    return out[:n].tolist()
+
+
 def rtn_quantize_sym(w: np.ndarray, group: int, bits: int
                      ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     L = lib()

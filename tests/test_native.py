@@ -88,3 +88,65 @@ def test_rtn_sym_matches_python():
     diff = np.abs(codes.astype(int) - ref_codes.astype(int))
     assert (diff > 1).sum() == 0
     assert (diff == 1).mean() < 1e-3
+
+
+# ---- SPM tokenizer ---------------------------------------------------------
+
+
+def _spm_vocab(seed=0):
+    """Synthetic SPM-style vocab: specials, all 256 byte-fallback tokens,
+    single chars, and random merged pieces with random scores."""
+    rng = np.random.default_rng(seed)
+    tokens = ["<unk>", "<s>", "</s>"]
+    tokens += [f"<0x{b:02X}>" for b in range(256)]
+    chars = list("abcdefghijklmnop") + ["▁", "é", "中"]
+    tokens += chars
+    pieces = set()
+    for _ in range(400):
+        ln = rng.integers(2, 5)
+        pieces.add("".join(rng.choice(chars, ln)))
+    tokens += sorted(pieces)
+    scores = rng.standard_normal(len(tokens)).astype(np.float32).tolist()
+    return tokens, scores
+
+
+def _py_encode(tok, text, add_bos):
+    """Force the pure-Python merge loop (the reference implementation)."""
+    native_state = tok._native
+    tok._native = None
+    try:
+        return tok.encode(text, add_bos=add_bos)
+    finally:
+        tok._native = native_state
+
+
+def test_spm_native_matches_python():
+    tokens, scores = _spm_vocab()
+    tok = G.GGUFTokenizer(tokens, scores, bos_id=1, eos_id=2, unk_id=0)
+    rng = np.random.default_rng(1)
+    chars = list("abcdefghij klmnop") + ["é", "中", "\U0001f600"]
+    texts = ["hello mid egg", "", " ", "abcabcabc", "中é mixed"]
+    for _ in range(30):
+        ln = int(rng.integers(1, 120))
+        texts.append("".join(rng.choice(chars, ln)))
+    for t in texts:
+        got = tok.encode(t)
+        ref = _py_encode(tok, t, None)
+        assert got == ref, (t, got, ref)
+        assert tok.decode(got) == tok.decode(ref)
+
+
+def test_spm_native_byte_fallback_and_no_bos():
+    tokens, scores = _spm_vocab(3)
+    tok = G.GGUFTokenizer(tokens, scores)
+    # chars with no single-char token and no merged piece -> byte fallback
+    for t in ["zzz ßå", "qq xx", "\U0001f9ea lab"]:
+        assert tok.encode(t, add_bos=False) == _py_encode(tok, t, False)
+
+
+def test_spm_native_long_prompt_parity():
+    tokens, scores = _spm_vocab(4)
+    tok = G.GGUFTokenizer(tokens, scores)
+    rng = np.random.default_rng(5)
+    text = "".join(rng.choice(list("abcdefghijklmnop "), 4000))
+    assert tok.encode(text) == _py_encode(tok, text, None)
