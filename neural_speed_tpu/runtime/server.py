@@ -28,10 +28,28 @@ class ModelServer:
         max_new_tokens: int = 128,
         speculative: bool = False,
         spec_k: int = 7,
+        num_beams: int = 1,
+        beam_config=None,
     ):
-        self.sched = ContinuousBatchingScheduler(
-            engine, sampling, eos_id, speculative=speculative, spec_k=spec_k,
-        )
+        # beam requests run on the continuous beam scheduler (parity: the
+        # reference server's do_early_stopping/num_beams query params,
+        # main_pybind.cpp:150-323 + beam_search_flow::step)
+        self._beam = num_beams > 1 or beam_config is not None
+        if self._beam:
+            from .beam import BeamConfig, BeamContinuousScheduler
+
+            if speculative:
+                raise ValueError("speculative serving is greedy-only")
+            self._bc = beam_config or BeamConfig(
+                num_beams=num_beams, max_new_tokens=max_new_tokens,
+                eos_id=eos_id,
+            )
+            self.sched = BeamContinuousScheduler(engine, self._bc)
+        else:
+            self.sched = ContinuousBatchingScheduler(
+                engine, sampling, eos_id, speculative=speculative,
+                spec_k=spec_k,
+            )
         self.response_fn = response_fn
         self.max_new_tokens = max_new_tokens
         self._queue: "queue.Queue" = queue.Queue()
@@ -72,7 +90,13 @@ class ModelServer:
                 while True:
                     try:
                         prompt, mnt = self._queue.get_nowait()
-                        self.sched.add_request(prompt, mnt)
+                        if self._beam:
+                            import dataclasses
+
+                            self.sched.add_request(prompt, dataclasses.replace(
+                                self._bc, max_new_tokens=mnt))
+                        else:
+                            self.sched.add_request(prompt, mnt)
                         self._queue.task_done()
                         drained = True
                     except queue.Empty:

@@ -256,3 +256,81 @@ def test_batched_speculative_generate(our_model):
     got_p = our_model.generate(prompts, max_new_tokens=10,
                                ignore_prompt=True, speculative=True)
     assert got_p == ref_p
+
+
+def test_beam_continuous_queueing_matches_isolated(our_model):
+    """More beam requests than slots: the CB beam scheduler queues and
+    must produce exactly the isolated per-request results (parity:
+    beam_search_flow::step under Cont_batch_gen_scheduler)."""
+    from neural_speed_tpu.runtime.beam import BeamContinuousScheduler
+
+    eng = our_model.engine  # max_batch=8 -> k=2 serves 4 requests at once
+    prompts = [[1, 17, 9, 33], [2, 5, 8, 13, 21, 34], [7, 7, 7],
+               [11, 3], [4, 9, 16, 25, 36], [8, 1, 8, 1, 8]]
+    bc = BeamConfig(num_beams=2, max_new_tokens=6)
+    isolated = [beam_search(eng, [p], bc)[0] for p in prompts]
+
+    sched = BeamContinuousScheduler(eng, bc)
+    rids = [sched.add_request(p) for p in prompts]
+    done = {r.rid: r for r in sched.run_to_completion()}
+    got = [done[rid].result.tokens for rid in rids]
+    assert got == isolated
+
+
+def test_beam_continuous_staggered_admission(our_model):
+    """Requests added while others are mid-decode join seamlessly and
+    don't perturb running requests."""
+    from neural_speed_tpu.runtime.beam import BeamContinuousScheduler
+
+    eng = our_model.engine
+    bc = BeamConfig(num_beams=2, max_new_tokens=6)
+    a, b, c = [1, 17, 9, 33], [2, 5, 8, 13, 21, 34], [7, 7, 7]
+    isolated = [beam_search(eng, [p], bc)[0] for p in (a, b, c)]
+
+    sched = BeamContinuousScheduler(eng, bc)
+    r0 = sched.add_request(a)
+    sched.step()  # prefill a
+    sched.step()  # decode a
+    r1 = sched.add_request(b)
+    sched.step()  # prefill b (a is a spectator)
+    sched.step()  # joint decode
+    r2 = sched.add_request(c)
+    done = {r.rid: r for r in sched.run_to_completion()}
+    got = [done[r].result.tokens for r in (r0, r1, r2)]
+    assert got == isolated
+
+
+def test_beam_continuous_mixed_widths(our_model):
+    """Per-request BeamConfig: different num_beams coexist in one pool."""
+    from neural_speed_tpu.runtime.beam import BeamContinuousScheduler
+
+    eng = our_model.engine
+    a, b = [1, 17, 9, 33], [7, 7, 7]
+    bc2 = BeamConfig(num_beams=2, max_new_tokens=5)
+    bc4 = BeamConfig(num_beams=4, max_new_tokens=5)
+    iso = [beam_search(eng, [a], bc2)[0], beam_search(eng, [b], bc4)[0]]
+
+    sched = BeamContinuousScheduler(eng)
+    r0 = sched.add_request(a, bc2)
+    r1 = sched.add_request(b, bc4)
+    done = {r.rid: r for r in sched.run_to_completion()}
+    assert [done[r0].result.tokens, done[r1].result.tokens] == iso
+
+
+def test_model_server_beam(our_model):
+    """Beam requests through ModelServer (parity: the reference server e2e
+    runs 12 prompts through greedy AND beam, tests/test_model_server.py)."""
+    bc_ref = BeamConfig(num_beams=2, max_new_tokens=5)
+    ref = [beam_search(our_model.engine, [p], bc_ref)[0] for p in PROMPTS]
+    results = {}
+    lock = threading.Lock()
+
+    def cb(rid, toks):
+        with lock:
+            results[rid] = toks
+
+    with ModelServer(our_model, cb, num_beams=2, max_new_tokens=5) as srv:
+        for p in PROMPTS:
+            srv.issue_query(p)
+        srv.join()
+    assert [results[i] for i in sorted(results)] == ref
