@@ -49,13 +49,16 @@ from ..ops.norms import layer_norm
 from ..ops.rope import rope_inv_freq
 
 
-def make_pp_mesh(pp: int, tp: int = 1, devices=None) -> Mesh:
-    """('pp',) or ('pp', 'tp') mesh: stages x tensor-parallel shards."""
+def make_pp_mesh(pp: int, tp: int = 1, dp: int = 1, devices=None) -> Mesh:
+    """Pipeline mesh: 'pp' always, with optional 'dp' (batch) and 'tp'
+    (Megatron-split) axes — ('dp'?, 'pp', 'tp'?)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    assert devices.size >= pp * tp, (devices.size, pp, tp)
-    if tp == 1:
-        return Mesh(devices[:pp], ("pp",))
-    return Mesh(devices[: pp * tp].reshape(pp, tp), ("pp", "tp"))
+    assert devices.size >= pp * tp * dp, (devices.size, pp, tp, dp)
+    axes = [(n, s) for n, s in (("dp", dp), ("pp", pp), ("tp", tp))
+            if s > 1 or n == "pp"]
+    shape = tuple(s for _, s in axes)
+    n_dev = int(np.prod(shape))
+    return Mesh(devices[:n_dev].reshape(shape), tuple(n for n, _ in axes))
 
 
 def stack_layers(layers) -> Any:
@@ -111,12 +114,14 @@ def shard_pp_params(params: Dict[str, Any], mesh: Mesh,
     return shared, stacked, specs
 
 
-def cache_pp_specs(shard_kv: bool = False) -> kvc.KVCache:
-    if shard_kv:  # layer axis on 'pp', KV heads on 'tp'
-        kvspec = P("pp", None, "tp", None, None)
-        sspec = P("pp", None, "tp", None)
-        return kvc.KVCache(kvspec, kvspec, sspec, sspec, P())
-    return kvc.KVCache(P("pp"), P("pp"), P("pp"), P("pp"), P())
+def cache_pp_specs(shard_kv: bool = False, dp: bool = False) -> kvc.KVCache:
+    """[L,B,H,S,D] cache: layer axis on 'pp', batch on 'dp', KV heads on
+    'tp' (when those axes exist)."""
+    b = "dp" if dp else None
+    h = "tp" if shard_kv else None
+    kvspec = P("pp", b, h, None, None)
+    sspec = P("pp", b, h, None)
+    return kvc.KVCache(kvspec, kvspec, sspec, sspec, P(b))
 
 
 def _cache_slice(c: kvc.KVCache, start, bm: int) -> kvc.KVCache:
@@ -160,6 +165,7 @@ def make_pp_step(cfg: ArchConfig, mesh: Mesh, n_microbatches: int):
     l_loc = cfg.n_layers // s_stages
     m_mb = n_microbatches
     tp = mesh.shape.get("tp", 1)
+    dp = mesh.shape.get("dp", 1)
     if tp > 1:
         cfg_layer, shard_kv = tpmod.local_arch(cfg, tp)
         tp_axis = "tp"
@@ -260,12 +266,14 @@ def make_pp_step(cfg: ArchConfig, mesh: Mesh, n_microbatches: int):
         if stacked_specs is None:
             assert tp == 1, "pp x tp needs the specs from shard_pp_params"
             stacked_specs = layer_specs(stacked)
-        cspec = cache_pp_specs(shard_kv)
+        cspec = cache_pp_specs(shard_kv, dp > 1)
+        dspec = P("dp") if dp > 1 else P()  # batch-axis data sharding
         f = jax.shard_map(
             step,
             mesh=mesh,
-            in_specs=(shared_specs, stacked_specs, cspec, P(), P(), P()),
-            out_specs=(P(), cspec),
+            in_specs=(shared_specs, stacked_specs, cspec, dspec, dspec,
+                      dspec),
+            out_specs=(dspec, cspec),
             check_vma=False,
         )
         return jax.jit(f, donate_argnums=(2,))

@@ -163,3 +163,28 @@ def test_pp_quantized_kv():
     logits, _ = step(shared, stacked, cache, ids, pos, lens)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("pp,tp,dp", [(2, 1, 2), (2, 2, 2)],
+                         ids=["dp_pp", "dp_pp_tp"])
+def test_dp_pp_matches_single_device(pp, tp, dp):
+    """Batch sharded over 'dp' on top of the pipeline (and Megatron
+    splits): 3-D mesh parity with single-device forward."""
+    cfg = _cfg()
+    params = _params(cfg, QSpec(QType.INT, 4, 16, True), seed=9)
+    ids, pos, lens = _inputs(10)
+
+    cache0 = kvc.init_cache(cfg.n_layers, B, 32, cfg.n_kv_heads,
+                            cfg.head_dim, jnp.float32)
+    ref, _ = forward(params, cfg, ids, pos, cache0, lens)
+
+    mesh = ppmod.make_pp_mesh(pp, tp=tp, dp=dp)
+    shared, stacked, specs = ppmod.shard_pp_params(
+        params, mesh, cfg if tp > 1 else None)
+    step = ppmod.make_pp_step(cfg, mesh, 2)(
+        shared, stacked, specs if tp > 1 else None)
+    cache = kvc.init_cache(cfg.n_layers, B, 32, cfg.n_kv_heads,
+                           cfg.head_dim, jnp.float32)
+    logits, _ = step(shared, stacked, cache, ids, pos, lens)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
