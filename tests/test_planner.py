@@ -1,0 +1,110 @@
+"""Deployment planner: exact packed-size model + mesh recommendation
+logic (parallel/planner.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_speed_tpu.models.arch import ArchConfig, MoEConfig
+from neural_speed_tpu.ops.qtypes import QSpec, QType
+from neural_speed_tpu.ops.quantize import quantize
+from neural_speed_tpu.parallel import planner as pl
+
+
+def _real_bytes(qt) -> int:
+    tot = sum(int(d.nbytes) for d in qt.data) + int(qt.scales.nbytes)
+    if qt.zeros is not None:
+        tot += int(qt.zeros.nbytes)
+    if qt.sscale is not None:
+        tot += int(qt.sscale.nbytes)
+    return tot
+
+
+@pytest.mark.parametrize("spec", [
+    QSpec(QType.INT, 4, 32, True),
+    QSpec(QType.INT, 4, 32, False),
+    QSpec(QType.INT, 8, 64, True),
+    QSpec(QType.INT, 2, 32, True, scale_dtype="bfloat16"),
+    QSpec(QType.INT, 4, 32, True, double_quant=True),
+], ids=["int4", "int4_asym", "int8", "int2_bf16s", "int4_dq"])
+def test_qtensor_bytes_exact(spec):
+    k, n = 128, 64
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((k, n)),
+                    jnp.float32)
+    qt = quantize(w, spec)
+    assert pl.qtensor_bytes(k, n, spec) == _real_bytes(qt)
+
+
+def _llama(hidden, layers, heads, kv, inter, vocab=32000):
+    return ArchConfig(
+        name="llama", vocab_size=vocab, hidden_size=hidden,
+        n_layers=layers, n_heads=heads, n_kv_heads=kv,
+        intermediate_size=inter, max_position_embeddings=4096,
+    )
+
+
+CFG_7B = _llama(4096, 32, 32, 32, 11008)
+CFG_70B = _llama(8192, 80, 64, 8, 28672)
+Q4 = QSpec(QType.INT, 4, 128, True)
+
+
+def test_7b_fits_one_chip_dp_recommended():
+    """7B int4 (~3.5 GiB weights) fits a 16 GiB chip: pure DP wins (zero
+    ICI traffic)."""
+    p = pl.recommend(CFG_7B, Q4, n_chips=8, hbm_gb=16, batch=8, ctx=2048)
+    assert p.fits and p.tp == 1 and p.pp == 1 and p.dp == 8
+    assert p.comm_bytes_per_token == 0
+    gib = p.weight_bytes / (1 << 30)
+    assert 3.0 < gib < 4.5, gib
+
+
+def test_70b_needs_model_parallelism():
+    """70B int4 (~35 GiB weights) cannot fit one 16 GiB chip: the
+    recommendation must split the model and still fit."""
+    p = pl.recommend(CFG_70B, Q4, n_chips=8, hbm_gb=16, batch=8, ctx=2048)
+    assert p.fits and (p.tp > 1 or p.pp > 1)
+    solo = pl.plan_memory(CFG_70B, Q4, pl.Plan(), batch=1, ctx=2048)
+    assert solo.total_bytes > 16 * (1 << 30)
+
+
+def test_divisibility_constraints_respected():
+    cfg = _llama(256, 6, 4, 2, 384, vocab=1000)  # 6 layers, 4 heads
+    for p in pl.enumerate_plans(cfg, Q4, 8, 16 << 30, batch=8):
+        assert cfg.n_layers % p.pp == 0
+        assert cfg.n_heads % p.tp == 0
+        assert cfg.intermediate_size % p.tp == 0
+        assert p.n_chips <= 8
+
+
+def test_row_split_respects_group_boundaries():
+    """tp that would split a scale group mid-slab is not offered."""
+    cfg = _llama(256, 4, 4, 4, 256, vocab=1000)
+    q_g128 = QSpec(QType.INT, 4, 128, True)
+    # intermediate 256 / tp=4 = 64 < group 128 -> tp=4 invalid
+    tps = {p.tp for p in pl.enumerate_plans(cfg, q_g128, 4, 1 << 40,
+                                            batch=4)}
+    assert 4 not in tps and 2 in tps
+
+
+def test_moe_ep_plans():
+    cfg = ArchConfig(
+        name="mixtral", vocab_size=32000, hidden_size=4096, n_layers=32,
+        n_heads=32, n_kv_heads=8, intermediate_size=14336,
+        max_position_embeddings=4096, moe=MoEConfig(num_experts=8, top_k=2),
+    )
+    plans = pl.enumerate_plans(cfg, Q4, 8, 16 << 30, batch=8)
+    eps = {p.ep for p in plans}
+    assert {1, 2, 4, 8} <= eps
+    for p in plans:
+        if p.ep > 1:
+            assert cfg.moe.num_experts % p.ep == 0 and p.pp == 1
+        # ep shrinks per-chip weights vs the same mesh without ep
+    p_ep = pl.plan_memory(cfg, Q4, pl.Plan(ep=8), batch=8, ctx=2048)
+    p_solo = pl.plan_memory(cfg, Q4, pl.Plan(), batch=8, ctx=2048)
+    assert p_ep.weight_bytes < p_solo.weight_bytes * 0.3
+
+
+def test_oom_reported_when_nothing_fits():
+    p = pl.recommend(CFG_70B, None, n_chips=2, hbm_gb=16, batch=1)
+    assert not p.fits  # 140 GiB bf16 over 2 chips can't fit; best effort
+    assert "OOM" in p.describe()
