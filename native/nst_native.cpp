@@ -270,7 +270,9 @@ struct SpmVocab {
   std::unordered_map<std::string, int32_t> lookup;
 };
 
-std::vector<std::unique_ptr<SpmVocab>> g_spm;
+// shared_ptr: an in-flight encode keeps its vocab alive even if
+// nst_spm_free runs concurrently on another thread
+std::vector<std::shared_ptr<SpmVocab>> g_spm;
 std::mutex g_spm_mu;
 
 struct SpmSym {
@@ -308,7 +310,7 @@ extern "C" {
 // tokens = concatenated UTF-8 bytes, offsets[n+1] prefix offsets.
 int64_t nst_spm_new(const uint8_t* bytes, const int64_t* offsets, int32_t n,
                     const float* scores) {
-  auto v = std::make_unique<SpmVocab>();
+  auto v = std::make_shared<SpmVocab>();
   v->tokens.reserve(n);
   v->scores.assign(scores, scores + n);
   for (int32_t i = 0; i < n; ++i)
@@ -333,12 +335,12 @@ void nst_spm_free(int64_t handle) {
 int64_t nst_spm_encode(int64_t handle, const uint8_t* text, int64_t len,
                        const int32_t* byte_ids, int32_t unk_id, int32_t* out,
                        int64_t max_out) {
-  const SpmVocab* v;
+  std::shared_ptr<SpmVocab> v;
   {
     std::lock_guard<std::mutex> g(g_spm_mu);
     if (handle < 1 || handle > (int64_t)g_spm.size() || !g_spm[handle - 1])
       return -1;
-    v = g_spm[handle - 1].get();
+    v = g_spm[handle - 1];
   }
   // split into code points
   std::vector<SpmSym> syms;

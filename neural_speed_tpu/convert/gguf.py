@@ -449,6 +449,15 @@ class GGUFTokenizer:
                 self.byte_ids[b] = self.vocab[tok]
         self._native = 0  # 0 = untried, None = unavailable, else handle
 
+    def __del__(self):
+        if getattr(self, "_native", 0) not in (0, None):
+            try:
+                from .. import native
+
+                native.spm_free(self._native)
+            except Exception:
+                pass  # interpreter shutdown
+
     def _encode_native(self, text: str) -> Optional[List[int]]:
         """Native (C++) priority-queue SPM merge — bit-identical to the
         Python loop below, O(n log n) (parity: the reference tokenizes in

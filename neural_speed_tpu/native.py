@@ -146,6 +146,13 @@ def spm_new(tokens, scores) -> Optional[int]:
     return int(h) if h > 0 else None
 
 
+def spm_free(handle: int) -> None:
+    """Release a native SPM vocab (GGUFTokenizer.__del__)."""
+    L = lib()
+    if L is not None:
+        L.nst_spm_free(ctypes.c_int64(handle))
+
+
 def spm_encode(handle: int, text: str, byte_ids: np.ndarray,
                unk_id: int) -> Optional[list]:
     """Encode normalized text with a native SPM handle; None if native

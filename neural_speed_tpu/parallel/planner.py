@@ -21,7 +21,7 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 from ..models.arch import ArchConfig
-from ..ops.qtypes import QSpec
+from ..ops.qtypes import QSpec, QType
 
 _SCALE_BYTES = {"float32": 4, "bfloat16": 2}
 
@@ -158,10 +158,8 @@ def enumerate_plans(cfg: ArchConfig, qspec: Optional[QSpec], n_chips: int,
     for tp in _divisors(n_chips):
         if cfg.n_heads % tp or cfg.intermediate_size % tp:
             continue
-        if qspec is not None and qspec.group_size > 0:
-            # row-split slabs must keep scale groups intact
-            if cfg.intermediate_size // tp % qspec.group_size:
-                continue
+        if not _row_split_ok(cfg, qspec, tp):
+            continue
         for pp in _divisors(n_chips // tp):
             if cfg.n_layers % pp:
                 continue
@@ -171,18 +169,40 @@ def enumerate_plans(cfg: ArchConfig, qspec: Optional[QSpec], n_chips: int,
                 ep_opts += [e for e in _divisors(rest)
                             if e > 1 and cfg.moe.num_experts % e == 0]
             for ep in ep_opts:
-                dp = rest // ep
-                if dp < 1 or dp > max(batch, 1):
+                dp_cap = rest // ep
+                if dp_cap < 1:
                     continue
-                key = (dp, pp, tp, ep)
-                if key in seen:
-                    continue
-                seen.add(key)
-                p = plan_memory(cfg, qspec, Plan(dp=dp, pp=pp, tp=tp, ep=ep),
-                                batch, ctx, kv_bytes_per_elt)
-                p.fits = p.total_bytes <= hbm_bytes
-                plans.append(p)
+                # dp beyond the batch is useless; idle the excess chips
+                # instead of dropping the plan (awkward chip counts)
+                for dp in {1, min(dp_cap, max(batch, 1))}:
+                    key = (dp, pp, tp, ep)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    p = plan_memory(cfg, qspec,
+                                    Plan(dp=dp, pp=pp, tp=tp, ep=ep),
+                                    batch, ctx, kv_bytes_per_elt)
+                    p.fits = p.total_bytes <= hbm_bytes
+                    plans.append(p)
     return plans
+
+
+def _row_split_ok(cfg: ArchConfig, qspec: Optional[QSpec], tp: int) -> bool:
+    """Mirror ops/quantize.repack's constraint for EVERY row-split (K-
+    sharded) linear: o-proj (K = n_heads*head_dim) and ffn-down
+    (K = intermediate).  int8/fp8 re-slab freely; group -1 spans all of K
+    and repack exempts it."""
+    if tp == 1 or qspec is None:
+        return True
+    if qspec.is_fp8 or (qspec.qtype == QType.INT and qspec.bits == 8):
+        return True
+    g = qspec.group_size
+    if g <= 0:
+        return True
+    for k in (cfg.n_heads * cfg.head_dim, cfg.intermediate_size):
+        if (k // tp) % g:
+            return False
+    return True
 
 
 def recommend(cfg: ArchConfig, qspec: Optional[QSpec], n_chips: int,

@@ -61,8 +61,9 @@ class ModelServer:
     # -- client API (parity: issueQuery, main_pybind.cpp:230) -----------
     def issue_query(self, prompt: Sequence[int],
                     max_new_tokens: Optional[int] = None) -> None:
-        self._queue.put((list(prompt), max_new_tokens or
-                         self.max_new_tokens))
+        # None = no per-query override (the worker falls back to the
+        # server default / the user's beam_config)
+        self._queue.put((list(prompt), max_new_tokens))
 
     def join(self) -> None:
         """Block until all issued work is complete."""
@@ -93,10 +94,13 @@ class ModelServer:
                         if self._beam:
                             import dataclasses
 
-                            self.sched.add_request(prompt, dataclasses.replace(
-                                self._bc, max_new_tokens=mnt))
+                            bc = (self._bc if mnt is None else
+                                  dataclasses.replace(
+                                      self._bc, max_new_tokens=mnt))
+                            self.sched.add_request(prompt, bc)
                         else:
-                            self.sched.add_request(prompt, mnt)
+                            self.sched.add_request(
+                                prompt, mnt or self.max_new_tokens)
                         self._queue.task_done()
                         drained = True
                     except queue.Empty:

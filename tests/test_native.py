@@ -150,3 +150,21 @@ def test_spm_native_long_prompt_parity():
     rng = np.random.default_rng(5)
     text = "".join(rng.choice(list("abcdefghijklmnop "), 4000))
     assert tok.encode(text) == _py_encode(tok, text, None)
+
+
+def test_spm_free_and_fallback():
+    """Freed handles fail closed (encode falls back to the Python loop,
+    same ids); fresh handles still work after frees."""
+    tokens, scores = _spm_vocab(6)
+    tok = G.GGUFTokenizer(tokens, scores)
+    text = "hello mid egg"
+    ids = tok.encode(text)
+    handle = tok._native
+    assert handle not in (0, None)
+    native.spm_free(handle)
+    assert native.spm_encode(handle, text, tok._byte_table,
+                             tok.unk_id) is None
+    assert tok.encode(text) == ids  # python fallback, same result
+    tok2 = G.GGUFTokenizer(tokens, scores)
+    assert tok2.encode(text) == ids  # new handle unaffected
+    del tok2  # __del__ frees without error

@@ -108,3 +108,24 @@ def test_oom_reported_when_nothing_fits():
     p = pl.recommend(CFG_70B, None, n_chips=2, hbm_gb=16, batch=1)
     assert not p.fits  # 140 GiB bf16 over 2 chips can't fit; best effort
     assert "OOM" in p.describe()
+
+
+def test_row_split_checks_o_proj_too():
+    """The o-projection's K (= n_heads*head_dim) must keep scale groups
+    intact as well — and int8/fp8 re-slab freely (repack exemption)."""
+    cfg = _llama(512, 4, 8, 8, 1024, vocab=1000)  # o: K=512, down: K=1024
+    q_g128 = QSpec(QType.INT, 4, 128, True)
+    tps = {p.tp for p in pl.enumerate_plans(cfg, q_g128, 8, 1 << 40,
+                                            batch=8)}
+    assert 8 not in tps  # 512/8=64 breaks g=128 on the o-proj
+    assert 4 in tps      # 512/4=128 ok, 1024/4=256 ok
+    q8 = QSpec(QType.INT, 8, 128, True)
+    tps8 = {p.tp for p in pl.enumerate_plans(cfg, q8, 8, 1 << 40, batch=8)}
+    assert 8 in tps8     # int8 slabs don't touch group packing
+
+
+def test_awkward_chip_count_falls_back_to_fewer():
+    """n_chips=6 with batch=1: no factorization uses all 6 chips, but the
+    model fits one chip — recommend must not raise."""
+    p = pl.recommend(CFG_7B, Q4, n_chips=6, hbm_gb=16, batch=1, ctx=2048)
+    assert p.fits and p.n_chips <= 6

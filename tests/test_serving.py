@@ -334,3 +334,19 @@ def test_model_server_beam(our_model):
             srv.issue_query(p)
         srv.join()
     assert [results[i] for i in sorted(results)] == ref
+
+
+def test_model_server_beam_config_length_respected(our_model):
+    """A user beam_config's max_new_tokens must not be clobbered by the
+    server default when issue_query has no per-query override."""
+    bc = BeamConfig(num_beams=2, max_new_tokens=3)
+    ref = beam_search(our_model.engine, [PROMPTS[0]], bc)[0]
+    results = {}
+
+    def cb(rid, toks):
+        results[rid] = toks
+
+    with ModelServer(our_model, cb, beam_config=bc) as srv:
+        srv.issue_query(PROMPTS[0])
+        srv.join()
+    assert results[0] == ref and len(results[0]) <= 3
