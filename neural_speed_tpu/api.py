@@ -191,12 +191,34 @@ class Model:
                                  "num_beams=1")
             cached = self._load_session_prefix(session_path, ids[0])
         if speculative:
-            # prompt-lookup speculative greedy decoding (EXTENSION —
-            # runtime/speculative.py): output is exactly the greedy sequence
-            if (do_sample or num_beams > 1
-                    or stopping_criteria is not None or cached):
-                raise ValueError("speculative=True needs greedy sampling, "
-                                 "num_beams=1, no stopping_criteria/session")
+            # prompt-lookup speculative decoding (EXTENSION —
+            # runtime/speculative.py): greedy output is exactly the greedy
+            # sequence; sampled output is exactly target-distributed
+            # (rejection sampling against the point-mass draft)
+            if (num_beams > 1 or stopping_criteria is not None or cached):
+                raise ValueError("speculative=True needs num_beams=1, no "
+                                 "stopping_criteria/session")
+            if do_sample:
+                from .runtime.speculative import (
+                    generate_sampled_speculative)
+
+                sp = SamplingParams(
+                    do_sample=True, temperature=temperature, top_k=top_k,
+                    top_p=top_p, repetition_penalty=repetition_penalty,
+                )
+                outs = []
+                # sequential per prompt: each call owns slot 0 (batched
+                # sampled verify stays greedy-only in the scheduler)
+                for i, p in enumerate(ids):
+                    o = generate_sampled_speculative(
+                        self.engine, p, max_new_tokens, sp,
+                        eos_id=self.eos_id, k=speculative_k, seed=seed + i,
+                    )
+                    if streamer is not None:
+                        for t in o:
+                            streamer(t)
+                    outs.append((p if not ignore_prompt else []) + o)
+                return outs
             sp = SamplingParams(do_sample=False,
                                 repetition_penalty=repetition_penalty)
             if len(ids) == 1:

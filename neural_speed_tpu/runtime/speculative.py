@@ -118,6 +118,58 @@ def _verify_forward_argmax(params, cfg, cache, ids, pos, kv_lens):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
+def _penalized_row(row: np.ndarray, sp: SamplingParams,
+                   obs: List[int]) -> np.ndarray:
+    """Host replica of ops/sampling.apply_penalties on one logit row:
+    repetition penalty over the last-`penalty_window` observed tokens,
+    OpenAI frequency/presence over all observed counts, f32."""
+    l = np.asarray(row, np.float32).copy()
+    if sp.repetition_penalty != 1.0 and obs:
+        rp = np.float32(sp.repetition_penalty)
+        win = np.unique(np.asarray(obs[-sp.penalty_window:], np.int64))
+        win = win[(win >= 0) & (win < l.shape[0])]
+        lw = l[win]
+        l[win] = np.where(lw > 0, lw / rp, lw * rp)
+    if sp.frequency_penalty != 0.0 or sp.presence_penalty != 0.0:
+        cnt = np.bincount(
+            np.clip(np.asarray(obs, np.int64), 0, l.shape[0] - 1),
+            minlength=l.shape[0],
+        ).astype(np.float32)
+        l = l - cnt * np.float32(sp.frequency_penalty) - (
+            cnt > 0
+        ).astype(np.float32) * np.float32(sp.presence_penalty)
+    return l
+
+
+def _softmax_np(l: np.ndarray) -> np.ndarray:
+    e = np.exp(l - l.max())
+    return e / e.sum()
+
+
+def _target_dist(row: np.ndarray, sp: SamplingParams,
+                 obs: List[int]) -> np.ndarray:
+    """Host replica of the device sampling pipeline's token distribution
+    (ops/sampling.sample: penalties -> temperature -> top-k -> top-p ->
+    softmax).  tfs/typical/mirostat are rejected upstream."""
+    l = _penalized_row(row, sp, obs)
+    t = sp.temperature if sp.temperature > 0 else 1.0
+    l = l / np.float32(t)
+    v = l.shape[0]
+    if 0 < sp.top_k < v:
+        kth = np.sort(l)[-sp.top_k]
+        l[l < kth] = -np.inf
+    if sp.top_p < 1.0:
+        order = np.argsort(l)[::-1]
+        sl = l[order]
+        p = _softmax_np(sl)
+        cum = np.cumsum(p)
+        keep = cum - p < sp.top_p
+        keep[0] = True  # always keep top-1
+        cutoff = sl[keep].min()
+        l[l < cutoff] = -np.inf
+    return _softmax_np(l)
+
+
 class _PenalizedGreedy:
     """Host-side replica of ops/sampling.py greedy-with-penalties:
     repetition penalty over the last-`penalty_window` OBSERVED tokens
@@ -135,26 +187,9 @@ class _PenalizedGreedy:
 
     def pick(self, row: np.ndarray, extra: List[int]) -> int:
         """argmax of penalties(row) given observed = self.obs + extra."""
-        sp = self.sp
-        if sp is None:
+        if self.sp is None:
             return int(np.argmax(row))
-        l = np.asarray(row, np.float32).copy()
-        obs = self.obs + extra
-        if sp.repetition_penalty != 1.0 and obs:
-            rp = np.float32(sp.repetition_penalty)
-            win = np.unique(np.asarray(obs[-sp.penalty_window:], np.int64))
-            win = win[(win >= 0) & (win < l.shape[0])]
-            lw = l[win]
-            l[win] = np.where(lw > 0, lw / rp, lw * rp)
-        if sp.frequency_penalty != 0.0 or sp.presence_penalty != 0.0:
-            cnt = np.bincount(
-                np.clip(np.asarray(obs, np.int64), 0, l.shape[0] - 1),
-                minlength=l.shape[0],
-            ).astype(np.float32)
-            l = l - cnt * np.float32(sp.frequency_penalty) - (
-                cnt > 0
-            ).astype(np.float32) * np.float32(sp.presence_penalty)
-        return int(np.argmax(l))
+        return int(np.argmax(_penalized_row(row, self.sp, self.obs + extra)))
 
     def observe(self, tokens: List[int]) -> None:
         if self.sp is not None:
@@ -275,6 +310,133 @@ def generate_greedy_speculative(
         # logical rollback to the accepted prefix: stale draft rows beyond
         # n_past are masked by kv_lens and overwritten by later appends;
         # the device lengths are synced lazily (see above)
+        lens_dirty = True
+
+    if lens_dirty:
+        _sync_lengths()
+    return out
+
+
+def generate_sampled_speculative(
+    engine: Engine,
+    prompt: List[int],
+    max_new_tokens: int,
+    sp: SamplingParams,
+    eos_id: Optional[int] = None,
+    k: int = 7,
+    max_ngram: int = 3,
+    seed: int = 0,
+) -> List[int]:
+    """SAMPLED speculative decoding (Leviathan-style rejection sampling
+    specialized to point-mass drafts): every emitted token is distributed
+    EXACTLY as sequential sampling from the model — draft token x is
+    accepted with probability p(x); on rejection the correction is drawn
+    from p with x removed and renormalized (the residual distribution of
+    standard speculative sampling when the proposal is the deterministic
+    n-gram draft, q = delta_x):
+
+        P[emit y] = p(x)*1[y=x] + (1-p(x)) * p(y)1[y!=x]/(1-p(x)) = p(y).
+
+    Supports temperature / top-k / top-p / repetition & frequency &
+    presence penalties (the host replica of ops/sampling.sample's
+    pipeline); tfs/typical/mirostat are not replicated host-side and
+    raise.  Same KV bookkeeping as `generate_greedy_speculative`."""
+    from ..ops import kv_cache as kvc
+
+    if not sp.do_sample:
+        raise ValueError("use generate_greedy_speculative for greedy")
+    if sp.mirostat or sp.tfs_z < 1.0 or sp.typical_p < 1.0:
+        raise ValueError("sampled speculative supports temperature/top_k/"
+                         "top_p/penalties only")
+    if not isinstance(engine.cache, kvc.KVCache):
+        raise NotImplementedError(
+            "speculative decoding requires the contiguous KV cache")
+    rng = np.random.default_rng(seed)
+    b = engine.max_batch
+    obs: List[int] = list(prompt[-sp.penalty_window:])
+
+    def draw(p: np.ndarray) -> int:
+        return int(rng.choice(p.shape[0], p=p))
+
+    logits = engine.prefill([prompt])
+    out: List[int] = []
+    tok = draw(_target_dist(np.asarray(logits[0], np.float32), sp, obs))
+    obs.append(tok)
+    n_past = len(prompt)
+    pad_t = pad_to_bucket(k + 1, _SPEC_BUCKETS)
+    base_lens = np.asarray(engine.cache.lengths)
+    lens_dirty = False
+
+    def _sync_lengths():
+        nonlocal lens_dirty
+        engine.cache = kvc.set_lengths(
+            engine.cache,
+            jnp.asarray(
+                np.where(np.arange(b) == 0, n_past, base_lens), np.int32
+            ),
+        )
+        lens_dirty = False
+
+    while len(out) < max_new_tokens:
+        out.append(tok)
+        if (eos_id is not None and tok == eos_id) or len(out) >= max_new_tokens:
+            break
+        draft = propose_ngram(prompt + out, k, max_ngram=max_ngram)
+        if not draft:
+            if lens_dirty:
+                _sync_lengths()
+            active = jnp.zeros((b,), bool).at[0].set(True)
+            logits = engine.decode(jnp.full((b,), tok, jnp.int32), active)
+            tok = draw(_target_dist(np.asarray(logits[0], np.float32),
+                                    sp, obs))
+            obs.append(tok)
+            n_past += 1
+            continue
+
+        seq = [tok] + draft
+        ids = np.zeros((b, pad_t), np.int32)
+        ids[0, : len(seq)] = seq
+        pos = np.arange(pad_t)[None, :] + np.where(
+            np.arange(b) == 0, n_past, 0
+        )[:, None]
+        in_range = (np.arange(pad_t)[None, :] < len(seq)) & (
+            np.arange(b) == 0
+        )[:, None]
+        pos = np.where(in_range, pos, engine.max_len - 1)
+        kv_lens = np.where(np.arange(b) == 0, n_past + len(seq), base_lens)
+        all_logits, engine.cache = _verify_forward(
+            engine.params, engine.cfg, engine.cache, jnp.asarray(ids),
+            jnp.asarray(pos), jnp.asarray(kv_lens, dtype=np.int32),
+        )
+        rows = np.asarray(all_logits[0, : len(seq)], np.float32)
+
+        committed: List[int] = []
+        while True:
+            j = len(committed)
+            p_j = _target_dist(rows[j], sp, obs + committed)
+            if (j < len(draft)
+                    and len(out) + j + 1 < max_new_tokens
+                    and not (eos_id is not None and draft[j] == eos_id)):
+                x = draft[j]
+                if rng.random() < p_j[x]:
+                    committed.append(x)
+                    continue
+                q = p_j.copy()
+                q[x] = 0.0
+                s = float(q.sum())
+                if s <= 0.0:  # all mass on x (p(x)=1): accept is forced
+                    committed.append(x)
+                    continue
+                nxt = draw(q / s)  # residual distribution
+                break
+            nxt = draw(p_j)  # bonus token / budget or eos stop
+            break
+        accepted = len(committed)
+        out.extend(committed)
+        obs.extend(committed)
+        tok = nxt
+        obs.append(tok)
+        n_past += 1 + accepted
         lens_dirty = True
 
     if lens_dirty:

@@ -234,3 +234,163 @@ def test_scheduler_speculative_quantized_kv():
     out, _ = _run_sched(eng(), prompts, sp, mx=24, speculative=True,
                         spec_k=5)
     assert out == ref
+
+
+# ---------------------------------------------------------------------------
+# sampled speculative decoding (rejection sampling against n-gram drafts)
+# ---------------------------------------------------------------------------
+
+
+def test_target_dist_matches_device_pipeline():
+    """_target_dist (host) must reproduce ops/sampling.sample's token
+    distribution: penalties -> temperature -> top-k -> top-p -> softmax."""
+    import jax
+    import numpy as np
+
+    from neural_speed_tpu.ops import sampling as S
+    from neural_speed_tpu.runtime.speculative import _target_dist
+
+    rng = np.random.default_rng(7)
+    v = 64
+    for sp in [
+        S.SamplingParams(do_sample=True, temperature=0.7, top_k=0,
+                         top_p=1.0, repetition_penalty=1.0),
+        S.SamplingParams(do_sample=True, temperature=1.3, top_k=8,
+                         top_p=1.0, repetition_penalty=1.0),
+        S.SamplingParams(do_sample=True, temperature=0.9, top_k=0,
+                         top_p=0.8, repetition_penalty=1.0),
+        S.SamplingParams(do_sample=True, temperature=0.8, top_k=12,
+                         top_p=0.9, repetition_penalty=1.15,
+                         frequency_penalty=0.1, presence_penalty=0.05,
+                         penalty_window=8),
+    ]:
+        row = rng.normal(size=(v,)).astype(np.float32) * 2.0
+        obs = rng.integers(0, v, size=20).tolist()
+        # device: replicate the sample() pipeline up to the categorical
+        st = S.init_state(jax.random.PRNGKey(0), 1, v,
+                          window=sp.penalty_window)
+        st = S.observe_prompt_slot(st, 0, np.asarray(obs[-sp.penalty_window:]))
+        # counts must cover ALL observed tokens (like sequential observe)
+        import dataclasses as _dc
+        cnt = np.bincount(obs, minlength=v).astype(np.int32)
+        st = _dc.replace(st, counts=jnp.asarray(cnt)[None, :])
+        l = S.apply_penalties(jnp.asarray(row)[None, :].astype(jnp.float32),
+                              st, sp)
+        l = l / sp.temperature
+        l = S.top_k_filter(l, sp.top_k)
+        l = S.top_p_filter(l, sp.top_p)
+        dev = np.asarray(jax.nn.softmax(l, axis=-1))[0]
+        host = _target_dist(row, sp, obs)
+        np.testing.assert_allclose(host, dev, atol=2e-5), sp
+
+
+def test_sampled_spec_topk1_equals_greedy():
+    """top_k=1 makes the target distribution a point mass at the argmax, so
+    sampled speculative must emit exactly the greedy sequence (drafts whose
+    token IS the argmax are accepted w.p. 1; all others are rejected and the
+    residual is the argmax) — including penalties, eos, and budget."""
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.runtime.speculative import (
+        generate_sampled_speculative)
+
+    cfg = _cfg()
+    prompt = list(range(1, 9)) * 4
+    sp_g = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    ref = generate_greedy_speculative(_engine(cfg), prompt, 32, k=5, sp=sp_g)
+    sp_s = SamplingParams(do_sample=True, temperature=0.8, top_k=1,
+                          top_p=1.0, repetition_penalty=1.1)
+    out = generate_sampled_speculative(_engine(cfg), prompt, 32, sp_s, k=5,
+                                       seed=123)
+    assert out == ref
+    # budget truncation
+    out7 = generate_sampled_speculative(_engine(cfg), prompt, 7, sp_s, k=5)
+    assert out7 == ref[:7]
+    # eos stopping at the same place greedy stops
+    eos = ref[9]
+    ref_eos = generate_greedy_speculative(_engine(cfg), prompt, 32, k=5,
+                                          sp=sp_g, eos_id=eos)
+    out_eos = generate_sampled_speculative(_engine(cfg), prompt, 32, sp_s,
+                                           k=5, eos_id=eos, seed=5)
+    assert out_eos == ref_eos and out_eos[-1] == eos
+
+
+def _sequential_sample(engine, prompt, n, sp, seed):
+    """The target process: sample token-by-token from the host replica of
+    the sampling pipeline (what sampled speculative must be equal to in
+    distribution)."""
+    import numpy as np
+
+    from neural_speed_tpu.runtime.speculative import _target_dist
+
+    rng = np.random.default_rng(seed)
+    obs = list(prompt[-sp.penalty_window:])
+    b = engine.max_batch
+    logits = engine.prefill([prompt])
+    row = np.asarray(logits[0], np.float32)
+    out = []
+    while len(out) < n:
+        p = _target_dist(row, sp, obs)
+        tok = int(rng.choice(p.shape[0], p=p))
+        out.append(tok)
+        obs.append(tok)
+        if len(out) >= n:
+            break
+        active = jnp.zeros((b,), bool).at[0].set(True)
+        logits = engine.decode(jnp.full((b,), tok, jnp.int32), active)
+        row = np.asarray(logits[0], np.float32)
+    return out
+
+
+def test_sampled_spec_statistically_exact():
+    """Rejection-sampling exactness: over many seeds, the per-position
+    token marginals of sampled speculative must match sequential sampling
+    (same model, same pipeline) within sampling noise."""
+    import numpy as np
+
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.runtime.speculative import (
+        generate_sampled_speculative)
+
+    cfg = _cfg()
+    eng_a, eng_b = _engine(cfg), _engine(cfg)
+    prompt = list(range(1, 9)) * 4   # repetitive -> drafts fire
+    sp = SamplingParams(do_sample=True, temperature=0.75, top_k=4,
+                        top_p=1.0, repetition_penalty=1.05)
+    n, runs, v = 4, 300, cfg().vocab_size if callable(cfg) else cfg.vocab_size
+    f_ref = np.zeros((n, v))
+    f_spec = np.zeros((n, v))
+    n_spec_tokens = 0
+    for s in range(runs):
+        r = _sequential_sample(eng_a, prompt, n, sp, seed=10_000 + s)
+        o = generate_sampled_speculative(eng_b, prompt, n, sp, k=4,
+                                         seed=20_000 + s)
+        assert len(o) == n
+        for j in range(n):
+            f_ref[j, r[j]] += 1
+            f_spec[j, o[j]] += 1
+    f_ref /= runs
+    f_spec /= runs
+    for j in range(n):
+        tv = 0.5 * np.abs(f_ref[j] - f_spec[j]).sum()
+        assert tv < 0.15, (j, tv)
+
+
+def test_sampled_spec_rejects_unsupported():
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.runtime.speculative import (
+        generate_sampled_speculative)
+
+    cfg = _cfg()
+    eng = _engine(cfg)
+    with pytest.raises(ValueError):
+        generate_sampled_speculative(
+            eng, [1, 2], 4, SamplingParams(do_sample=False))
+    with pytest.raises(ValueError):
+        generate_sampled_speculative(
+            eng, [1, 2], 4, SamplingParams(do_sample=True, mirostat=2))
+    with pytest.raises(ValueError):
+        generate_sampled_speculative(
+            eng, [1, 2], 4, SamplingParams(do_sample=True, tfs_z=0.9))
+    with pytest.raises(ValueError):
+        generate_sampled_speculative(
+            eng, [1, 2], 4, SamplingParams(do_sample=True, typical_p=0.9))
