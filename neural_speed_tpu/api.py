@@ -199,39 +199,40 @@ class Model:
                 raise ValueError("speculative=True needs num_beams=1, no "
                                  "stopping_criteria/session")
             if do_sample:
-                from .runtime.speculative import (
-                    generate_sampled_speculative)
-
                 sp = SamplingParams(
                     do_sample=True, temperature=temperature, top_k=top_k,
                     top_p=top_p, repetition_penalty=repetition_penalty,
                 )
-                outs = []
-                # sequential per prompt: each call owns slot 0 (batched
-                # sampled verify stays greedy-only in the scheduler)
-                for i, p in enumerate(ids):
+                if len(ids) == 1:
+                    from .runtime.speculative import (
+                        generate_sampled_speculative)
+
                     o = generate_sampled_speculative(
-                        self.engine, p, max_new_tokens, sp,
-                        eos_id=self.eos_id, k=speculative_k, seed=seed + i,
+                        self.engine, ids[0], max_new_tokens, sp,
+                        eos_id=self.eos_id, k=speculative_k, seed=seed,
                     )
                     if streamer is not None:
                         for t in o:
                             streamer(t)
-                    outs.append((p if not ignore_prompt else []) + o)
-                return outs
-            sp = SamplingParams(do_sample=False,
-                                repetition_penalty=repetition_penalty)
-            if len(ids) == 1:
-                from .runtime.speculative import generate_greedy_speculative
+                    return [(ids[0] if not ignore_prompt else []) + o]
+                # batched: fall through to the scheduler (one multi-token
+                # verify forward over ALL slots per step, per-slot
+                # rejection sampling — runtime/scheduler.py)
+            else:
+                sp = SamplingParams(do_sample=False,
+                                    repetition_penalty=repetition_penalty)
+                if len(ids) == 1:
+                    from .runtime.speculative import (
+                        generate_greedy_speculative)
 
-                out = generate_greedy_speculative(
-                    self.engine, ids[0], max_new_tokens, eos_id=self.eos_id,
-                    k=speculative_k, sp=sp,
-                )
-                if streamer is not None:
-                    for t in out:
-                        streamer(t)
-                return [(ids[0] if not ignore_prompt else []) + out]
+                    out = generate_greedy_speculative(
+                        self.engine, ids[0], max_new_tokens,
+                        eos_id=self.eos_id, k=speculative_k, sp=sp,
+                    )
+                    if streamer is not None:
+                        for t in out:
+                            streamer(t)
+                    return [(ids[0] if not ignore_prompt else []) + out]
             # batched prompts: the continuous-batching scheduler runs one
             # multi-token verify forward over ALL slots per step
             # (runtime/scheduler.py _spec_decode_step)

@@ -73,11 +73,14 @@ class ContinuousBatchingScheduler:
         # (needed when a stopping_criteria must run between tokens)
         self.chunk_size = max(1, chunk_size)
         self.sp = params or smp.SamplingParams(do_sample=False)
-        # -- batched speculative decoding (EXTENSION; greedy-only) --------
+        # -- batched speculative decoding (EXTENSION) ----------------------
         # Each step every slot proposes its own prompt-lookup draft and one
         # multi-token verify forward scores all slots at once (see
         # runtime/speculative.py for the single-sequence version + the
-        # exactness argument).  Adaptive policy: the draft length tracks an
+        # exactness argument).  Greedy params -> longest-agreeing-prefix
+        # accept; sampled params -> per-slot rejection sampling against the
+        # point-mass draft (every emitted token exactly target-distributed).
+        # Adaptive policy: the draft length tracks an
         # EMA of accepted-tokens-per-verify (long drafts only pay when text
         # is locally repetitive), and when acceptance collapses the
         # scheduler falls back to plain chunked decode for a while before
@@ -85,8 +88,12 @@ class ContinuousBatchingScheduler:
         # decode step, so speculating into random text is a net loss).
         self.speculative = speculative
         if speculative:
-            if self.sp.do_sample:
-                raise ValueError("speculative scheduling is greedy-only")
+            if self.sp.do_sample and (self.sp.mirostat or self.sp.tfs_z < 1.0
+                                      or self.sp.typical_p < 1.0):
+                raise ValueError(
+                    "sampled speculative scheduling supports temperature/"
+                    "top_k/top_p/penalties only (no host replica of "
+                    "tfs/typical/mirostat)")
             if hasattr(engine, "page_size"):
                 raise NotImplementedError(
                     "speculative scheduling requires the contiguous KV "
@@ -97,6 +104,9 @@ class ContinuousBatchingScheduler:
         self.spec_max_ngram = spec_max_ngram
         self.spec_backoff_chunks = 4      # plain chunks per backoff spell
         self._pens: Dict[int, object] = {}          # slot -> _PenalizedGreedy
+        # host RNG for sampled-spec accept/residual draws (its own stream;
+        # the device sampler key only drives prefill + backoff chunks)
+        self._spec_rng = np.random.default_rng(np.uint64(seed) ^ 0x5EED)
         self._spec_gain_ema = float(spec_k) / 2     # optimistic start
         self._spec_backoff = 0
         self._dev_lens_dirty = False
@@ -321,10 +331,11 @@ class ContinuousBatchingScheduler:
         pos = np.where(in_range, pos, eng.max_len - 1).astype(np.int32)
         kv_lens = (self._slot_len + seq_lens).astype(np.int32)
 
+        sampled = self.sp.do_sample
         penalized = self._penalties_active()
         n_drafted = int(seq_lens.sum()) - len(slots)
         with self.timings.timer("decode", len(slots) + n_drafted):
-            if penalized:
+            if sampled or penalized:
                 all_logits, eng.cache = _verify_forward(
                     eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
                     jnp.asarray(pos), jnp.asarray(kv_lens),
@@ -341,21 +352,53 @@ class ContinuousBatchingScheduler:
         for slot, seq in slots:
             draft = drafts[slot]
             pen = self._pens[slot]
-            if penalized:
-                picks = lambda j: pen.pick(rows_np[slot, j], draft[:j])  # noqa: B023,E731,E501
-            else:
-                picks = lambda j: int(g_np[slot, j])  # noqa: B023,E731
-            accepted = 0
-            while True:
-                g = picks(accepted)
-                if (accepted < len(draft) and g == draft[accepted]
-                        and not (self.eos_id is not None
-                                 and g == self.eos_id)):
-                    accepted += 1
-                else:
-                    nxt = g
+            if sampled:
+                # rejection sampling against the point-mass draft (same
+                # math as speculative.generate_sampled_speculative): the
+                # emitted token at each position is exactly p_j-distributed
+                from .speculative import _target_dist
+
+                rng = self._spec_rng
+                acc: List[int] = []
+                while True:
+                    j = len(acc)
+                    p_j = _target_dist(rows_np[slot, j], self.sp,
+                                       pen.obs + acc)
+                    if (j < len(draft)
+                            and not (self.eos_id is not None
+                                     and draft[j] == self.eos_id)):
+                        x = draft[j]
+                        if rng.random() < p_j[x]:
+                            acc.append(x)
+                            continue
+                        q = p_j.copy()
+                        q[x] = 0.0
+                        s = float(q.sum())
+                        if s <= 0.0:  # point mass at x: accept is forced
+                            acc.append(x)
+                            continue
+                        nxt = int(rng.choice(q.shape[0], p=q / s))
+                        break
+                    nxt = int(rng.choice(p_j.shape[0], p=p_j))
                     break
-            committed = draft[:accepted] + [nxt]
+                accepted = len(acc)
+                committed = acc + [nxt]
+            else:
+                if penalized:
+                    picks = lambda j: pen.pick(rows_np[slot, j], draft[:j])  # noqa: B023,E731,E501
+                else:
+                    picks = lambda j: int(g_np[slot, j])  # noqa: B023,E731
+                accepted = 0
+                while True:
+                    g = picks(accepted)
+                    if (accepted < len(draft) and g == draft[accepted]
+                            and not (self.eos_id is not None
+                                     and g == self.eos_id)):
+                        accepted += 1
+                    else:
+                        nxt = g
+                        break
+                committed = draft[:accepted] + [nxt]
             gain_total += accepted
             pen.observe(committed)
             # KV advanced by last_tok + accepted drafts; nxt's KV is written

@@ -39,7 +39,8 @@ class ModelServer:
             from .beam import BeamConfig, BeamContinuousScheduler
 
             if speculative:
-                raise ValueError("speculative serving is greedy-only")
+                raise ValueError(
+                    "speculative serving does not compose with beam search")
             self._bc = beam_config or BeamConfig(
                 num_beams=num_beams, max_new_tokens=max_new_tokens,
                 eos_id=eos_id,

@@ -179,8 +179,9 @@ class _PenalizedGreedy:
 
     def __init__(self, prompt: List[int], sp: Optional[SamplingParams]):
         self.sp = sp
-        if sp is not None and sp.do_sample:
-            raise ValueError("speculative decoding is greedy-only")
+        # with do_sample params this object is only an observed-token
+        # tracker (the scheduler's sampled-spec path feeds self.obs to
+        # _target_dist); pick() stays greedy-only
         self.obs: List[int] = (
             list(prompt[-sp.penalty_window:]) if sp is not None else []
         )
@@ -189,6 +190,8 @@ class _PenalizedGreedy:
         """argmax of penalties(row) given observed = self.obs + extra."""
         if self.sp is None:
             return int(np.argmax(row))
+        if self.sp.do_sample:
+            raise ValueError("pick() is greedy-only")
         return int(np.argmax(_penalized_row(row, self.sp, self.obs + extra)))
 
     def observe(self, tokens: List[int]) -> None:

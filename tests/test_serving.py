@@ -258,6 +258,33 @@ def test_batched_speculative_generate(our_model):
     assert got_p == ref_p
 
 
+def test_server_sampled_speculative(our_model):
+    """ModelServer(speculative=True) with sampled params: per-slot
+    rejection sampling against prompt-lookup drafts — every query must
+    complete with exactly max_new_tokens valid ids."""
+    results = {}
+    lock = threading.Lock()
+
+    def cb(rid, toks):
+        with lock:
+            results[rid] = toks
+
+    vocab = our_model.engine.cfg.vocab_size
+    with ModelServer(
+        our_model, cb,
+        sampling=SamplingParams(do_sample=True, temperature=0.9, top_k=8,
+                                top_p=0.9, repetition_penalty=1.1),
+        max_new_tokens=6, speculative=True, spec_k=4,
+    ) as srv:
+        for p in PROMPTS:
+            srv.issue_query(p)
+        srv.join()
+    assert sorted(results) == list(range(len(PROMPTS)))
+    for toks in results.values():
+        assert len(toks) == 6
+        assert all(0 <= t < vocab for t in toks)
+
+
 def test_beam_continuous_queueing_matches_isolated(our_model):
     """More beam requests than slots: the CB beam scheduler queues and
     must produce exactly the isolated per-request results (parity:
