@@ -236,16 +236,23 @@ def sample(
     logits: jax.Array,
     state: SamplerState,
     p: SamplingParams,
+    active: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, SamplerState]:
     """Full pipeline: penalties -> temperature -> (mirostat | filters) ->
     categorical sample.  Returns (tokens [B], new state).
-    Parity: model_post_sample_top_k_top_p_repeat (:2987)."""
+    Parity: model_post_sample_top_k_top_p_repeat (:2987).
+
+    `active` ([B] bool): rows whose sampled token is COMMITTED — only
+    those observe into the penalty ring/counts and update mirostat mu.
+    Callers sampling a full-batch logit block on behalf of a subset of
+    slots (prefill with running-decode spectators) MUST pass it, or
+    spectator slots' penalty state absorbs junk tokens."""
     b, v = logits.shape
     logits = apply_penalties(logits.astype(jnp.float32), state, p)
 
     if not p.do_sample or p.temperature <= 0.0:
         toks = greedy(logits)
-        return toks, observe(state, toks)
+        return toks, observe(state, toks, active)
 
     logits = logits / p.temperature
     key, sub = jax.random.split(state.key)
@@ -267,8 +274,10 @@ def sample(
         toks = jax.random.categorical(sub, filt, axis=-1).astype(jnp.int32)
         observed = jnp.take_along_axis(surprise, toks[:, None], 1)[:, 0]
         mu = state.mu - p.mirostat_eta * (observed - p.mirostat_tau)
+        if active is not None:
+            mu = jnp.where(active, mu, state.mu)
         state = dataclasses.replace(state, mu=mu)
-        return toks, observe(state, toks)
+        return toks, observe(state, toks, active)
     if p.mirostat == 1:
         # v1 (:880): estimate s_hat from top-100 prob decay, derive k
         m = min(100, v)
@@ -288,12 +297,14 @@ def sample(
         toks = jax.random.categorical(sub, filt, axis=-1).astype(jnp.int32)
         observed = -jnp.take_along_axis(logp, toks[:, None], 1)[:, 0] / jnp.log(2.0)
         mu = state.mu - p.mirostat_eta * (observed - p.mirostat_tau)
+        if active is not None:
+            mu = jnp.where(active, mu, state.mu)
         state = dataclasses.replace(state, mu=mu)
-        return toks, observe(state, toks)
+        return toks, observe(state, toks, active)
 
     logits = top_k_filter(logits, p.top_k)
     logits = tail_free_filter(logits, p.tfs_z)
     logits = typical_filter(logits, p.typical_p)
     logits = top_p_filter(logits, p.top_p)
     toks = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
-    return toks, observe(state, toks)
+    return toks, observe(state, toks, active)

@@ -248,7 +248,7 @@ def decode_sample_chunk(
         logits, cache = forward(params, cfg, toks[:, None], pos, cache,
                                 kv_lens)
         cache = kvc.set_lengths(cache, kv_lens)
-        nxt, sampler = smp.sample(logits[:, 0], sampler, sp)
+        nxt, sampler = smp.sample(logits[:, 0], sampler, sp, active=active)
         nxt = jnp.where(active, nxt.astype(jnp.int32), toks)
         return (cache, sampler, nxt), nxt
 

@@ -523,9 +523,16 @@ class ContinuousBatchingScheduler:
                     self.sampler, s.slot,
                     s.prompt[-self.sp.penalty_window:],
                 )
+        # only the committed slots may observe into penalty state: running
+        # decode slots are spectators in this full-batch logit block and
+        # must not absorb the junk tokens sampled for their rows
+        commit_mask = np.zeros((self.engine.max_batch,), bool)
+        for slot in slot_map:
+            commit_mask[slot] = True
         with self.timings.timer("sample", len(slot_map)):
             toks, self.sampler = smp.sample(
-                jnp.asarray(logits), self.sampler, self.sp
+                jnp.asarray(logits), self.sampler, self.sp,
+                active=jnp.asarray(commit_mask),
             )
         toks_np = np.asarray(toks)
         for slot, seq in slot_map.items():

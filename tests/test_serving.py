@@ -258,6 +258,31 @@ def test_batched_speculative_generate(our_model):
     assert got_p == ref_p
 
 
+def test_staggered_admission_does_not_pollute_penalties(our_model):
+    """Regression: admitting request B while A is decoding must not change
+    A's output.  The prefill batch samples a full-batch logit block; before
+    the fix, spectator (decoding) slots observed the junk tokens sampled
+    for their rows into their penalty ring/counts, corrupting subsequent
+    penalized steps."""
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.3,
+                        frequency_penalty=0.1, presence_penalty=0.05)
+    pa, pb = [3, 1, 4, 1, 5, 9, 2, 6], [17, 23, 42, 8]
+
+    s1 = ContinuousBatchingScheduler(our_model.engine, sp, chunk_size=1)
+    s1.add_request(list(pa), 16)
+    ref = s1.run_to_completion()[0].generated
+
+    s2 = ContinuousBatchingScheduler(our_model.engine, sp, chunk_size=1)
+    ra = s2.add_request(list(pa), 16)
+    for _ in range(4):
+        s2.step()               # prefill A + 3 decode steps
+    s2.add_request(list(pb), 4)  # B admitted mid-decode
+    done = {s.request_id: s.generated for s in s2.run_to_completion()}
+    assert done[ra] == ref
+
+
 def test_server_sampled_speculative(our_model):
     """ModelServer(speculative=True) with sampled params: per-slot
     rejection sampling against prompt-lookup drafts — every query must
