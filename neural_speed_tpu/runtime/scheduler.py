@@ -51,6 +51,10 @@ class Sequence:
     receive_time: float = dataclasses.field(default_factory=time.time)
     end_time: Optional[float] = None
     streamer: Optional[Callable[[int], None]] = None
+    # mixed prefill+decode steps: the (clamped) prompt suffix still to be
+    # written to KV, and how many of its tokens have been fed so far
+    feed: Optional[List[int]] = None
+    fed: int = 0
 
 
 class ContinuousBatchingScheduler:
@@ -61,7 +65,8 @@ class ContinuousBatchingScheduler:
                  eos_id: Optional[int] = None, seed: int = 0,
                  chunk_size: int = 8, speculative: bool = False,
                  spec_k: int = 7, spec_min_k: int = 3,
-                 spec_max_ngram: int = 3):
+                 spec_max_ngram: int = 3, mixed_prefill: bool = False,
+                 mixed_chunk: int = 32):
         from ..utils.profiler import Timings
 
         self.engine = engine
@@ -87,16 +92,28 @@ class ContinuousBatchingScheduler:
         # re-probing ("backoff": verify at T>=2 costs more than a T=1
         # decode step, so speculating into random text is a net loss).
         self.speculative = speculative
-        if speculative:
+        # -- mixed prefill+decode steps (EXTENSION; ORCA-style) ------------
+        # Parity nuance: the reference concatenates PREFILL and DECODING
+        # sequences into a single [1, sum(len)] eval (llama.cpp:64-90,
+        # SURVEY §2.4); our default alternates a prefill batch with decode
+        # steps (static shapes).  mixed_prefill=True restores the combined
+        # iteration: each step feeds every PREFILL slot its next <=
+        # mixed_chunk prompt tokens AND every DECODING slot its next token
+        # (+ draft) in ONE forward — running decodes never stall behind a
+        # long prompt admission (chunked prefill, bounded ITL).
+        self.mixed_prefill = mixed_prefill
+        self.mixed_chunk = max(1, mixed_chunk)
+        if speculative or mixed_prefill:
+            mode = "speculative" if speculative else "mixed-prefill"
             if self.sp.do_sample and (self.sp.mirostat or self.sp.tfs_z < 1.0
                                       or self.sp.typical_p < 1.0):
                 raise ValueError(
-                    "sampled speculative scheduling supports temperature/"
+                    f"sampled {mode} scheduling supports temperature/"
                     "top_k/top_p/penalties only (no host replica of "
                     "tfs/typical/mirostat)")
             if hasattr(engine, "page_size"):
                 raise NotImplementedError(
-                    "speculative scheduling requires the contiguous KV "
+                    f"{mode} scheduling requires the contiguous KV "
                     "cache (paged page growth is not transactional under "
                     "draft rollback)")
         self.spec_k = spec_k
@@ -150,12 +167,24 @@ class ContinuousBatchingScheduler:
     # ------------------------------------------------------------------
     def step(self) -> None:
         """One scheduler iteration: admit+prefill a batch of new requests,
-        or decode one token for all running slots."""
-        if self.waiting and self.free_slots:
+        or decode one token for all running slots — or, with
+        mixed_prefill, do both in one combined forward."""
+        admit = bool(self.waiting and self.free_slots)
+        if self.mixed_prefill:
+            mid = any(q.status == SeqStatus.PREFILL
+                      for q in self.running.values())
+            decoding = any(q.status == SeqStatus.DECODING
+                           for q in self.running.values())
+            if mid or (admit and decoding):
+                if admit:
+                    self._admit_mixed()
+                self._joint_step(include_prefill=True)
+                return
+        if admit:
             self._prefill_batch()
         elif self.running:
             if self.speculative and self._spec_backoff == 0:
-                self._spec_decode_step()
+                self._joint_step(include_prefill=False)
             else:
                 if self._spec_backoff > 0:
                     self._spec_backoff -= 1
@@ -281,49 +310,91 @@ class ContinuousBatchingScheduler:
                     self._pens.pop(slot, None)
                     eng.release_slot(slot)
 
-    # -- batched speculative decoding ----------------------------------
-    def _spec_decode_step(self) -> None:
-        """One verify step for ALL decoding slots: each slot drafts its own
-        prompt-lookup continuation, one multi-token forward scores every
-        slot's [last_tok, *draft] row, and each slot keeps the longest
-        agreeing prefix plus the first correction — per-slot output is
-        exactly the (penalized-)greedy sequence, ~1+accepted tokens per
-        dispatch.  Generalizes speculative.py's single-sequence loop."""
+    # -- mixed admission (chunked prefill) ------------------------------
+    def _admit_mixed(self) -> None:
+        """Admit waiting requests into free slots for CHUNKED prefill: the
+        prompt suffix is fed `mixed_chunk` tokens per joint step instead of
+        one monolithic prefill dispatch (clamped to the context window like
+        `_prefill_batch`'s bucket clamp)."""
+        while self.waiting and self.free_slots:
+            seq = self.waiting.popleft()
+            seq.slot = self.free_slots.pop()
+            seq.status = SeqStatus.PREFILL
+            cap = max(1, self.engine.max_len - 1 - seq.cached)
+            seq.feed = list(seq.prompt[seq.cached:])[-cap:]
+            seq.fed = 0
+            self._slot_len[seq.slot] = seq.cached
+            self._dev_lens_dirty = True  # joint steps mask by explicit args
+            self.running[seq.slot] = seq
+
+    # -- batched speculative decoding / mixed prefill+decode ------------
+    def _joint_step(self, include_prefill: bool) -> None:
+        """One combined forward for every slot with work.
+
+        DECODING slots contribute a [last_tok, *draft] row (draft empty
+        unless speculation is on): the accept loop keeps the longest
+        agreeing prefix plus the correction (greedy) or rejection-samples
+        against the point-mass draft (sampled) — per-slot output is exactly
+        the sequential sequence, ~1+accepted tokens per dispatch.
+
+        With include_prefill, PREFILL slots contribute their next <=
+        mixed_chunk prompt tokens as forced rows (logits ignored until the
+        chunk that completes the prompt, whose last row samples the first
+        token) — the ORCA-style mixed iteration of the reference
+        (llama.cpp:64-90: one eval over concatenated prefill+decode
+        sequences, rope/attention per infer group = per slot here)."""
         from .speculative import (_SPEC_BUCKETS, _verify_forward,
                                   _verify_forward_argmax, propose_ngram)
 
         eng = self.engine
         slots = [(slot, seq) for slot, seq in self.running.items()
                  if seq.status == SeqStatus.DECODING]
-        if not slots:
+        slots_p = [(slot, seq) for slot, seq in self.running.items()
+                   if seq.status == SeqStatus.PREFILL] if include_prefill \
+            else []
+        if not slots and not slots_p:
             return
+        speculate = self.speculative and self._spec_backoff == 0
         # adaptive draft length: long drafts only pay off when acceptance
         # is high (verify cost grows with the padded bucket)
         k = self.spec_k if self._spec_gain_ema >= 2.0 else self.spec_min_k
         b = eng.max_batch
         drafts: Dict[int, List[int]] = {}
         for slot, seq in slots:
-            d = propose_ngram(seq.prompt + seq.generated, k,
-                              max_ngram=self.spec_max_ngram) or []
+            d = (propose_ngram(seq.prompt + seq.generated, k,
+                               max_ngram=self.spec_max_ngram) or []) \
+                if speculate else []
             # never draft past the remaining budget (keeps the accept loop's
             # invariant that only the correction token can finish a slot)
             room = seq.max_new_tokens - len(seq.generated) - 1
             drafts[slot] = d[:max(0, room)]
-        max_seq = 1 + max(len(d) for d in drafts.values())
-        pad_t = pad_to_bucket(max_seq, _SPEC_BUCKETS)
+        rows: Dict[int, List[int]] = {
+            slot: [int(self._last_tokens[slot])] + drafts[slot]
+            for slot, _ in slots
+        }
+        for slot, seq in slots_p:
+            rows[slot] = list(seq.feed[seq.fed: seq.fed + self.mixed_chunk])
+        max_seq = max(len(r) for r in rows.values())
+        buckets = _SPEC_BUCKETS if self.mixed_chunk <= _SPEC_BUCKETS[-1] \
+            else _SPEC_BUCKETS + (self.mixed_chunk,)
+        pad_t = pad_to_bucket(max_seq, buckets)
 
         active_np = np.zeros((b,), bool)
         for slot, _ in slots:
             active_np[slot] = True
-        if (self._slot_len[active_np] + pad_t > eng.max_len - 1).any():
+        # eviction lookahead: only DECODING slots can run out of window
+        # (prefill slots fit by the admission cap), and only by their own
+        # row length (pad_t may be prefill-chunk sized)
+        look = max((len(rows[slot]) for slot, _ in slots), default=0)
+        if slots and (self._slot_len[active_np] + look
+                      > eng.max_len - 1).any():
             if self._dev_lens_dirty:
                 self._sync_dev_lengths()  # evict ops read cache.lengths
-            self._maybe_evict(active_np, pad_t)
+            self._maybe_evict(active_np, look)
 
         ids = np.zeros((b, pad_t), np.int32)
         seq_lens = np.zeros((b,), np.int32)
-        for slot, seq in slots:
-            row = [self._last_tokens[slot]] + drafts[slot]
+        for slot, row in rows.items():
             ids[slot, : len(row)] = row
             seq_lens[slot] = len(row)
         pos = np.arange(pad_t)[None, :] + self._slot_len[:, None]
@@ -333,8 +404,8 @@ class ContinuousBatchingScheduler:
 
         sampled = self.sp.do_sample
         penalized = self._penalties_active()
-        n_drafted = int(seq_lens.sum()) - len(slots)
-        with self.timings.timer("decode", len(slots) + n_drafted):
+        timer_key = "mixed" if slots_p else "decode"
+        with self.timings.timer(timer_key, int(seq_lens.sum())):
             if sampled or penalized:
                 all_logits, eng.cache = _verify_forward(
                     eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
@@ -347,6 +418,38 @@ class ContinuousBatchingScheduler:
                     jnp.asarray(pos), jnp.asarray(kv_lens),
                 )
                 g_np = np.asarray(g_ids)  # [B, pad_t] — the one host sync
+
+        # prefill slots: commit the fed chunk; the completing chunk's last
+        # row samples the request's first token (host-side, same replicas
+        # as the accept loops)
+        for slot, seq in slots_p:
+            n = len(rows[slot])
+            seq.fed += n
+            self._slot_len[slot] += n
+            self._dev_lens_dirty = True
+            if seq.fed < len(seq.feed):
+                continue
+            from .speculative import _PenalizedGreedy, _target_dist
+
+            pen = _PenalizedGreedy(seq.prompt, self.sp)
+            self._pens[slot] = pen
+            if sampled:
+                p0 = _target_dist(rows_np[slot, n - 1], self.sp, pen.obs)
+                tok = int(self._spec_rng.choice(p0.shape[0], p=p0))
+            elif penalized:
+                tok = pen.pick(rows_np[slot, n - 1], [])
+            else:
+                tok = int(g_np[slot, n - 1])
+            pen.observe([tok])
+            seq.status = SeqStatus.DECODING
+            self._last_tokens[slot] = tok
+            seq.generated.append(tok)
+            if seq.streamer is not None:
+                seq.streamer(tok)
+            if (self.eos_id is not None and tok == self.eos_id) or len(
+                seq.generated
+            ) >= seq.max_new_tokens:
+                self._finish(slot, seq)
 
         gain_total = 0
         for slot, seq in slots:
@@ -415,26 +518,32 @@ class ContinuousBatchingScheduler:
                 if (self.eos_id is not None and tok == self.eos_id) or len(
                     seq.generated
                 ) >= seq.max_new_tokens:
-                    seq.status = SeqStatus.FINISHED
-                    seq.end_time = time.time()
-                    self.running.pop(slot, None)
-                    self.free_slots.append(slot)
-                    self.finished.append(seq)
-                    self._pens.pop(slot, None)
-                    eng.release_slot(slot)
+                    self._finish(slot, seq)
                     break
 
-        mean_gain = gain_total / len(slots)
-        self._spec_gain_ema = 0.8 * self._spec_gain_ema + 0.2 * mean_gain
-        if self._spec_gain_ema < 0.35 and self.spec_backoff_chunks > 0:
-            # speculation is not paying — plain chunked decode for a spell
-            self._spec_backoff = self.spec_backoff_chunks
+        if speculate and slots:
+            mean_gain = gain_total / len(slots)
+            self._spec_gain_ema = 0.8 * self._spec_gain_ema + 0.2 * mean_gain
+            if self._spec_gain_ema < 0.35 and self.spec_backoff_chunks > 0:
+                # speculation is not paying — plain chunked decode for a
+                # spell
+                self._spec_backoff = self.spec_backoff_chunks
+
+    def _finish(self, slot: int, seq: Sequence) -> None:
+        seq.status = SeqStatus.FINISHED
+        seq.end_time = time.time()
+        self.running.pop(slot, None)
+        self.free_slots.append(slot)
+        self.finished.append(seq)
+        self._pens.pop(slot, None)
+        self.engine.release_slot(slot)
 
     def _sync_sampler_from_pens(self) -> None:
-        """Rebuild the device sampler's penalty state from the host greedy
-        replicas (the device ring/counts go stale during spec steps, and
-        the chunked-decode fallback samples on device)."""
-        if not (self.speculative and self._penalties_active()):
+        """Rebuild the device sampler's penalty state from the host
+        replicas (the device ring/counts go stale during spec/mixed steps,
+        which sample host-side; plain chunked decode samples on device)."""
+        if not ((self.speculative or self.mixed_prefill)
+                and self._penalties_active()):
             return
         for slot, seq in self.running.items():
             pen = self._pens.get(slot)
@@ -539,7 +648,7 @@ class ContinuousBatchingScheduler:
             tok = int(toks_np[slot])
             seq.generated.append(tok)
             self._last_tokens[slot] = tok
-            if self.speculative:
+            if self.speculative or self.mixed_prefill:
                 from .speculative import _PenalizedGreedy
 
                 pen = _PenalizedGreedy(seq.prompt, self.sp)

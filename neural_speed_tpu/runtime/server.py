@@ -30,6 +30,8 @@ class ModelServer:
         spec_k: int = 7,
         num_beams: int = 1,
         beam_config=None,
+        mixed_prefill: bool = False,
+        mixed_chunk: int = 32,
     ):
         # beam requests run on the continuous beam scheduler (parity: the
         # reference server's do_early_stopping/num_beams query params,
@@ -49,7 +51,8 @@ class ModelServer:
         else:
             self.sched = ContinuousBatchingScheduler(
                 engine, sampling, eos_id, speculative=speculative,
-                spec_k=spec_k,
+                spec_k=spec_k, mixed_prefill=mixed_prefill,
+                mixed_chunk=mixed_chunk,
             )
         self.response_fn = response_fn
         self.max_new_tokens = max_new_tokens

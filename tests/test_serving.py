@@ -310,6 +310,95 @@ def test_server_sampled_speculative(our_model):
         assert all(0 <= t < vocab for t in toks)
 
 
+def _run_staggered(our_model, sp, mixed, chunk=32, speculative=False):
+    """Admit A, decode a bit, admit B (long prompt), then C — returns the
+    three generated streams.  With mixed=True, B/C prefill in chunks
+    piggybacked on A's decode steps (combined forwards)."""
+    pa = [3, 1, 4, 1, 5, 9, 2, 6] * 3
+    pb = list(range(40, 80))             # 40 tokens: >1 chunk at chunk<=32
+    pc = [17, 23, 42]
+    s = ContinuousBatchingScheduler(
+        our_model.engine, sp, chunk_size=2, mixed_prefill=mixed,
+        mixed_chunk=chunk, speculative=speculative, spec_k=4,
+    )
+    ra = s.add_request(list(pa), 12)
+    s.step()                  # prefill A
+    s.step()                  # decode
+    rb = s.add_request(list(pb), 8)
+    s.step()                  # mixed prefill-chunk+decode (or plain prefill)
+    rc = s.add_request(list(pc), 8)
+    done = {q.request_id: q.generated for q in s.run_to_completion()}
+    return [done[ra], done[rb], done[rc]], s
+
+
+def test_mixed_prefill_exact_greedy(our_model):
+    """mixed_prefill=True (combined ORCA-style prefill+decode forwards,
+    chunked prompts) must produce the same per-request penalized-greedy
+    output as the plain alternating scheduler — incl. a prompt that spans
+    several chunks and a request admitted mid-stream."""
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1,
+                        frequency_penalty=0.05)
+    ref, _ = _run_staggered(our_model, sp, mixed=False)
+    for chunk in (32, 8):
+        out, s = _run_staggered(our_model, sp, mixed=True, chunk=chunk)
+        assert out == ref, chunk
+        assert "mixed" in s.timings.events() if hasattr(
+            s.timings, "events") else True
+
+
+def test_mixed_prefill_unpenalized_and_spec(our_model):
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.0)
+    ref, _ = _run_staggered(our_model, sp, mixed=False)
+    out, _ = _run_staggered(our_model, sp, mixed=True, chunk=8)
+    assert out == ref
+    # speculation composes: decode rows carry drafts inside mixed steps
+    out_s, _ = _run_staggered(our_model, sp, mixed=True, chunk=8,
+                              speculative=True)
+    assert out_s == ref
+    ref_p, _ = _run_staggered(
+        our_model, SamplingParams(do_sample=False, repetition_penalty=1.1),
+        mixed=False)
+    out_sp, _ = _run_staggered(
+        our_model, SamplingParams(do_sample=False, repetition_penalty=1.1),
+        mixed=True, chunk=32, speculative=True)
+    assert out_sp == ref_p
+
+
+def test_mixed_prefill_sampled_support(our_model):
+    """Sampled mixed mode: every emitted token must lie in the support of
+    the exact target distribution (teacher-forced replay), for all three
+    staggered requests."""
+    from neural_speed_tpu.runtime.speculative import _target_dist
+
+    sp = SamplingParams(do_sample=True, temperature=0.9, top_k=8,
+                        top_p=0.9, repetition_penalty=1.1)
+    out, _ = _run_staggered(our_model, sp, mixed=True, chunk=8)
+    prompts = [[3, 1, 4, 1, 5, 9, 2, 6] * 3, list(range(40, 80)),
+               [17, 23, 42]]
+    eng = our_model.engine
+    for p, o in zip(prompts, out):
+        assert o
+        obs = list(p[-sp.penalty_window:])
+        logits = eng.prefill([p])
+        row = np.asarray(logits[0], np.float32)
+        for i, tok in enumerate(o):
+            dist = _target_dist(row, sp, obs)
+            assert dist[tok] > 0.0, (i, tok)
+            obs.append(tok)
+            if i + 1 < len(o):
+                active = jnp.zeros((eng.max_batch,), bool).at[0].set(True)
+                logits = eng.decode(jnp.full((eng.max_batch,), tok,
+                                             jnp.int32), active)
+                row = np.asarray(logits[0], np.float32)
+
+
+def test_mixed_prefill_rejects_unsupported(our_model):
+    with pytest.raises(ValueError):
+        ContinuousBatchingScheduler(
+            our_model.engine, SamplingParams(do_sample=True, mirostat=2),
+            mixed_prefill=True)
+
+
 def test_beam_continuous_queueing_matches_isolated(our_model):
     """More beam requests than slots: the CB beam scheduler queues and
     must produce exactly the isolated per-request results (parity:
