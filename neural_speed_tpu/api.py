@@ -352,9 +352,11 @@ class Model:
             arr[i, : len(p)] = p
             lens[i] = len(p)
         pos = jnp.arange(maxlen)[None, :].repeat(b, 0)
+        glm = (jnp.asarray(lens) if self.cfg.rope_style == "chatglm"
+               else None)
         logits, _ = forward(
             eng.params, self.cfg, jnp.asarray(arr), pos, cache,
-            jnp.asarray(lens),
+            jnp.asarray(lens), glm_lens=glm,
         )
         out = np.array(logits)
         for i, p in enumerate(ids):  # -inf padding rows (parity :439-481)

@@ -321,7 +321,7 @@ def decoder_layer(
     inv_freq: Optional[jax.Array],
     mscale: float,
     slopes: Optional[jax.Array],
-    block_positions: Optional[jax.Array] = None,
+    glm_lens: Optional[jax.Array] = None,
     axis_name: Optional[str] = None,
     ep_axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, kvc.KVCache]:
@@ -354,11 +354,18 @@ def decoder_layer(
     elif cfg.rope_style == "chatglm":
         from ..ops.rope import rope_2d_chatglm
 
-        bp = block_positions if block_positions is not None else (
-            jnp.zeros_like(positions)
-        )
-        q = rope_2d_chatglm(q, positions, bp, cfg.rope_base)
-        k = rope_2d_chatglm(k, positions, bp, cfg.rope_base)
+        if glm_lens is not None:
+            # GLM 2-D position scheme (ne_layers.c:9324-9328, mode 4):
+            # with prompt length P, the rotary position id is capped at
+            # P-2 (the [gMASK] slot) and the block id counts generated
+            # tokens: pos = min(p, P-2), block = max(p - (P-2), 0)
+            gmask = jnp.maximum(glm_lens - 2, 0)[:, None]
+            rp = jnp.minimum(positions, gmask)
+            bp = jnp.maximum(positions - gmask, 0)
+        else:
+            rp, bp = positions, jnp.zeros_like(positions)
+        q = rope_2d_chatglm(q, rp, bp, cfg.rope_base)
+        k = rope_2d_chatglm(k, rp, bp, cfg.rope_base)
 
     if cfg.logn_attn:
         q = q * _logn_scale(positions, cfg.max_position_embeddings)[
@@ -377,6 +384,12 @@ def decoder_layer(
         alibi=slopes,
         logit_softcap=cfg.logit_softcap,
         out_dtype=x.dtype,
+        # GLM blank infilling: the prompt (up to its last token) is
+        # bidirectional context — the first P-1 keys are visible to every
+        # query (chatglm.cpp:204-217 builds the same mask by -inf'ing
+        # column P-1 for rows < P-1)
+        bidir_lens=(jnp.maximum(glm_lens - 1, 0)
+                    if glm_lens is not None else None),
     )
     attn_out = linear(attn_out.reshape(b, t, h * d), lp["o"], axis_name)
     if cfg.post_attn_norm:
@@ -434,7 +447,7 @@ def forward(
     positions: jax.Array,            # [B, T]
     cache: kvc.KVCache,
     kv_lens: jax.Array,              # [B] total valid kv AFTER this step
-    block_positions: Optional[jax.Array] = None,
+    glm_lens: Optional[jax.Array] = None,  # [B] chatglm-1 prompt lengths
     logits_dtype=jnp.float32,
     axis_name: Optional[str] = None,
     n_heads_global: Optional[int] = None,
@@ -478,7 +491,7 @@ def forward(
     for i, lp in enumerate(params["layers"]):
         x, cache = decoder_layer(
             x, lp, cfg, i, cache, positions, kv_lens, inv_freq, mscale,
-            slopes, block_positions, axis_name, ep_axis_name,
+            slopes, glm_lens, axis_name, ep_axis_name,
         )
 
     if cfg.final_norm:

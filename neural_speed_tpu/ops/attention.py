@@ -62,8 +62,15 @@ def attention_ref(
     alibi: Optional[jax.Array] = None,    # [H] slopes or None
     logit_softcap: float = 0.0,           # grok: 30*tanh(x/30)
     out_dtype=None,
+    bidir_lens: Optional[jax.Array] = None,  # [B] GLM blank-infilling
 ) -> jax.Array:
-    """Masked softmax attention, fp32 accumulation."""
+    """Masked softmax attention, fp32 accumulation.
+
+    `bidir_lens` (chatglm-1 blank infilling, chatglm.cpp:204-217): the
+    first `bidir_lens[b]` KV positions are visible to EVERY query row
+    regardless of causality — visible(i, j) = (j <= pos_i) | (j <
+    bidir_lens).  The reference builds the equivalent mask by -inf'ing
+    the last prompt column for all but the last prompt row."""
     b, t, h, d = q.shape
     s = k.shape[1]
     h_kv = k.shape[2]
@@ -83,7 +90,10 @@ def attention_ref(
     kpos = jnp.arange(s)[None, None, :]                  # [1, 1, S]
     valid = kpos < kv_lens[:, None, None]                # [B, 1, S]
     if causal:
-        valid = valid & (kpos <= q_positions[:, :, None])  # [B, T, S]
+        vis = kpos <= q_positions[:, :, None]            # [B, T, S]
+        if bidir_lens is not None:
+            vis = vis | (kpos < bidir_lens[:, None, None])
+        valid = valid & vis
     else:
         valid = jnp.broadcast_to(valid, (b, t, s))
     if alibi is not None:
@@ -102,6 +112,7 @@ def attention_ref(
 def attention(
     q, k, v, q_positions, kv_lens, *, scale=None, causal=True, alibi=None,
     logit_softcap=0.0, out_dtype=None, use_flash: Optional[bool] = None,
+    bidir_lens: Optional[jax.Array] = None,
 ):
     """Dispatch: Pallas flash kernels on TPU, XLA reference elsewhere.
 
@@ -110,6 +121,14 @@ def attention(
     """
     from . import flash
 
+    if bidir_lens is not None:
+        # GLM prefix-bidirectional mask: XLA path only (legacy chatglm-1;
+        # the flash kernels' block masks are causal-only)
+        return attention_ref(
+            q, k, v, q_positions, kv_lens, scale=scale, causal=causal,
+            alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,
+            bidir_lens=bidir_lens,
+        )
     if use_flash is None:
         use_flash = flash.flash_enabled()
     if use_flash:
@@ -132,6 +151,7 @@ def attention_cache(
     q, cache, layer_idx: int, q_positions, kv_lens, *, scale=None,
     causal=True, alibi=None, logit_softcap=0.0, out_dtype=None,
     use_flash: Optional[bool] = None,
+    bidir_lens: Optional[jax.Array] = None,
 ):
     """Attention over one layer of the KV cache.
 
@@ -145,6 +165,14 @@ def attention_cache(
 
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if bidir_lens is not None:
+        # GLM blank infilling (chatglm-1): only a T>1 prefix step can have
+        # non-causal visibility — decode rows (T==1) see every stored key
+        # anyway, so the mask degenerates to kv_lens and any kernel works
+        if q.shape[1] > 1:
+            use_flash = False
+        else:
+            bidir_lens = None
     if isinstance(cache, pkv.PagedKVCache):
         if use_flash is None:
             use_flash = flash.flash_enabled()
@@ -163,7 +191,7 @@ def attention_cache(
         return _attention_ref_hsd(
             q, k_all, v_all, q_positions, kv_lens, scale=scale,
             causal=causal, alibi=alibi, logit_softcap=logit_softcap,
-            out_dtype=out_dtype,
+            out_dtype=out_dtype, bidir_lens=bidir_lens,
         )
     if use_flash is None:
         # flash pays off when it avoids HBM traffic: quantized KV (XLA path
@@ -197,6 +225,7 @@ def attention_cache(
     return _attention_ref_hsd(
         q, k_all, v_all, q_positions, kv_lens, scale=scale, causal=causal,
         alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,
+        bidir_lens=bidir_lens,
     )
 
 
@@ -211,6 +240,7 @@ def _attention_ref_hsd(
     alibi: Optional[jax.Array] = None,
     logit_softcap: float = 0.0,
     out_dtype=None,
+    bidir_lens: Optional[jax.Array] = None,
 ) -> jax.Array:
     b, t, h, d = q.shape
     h_kv, s = k.shape[1], k.shape[2]
@@ -231,7 +261,10 @@ def _attention_ref_hsd(
     kpos = jnp.arange(s)[None, None, :]
     valid = kpos < kv_lens[:, None, None]
     if causal:
-        valid = valid & (kpos <= q_positions[:, :, None])
+        vis = kpos <= q_positions[:, :, None]
+        if bidir_lens is not None:
+            vis = vis | (kpos < bidir_lens[:, None, None])
+        valid = valid & vis
     else:
         valid = jnp.broadcast_to(valid, (b, t, s))
     if alibi is not None:

@@ -137,17 +137,20 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
 def rope_2d_chatglm(x: jax.Array, positions: jax.Array, block_positions:
                     jax.Array, base: float = 10000.0) -> jax.Array:
     """ChatGLM-1 2-D rope (reference chatglm.cpp:115-147, rope mode 4 with
-    padding): first half of head dims rotated by absolute position, second
-    half by intra-block ("blank infilling") position; each half uses
-    gptj-interleaved rotation over its own quarter frequencies."""
+    padding): first half of head dims rotated by the (capped) position id,
+    second half by the block ("blank infilling") id.  The C kernel pairs
+    dims (i0, i0 + n_dims/2) within each half (ne_layers.c:9329-9350:
+    x0=src[0], x1=src[n_dims/2]) — neox-style split-half rotation over the
+    half's own frequency ladder base^(-2*i0/n_dims), n_dims = d/2; HF
+    chatglm-6b's rotate_half matches."""
     d = x.shape[-1]
     half = d // 2
     inv, _ = rope_inv_freq(half, base)
     c1, s1 = rope_cos_sin(positions, inv)
     c2, s2 = rope_cos_sin(block_positions, inv)
     xa, xb = x[..., :half], x[..., half:]
-    xa = apply_rope(xa, c1, s1, style="gptj")
-    xb = apply_rope(xb, c2, s2, style="gptj")
+    xa = apply_rope(xa, c1, s1, style="neox")
+    xb = apply_rope(xb, c2, s2, style="neox")
     return jnp.concatenate([xa, xb], axis=-1)
 
 

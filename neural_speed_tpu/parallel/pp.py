@@ -158,6 +158,10 @@ def make_pp_step(cfg: ArchConfig, mesh: Mesh, n_microbatches: int):
     Semantics match `transformer.forward` (same masking contract: caller
     sets `cache.lengths` afterwards).  Batch must divide n_microbatches.
     """
+    if cfg.rope_style == "chatglm":
+        raise NotImplementedError(
+            "chatglm-1 (GLM blank-infilling positions/mask) is single-chip "
+            "only; chatglm2/3 shard normally")
     from . import tp as tpmod
 
     s_stages = mesh.shape["pp"]

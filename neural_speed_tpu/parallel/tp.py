@@ -256,6 +256,10 @@ def shard_params(params: Dict[str, Any], cfg: ArchConfig,
 def make_tp_step(cfg: ArchConfig, mesh: Mesh, params_specs):
     """Build the shard_map'ed full step:
        (params, cache, ids, positions, kv_lens) -> (logits, cache)."""
+    if cfg.rope_style == "chatglm":
+        raise NotImplementedError(
+            "chatglm-1 (GLM blank-infilling positions/mask) is single-chip "
+            "only; chatglm2/3 shard normally")
     tp = mesh.shape["tp"]
     cfg_local, shard_kv = local_arch(cfg, tp)
     cspec = cache_specs(shard_kv)

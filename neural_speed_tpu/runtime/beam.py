@@ -247,6 +247,9 @@ class BeamContinuousScheduler:
             p = r.prompt[-t:]
             ids[r.slots[0], : len(p)] = p
             lens[r.slots[0]] = len(p)
+            if eng.glm_lens is not None:  # chatglm-1: all beam slots share
+                for s in r.slots:         # the request's prompt length
+                    eng.glm_lens[s] = len(p)
         logits, eng.cache = prefill_step(
             eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
             jnp.asarray(lens), jnp.zeros((eng.max_batch,), jnp.int32),

@@ -58,7 +58,12 @@ def prefill_step(
     in_range = jnp.arange(t)[None, :] < lengths[:, None]
     pos = jnp.where(in_range, pos, cache.max_len - 1)
     kv_lens = jnp.where(active, start_pos + lengths, cache.lengths)
-    logits, cache = forward(params, cfg, token_ids, pos, cache, kv_lens)
+    # chatglm-1: the prompt length drives the GLM 2-D positions + blank-
+    # infilling mask; at prefill it is exactly start+len (spectator rows
+    # are fully padding-masked, their value is irrelevant)
+    glm = (start_pos + lengths) if cfg.rope_style == "chatglm" else None
+    logits, cache = forward(params, cfg, token_ids, pos, cache, kv_lens,
+                            glm_lens=glm)
     last = jnp.clip(lengths - 1, 0, t - 1)
     last_logits = jnp.take_along_axis(
         logits, last[:, None, None], axis=1
@@ -74,6 +79,7 @@ def decode_step(
     cache: kvc.KVCache,
     tokens: jax.Array,        # [B] last sampled token per slot
     active: jax.Array,        # [B] bool — slots still generating
+    glm_lens: Optional[jax.Array] = None,  # [B] chatglm-1 prompt lengths
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """One decode token for every active slot (the HOT path —
     llama.cpp:53 model_eval_internal per-token equivalent)."""
@@ -81,7 +87,7 @@ def decode_step(
     pos = jnp.where(active, lens, cache.max_len - 1)[:, None]  # [B,1]
     kv_lens = lens + active.astype(jnp.int32)
     logits, cache = forward(
-        params, cfg, tokens[:, None], pos, cache, kv_lens
+        params, cfg, tokens[:, None], pos, cache, kv_lens, glm_lens=glm_lens
     )
     cache = kvc.set_lengths(cache, kv_lens)
     return logits[:, 0], cache
@@ -97,6 +103,7 @@ def decode_n_steps(
     tokens: jax.Array,        # [B] first input token per slot
     active: jax.Array,        # [B]
     n_steps: int,
+    glm_lens: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """Greedy-decode `n_steps` tokens fully on device (one dispatch).
 
@@ -110,7 +117,7 @@ def decode_n_steps(
         pos = jnp.where(active, lens, cache.max_len - 1)[:, None]
         kv_lens = lens + active.astype(jnp.int32)
         logits, cache = forward(params, cfg, toks[:, None], pos, cache,
-                                kv_lens)
+                                kv_lens, glm_lens=glm_lens)
         cache = kvc.set_lengths(cache, kv_lens)
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         return (cache, nxt), nxt
@@ -147,7 +154,15 @@ class Engine:
         self.shift_roped_k = False
         self.n_keep = 4
         self.n_discard = -1
+        # chatglm-1 (GLM blank infilling): per-slot prompt length drives the
+        # 2-D positions + bidirectional-prefix mask through every step
+        self.glm_lens = (np.zeros((max_batch,), np.int32)
+                         if cfg.rope_style == "chatglm" else None)
         self.cache = self.new_cache()
+
+    def glm_arg(self) -> Optional[jax.Array]:
+        return (jnp.asarray(self.glm_lens) if self.glm_lens is not None
+                else None)
 
     def discard_count(self) -> int:
         nd = self.n_discard
@@ -183,6 +198,8 @@ class Engine:
         for i, p in enumerate(prompts):
             ids[i, : len(p)] = p
             lens[i] = len(p)
+            if self.glm_lens is not None:
+                self.glm_lens[i] = len(p)
         self.cache = kvc.set_lengths(
             self.cache, jnp.zeros((self.max_batch,), jnp.int32)
         )
@@ -194,7 +211,8 @@ class Engine:
 
     def decode(self, tokens: jax.Array, active: jax.Array) -> jax.Array:
         logits, self.cache = decode_step(
-            self.params, self.cfg, self.cache, tokens, active
+            self.params, self.cfg, self.cache, tokens, active,
+            glm_lens=self.glm_arg(),
         )
         return logits
 
@@ -229,6 +247,7 @@ def decode_sample_chunk(
     active: jax.Array,         # [B]
     n_steps: int,
     sp,                        # ops.sampling.SamplingParams (static)
+    glm_lens: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, kvc.KVCache, Any]:
     """Decode + SAMPLE `n_steps` tokens fully on device (one dispatch,
     one host sync for the whole chunk).
@@ -246,7 +265,7 @@ def decode_sample_chunk(
         pos = jnp.where(active, lens, cache.max_len - 1)[:, None]
         kv_lens = lens + active.astype(jnp.int32)
         logits, cache = forward(params, cfg, toks[:, None], pos, cache,
-                                kv_lens)
+                                kv_lens, glm_lens=glm_lens)
         cache = kvc.set_lengths(cache, kv_lens)
         nxt, sampler = smp.sample(logits[:, 0], sampler, sp, active=active)
         nxt = jnp.where(active, nxt.astype(jnp.int32), toks)
@@ -323,6 +342,8 @@ class PagedEngine(Engine):
         for i, p in enumerate(prompts):
             ids[i, : len(p)] = p
             lens[i] = len(p)
+            if self.glm_lens is not None:
+                self.glm_lens[i] = len(p)
         self.cache = kvc.set_lengths(
             self.cache, jnp.zeros((self.max_batch,), jnp.int32)
         )
@@ -335,7 +356,8 @@ class PagedEngine(Engine):
     def decode(self, tokens, active):
         self.prepare_decode(np.asarray(active), 1)
         logits, self.cache = decode_step(
-            self.params, self.cfg, self.cache, tokens, active
+            self.params, self.cfg, self.cache, tokens, active,
+            glm_lens=self.glm_arg(),
         )
         return logits
 

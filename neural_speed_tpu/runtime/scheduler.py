@@ -245,6 +245,8 @@ class ContinuousBatchingScheduler:
             ids[s.slot, : len(p)] = p
             lens[s.slot] = len(p)
             start[s.slot] = s.cached
+            if eng.glm_lens is not None:
+                eng.glm_lens[s.slot] = s.cached + len(p)
         eng.prepare_prefill([s.slot for s in batch],
                             [lens[s.slot] for s in batch], starts=start)
         with self.timings.timer("prefill", int(lens.sum())):
@@ -282,7 +284,7 @@ class ContinuousBatchingScheduler:
             toks, eng.cache, self.sampler = decode_sample_chunk(
                 eng.params, eng.cfg, eng.cache, self.sampler,
                 jnp.asarray(self._last_tokens), jnp.asarray(active_np),
-                chunk, self.sp,
+                chunk, self.sp, glm_lens=eng.glm_arg(),
             )
             toks_np = np.asarray(toks)  # [B, chunk] — the one host sync
         self._slot_len[active_np] += chunk
@@ -325,6 +327,8 @@ class ContinuousBatchingScheduler:
             seq.fed = 0
             self._slot_len[seq.slot] = seq.cached
             self._dev_lens_dirty = True  # joint steps mask by explicit args
+            if self.engine.glm_lens is not None:
+                self.engine.glm_lens[seq.slot] = seq.cached + len(seq.feed)
             self.running[seq.slot] = seq
 
     # -- batched speculative decoding / mixed prefill+decode ------------
@@ -410,12 +414,14 @@ class ContinuousBatchingScheduler:
                 all_logits, eng.cache = _verify_forward(
                     eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
                     jnp.asarray(pos), jnp.asarray(kv_lens),
+                    glm_lens=eng.glm_arg(),
                 )
                 rows_np = np.asarray(all_logits, np.float32)
             else:
                 g_ids, eng.cache = _verify_forward_argmax(
                     eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
                     jnp.asarray(pos), jnp.asarray(kv_lens),
+                    glm_lens=eng.glm_arg(),
                 )
                 g_np = np.asarray(g_ids)  # [B, pad_t] — the one host sync
 

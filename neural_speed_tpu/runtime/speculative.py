@@ -96,25 +96,28 @@ def _propose_ngram_np(ctx: np.ndarray, k: int, max_ngram: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnames=("cache",))
-def _verify_forward(params, cfg, cache, ids, pos, kv_lens):
+def _verify_forward(params, cfg, cache, ids, pos, kv_lens, glm_lens=None):
     """Full-logits multi-token forward over the existing cache (the
     prefill_step pattern minus the last-token gather — verification
     needs the logits at EVERY draft position)."""
     from ..models.transformer import forward
 
-    return forward(params, cfg, ids, pos, cache, kv_lens)
+    return forward(params, cfg, ids, pos, cache, kv_lens,
+                   glm_lens=glm_lens)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnames=("cache",))
-def _verify_forward_argmax(params, cfg, cache, ids, pos, kv_lens):
+def _verify_forward_argmax(params, cfg, cache, ids, pos, kv_lens,
+                           glm_lens=None):
     """Verify forward reduced to per-position argmax token ids on device
     ([B, T] int32 instead of a [B, T, vocab] logits fetch — the full-row
     host transfer dominates the verify step through the device tunnel).
     Only valid for UNPENALIZED greedy: penalties need the logit rows."""
     from ..models.transformer import forward
 
-    logits, cache = forward(params, cfg, ids, pos, cache, kv_lens)
+    logits, cache = forward(params, cfg, ids, pos, cache, kv_lens,
+                            glm_lens=glm_lens)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
@@ -280,6 +283,7 @@ def generate_greedy_speculative(
             g_ids, engine.cache = _verify_forward_argmax(
                 engine.params, engine.cfg, engine.cache, jnp.asarray(ids),
                 jnp.asarray(pos), jnp.asarray(kv_lens, dtype=np.int32),
+                glm_lens=engine.glm_arg(),
             )
             g_row = np.asarray(g_ids[0, : len(seq)])
             picks = lambda j: int(g_row[j])  # noqa: E731
@@ -287,6 +291,7 @@ def generate_greedy_speculative(
             all_logits, engine.cache = _verify_forward(
                 engine.params, engine.cfg, engine.cache, jnp.asarray(ids),
                 jnp.asarray(pos), jnp.asarray(kv_lens, dtype=np.int32),
+                glm_lens=engine.glm_arg(),
             )
             rows = np.asarray(all_logits[0, : len(seq)], np.float32)
             picks = lambda j: pen.pick(rows[j], draft[:j])  # noqa: E731
@@ -410,6 +415,7 @@ def generate_sampled_speculative(
         all_logits, engine.cache = _verify_forward(
             engine.params, engine.cfg, engine.cache, jnp.asarray(ids),
             jnp.asarray(pos), jnp.asarray(kv_lens, dtype=np.int32),
+            glm_lens=engine.glm_arg(),
         )
         rows = np.asarray(all_logits[0, : len(seq)], np.float32)
 
