@@ -513,6 +513,50 @@ def map_chatglm2(sd: StateDict, cfg: ArchConfig, cv: Converter) -> Dict[str, Any
     return p
 
 
+def map_grok(sd: StateDict, cfg: ArchConfig, cv: Converter) -> Dict[str, Any]:
+    """Grok-1 (the hpcai-tech HF key scheme the reference loader reads —
+    grok_utils.cpp:171-206): transformer.decoder_layer.N.* with sandwich
+    norms rms_norm_1 (post-attn) / rms_norm_2 (ffn) / rms_norm_3
+    (post-MoE) and per-expert moe.X.linear (gate) / linear_1 (down) /
+    linear_v (up)."""
+    p: Dict[str, Any] = {
+        "embed": {
+            "weight": cv.dense(_np(sd["transformer.in_out_embed.weight"]))
+        },
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        pre = f"transformer.decoder_layer.{i}."
+        att = pre + "multi_head_attention."
+        moe: Dict[str, Any] = {
+            "router": cv.linear(sd[pre + "router.weight"], quant=False),
+            "experts": [],
+            "post_norm": cv.norm_p(sd[pre + "rms_norm_3.weight"]),
+        }
+        for e in range(cfg.moe.num_experts):
+            ep = pre + f"moe.{e}."
+            moe["experts"].append({
+                "gate": cv.linear(sd[ep + "linear.weight"]),
+                "down": cv.linear(sd[ep + "linear_1.weight"]),
+                "up": cv.linear(sd[ep + "linear_v.weight"]),
+            })
+        p["layers"].append({
+            "attn_norm": cv.norm_p(sd[pre + "rms_norm.weight"]),
+            "q": cv.linear(sd[att + "query.weight"]),
+            "k": cv.linear(sd[att + "key.weight"]),
+            "v": cv.linear(sd[att + "value.weight"]),
+            "o": cv.linear(sd[att + "linear.weight"]),
+            "post_attn_norm": cv.norm_p(sd[pre + "rms_norm_1.weight"]),
+            "ffn_norm": cv.norm_p(sd[pre + "rms_norm_2.weight"]),
+            "moe": moe,
+        })
+    p["final_norm"] = cv.norm_p(sd["transformer.rms_norm.weight"])
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        p["lm_head"] = cv.linear(sd["lm_head.weight"],
+                                 quant=cv.quantize_lm_head)
+    return p
+
+
 MAPPERS: Dict[str, Callable] = {
     "llama": map_llama,
     "mistral": map_llama,
@@ -531,6 +575,8 @@ MAPPERS: Dict[str, Callable] = {
     "starcoder": map_starcoder,
     "phi": map_phi,
     "chatglm2": map_chatglm2,
+    "grok": map_grok,
+    "grok-1": map_grok,
 }
 
 

@@ -25,6 +25,11 @@ class MoEConfig:
     # grok applies extra RMSNorms around the MoE block (grok.cpp:208-316)
     pre_norm: bool = False
     post_norm: bool = False
+    # mixtral renormalizes the selected experts' weights to sum to 1
+    # (softmax over the top-k logits); grok uses the GLOBAL softmax probs
+    # of the selected experts unrenormalized (grok.cpp:296-300 — the
+    # weights_sum division is commented out in the reference)
+    renorm: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

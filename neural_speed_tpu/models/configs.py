@@ -400,7 +400,11 @@ def baichuan_arch(hf: Dict[str, Any]) -> ArchConfig:
 
 def chatglm2_arch(hf: Dict[str, Any]) -> ArchConfig:
     """chatglm2.cpp:79-189: MQA via multi_query_group_num, rms norm,
-    swiglu ffn, rope on half dims, qkv bias."""
+    swiglu ffn, rope on half dims, qkv bias.
+
+    Rope is VANILLA-mode (chatglm2.cpp:166-174 `ne_rope_inplace(..., 0,
+    ...)` = interleaved (2i, 2i+1) pairs; HF chatglm2's reshape(...,
+    rot/2, 2) rotation matches) over head_dim/2 dims -> style "gptj"."""
     n_heads = hf["num_attention_heads"]
     hd = hf["hidden_size"] // n_heads
     return ArchConfig(
@@ -415,7 +419,7 @@ def chatglm2_arch(hf: Dict[str, Any]) -> ArchConfig:
         max_position_embeddings=hf.get("seq_length", 8192),
         norm="rms" if hf.get("rmsnorm", True) else "ln",
         norm_eps=hf.get("layernorm_epsilon", 1e-5),
-        rope_style="neox",
+        rope_style="gptj",
         rot_dim=hd // 2,
         rope_base=10000.0 * hf.get("rope_ratio", 1.0),
         qkv_bias=hf.get("add_qkv_bias", True),
@@ -450,8 +454,13 @@ def chatglm1_arch(hf: Dict[str, Any]) -> ArchConfig:
 
 
 def grok_arch(hf: Dict[str, Any]) -> ArchConfig:
-    """grok.cpp:208-316: tanh30 softcap, GELU MoE with pre/post RMSNorms,
-    output multiplier."""
+    """grok.cpp:130-345: tanh30 attn-logit softcap, GELU MoE, SANDWICH
+    norms — the attention output is rms-normed (norm[2], grok.cpp:279-281)
+    and the MoE output is rms-normed (norm[3], :340-342) BEFORE their
+    residual adds; the only pre-MoE norm is the regular ffn norm
+    (norm[1], :287-290).  Router weights are the global softmax probs of
+    the selected experts, unrenormalized (:296-300); logits scaled by
+    output_multiplier (:358)."""
     n_heads = hf["num_attention_heads"]
     return ArchConfig(
         name="grok",
@@ -468,11 +477,12 @@ def grok_arch(hf: Dict[str, Any]) -> ArchConfig:
         logit_softcap=30.0,
         act="gelu_tanh",
         gated_ffn=True,
+        post_attn_norm=True,
         moe=MoEConfig(
             num_experts=hf.get("num_local_experts", 8),
             top_k=hf.get("num_experts_per_tok", 2),
-            pre_norm=True,
             post_norm=True,
+            renorm=False,
         ),
         logit_scale=hf.get("output_multiplier_scale", 1.0),
         embed_scale=hf.get("embedding_multiplier_scale", 1.0),

@@ -238,7 +238,16 @@ def moe_ffn(x: jax.Array, p: Params, cfg: ArchConfig,
     b, t, _ = x.shape
     router_logits = linear(x, p["router"]).astype(jnp.float32)  # [B,T,E]
     topv, topi = jax.lax.top_k(router_logits, m.top_k)
-    probs = jax.nn.softmax(topv, axis=-1)  # normalize over selected experts
+    if m.renorm:
+        # mixtral: renormalize over the selected experts (== softmax of the
+        # top-k logits; llama.cpp:620-689 weights/weights_sum)
+        probs = jax.nn.softmax(topv, axis=-1)
+    else:
+        # grok: global softmax probs of the selected experts, NOT
+        # renormalized (grok.cpp:296-300)
+        probs = jnp.take_along_axis(
+            jax.nn.softmax(router_logits, axis=-1), topi, axis=-1
+        )
     stacked = p.get("experts_stacked")
 
     if ep_axis_name is not None:

@@ -89,6 +89,10 @@ def synth_params(cfg: ArchConfig, spec: QSpec, seed: int = 0,
             "v": lin(e, cfg.kv_dim),
             "o": lin(cfg.q_dim, e),
         }
+        if cfg.post_attn_norm:
+            lp["post_attn_norm"] = {"weight": jnp.ones((e,), jnp.float32)}
+        if cfg.post_ffn_norm:
+            lp["post_ffn_norm"] = {"weight": jnp.ones((e,), jnp.float32)}
         if cfg.moe is not None:
             lp["moe"] = {
                 "router": {
@@ -101,6 +105,12 @@ def synth_params(cfg: ArchConfig, spec: QSpec, seed: int = 0,
                     "down": expert_stack(cfg.intermediate_size, e),
                 },
             }
+            if cfg.moe.pre_norm:
+                lp["moe"]["pre_norm"] = {
+                    "weight": jnp.ones((e,), jnp.float32)}
+            if cfg.moe.post_norm:
+                lp["moe"]["post_norm"] = {
+                    "weight": jnp.ones((e,), jnp.float32)}
         else:
             lp["ffn"] = {
                 "gate": lin(e, cfg.intermediate_size),
