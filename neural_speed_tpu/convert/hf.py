@@ -557,6 +557,39 @@ def map_grok(sd: StateDict, cfg: ArchConfig, cv: Converter) -> Dict[str, Any]:
     return p
 
 
+def map_qwen(sd: StateDict, cfg: ArchConfig, cv: Converter) -> Dict[str, Any]:
+    """Qwen-1 (transformer.h.N.* — qwen_utils.cpp:150-168): fused c_attn
+    rows [q; k; v] with bias, c_proj without; MLP computes
+    w1(x) * silu(w2(x)) @ c_proj (qwen.cpp:40-60), i.e. gate=w2, up=w1;
+    RMSNorms without bias; separate lm_head."""
+    p: Dict[str, Any] = {
+        "embed": {"weight": cv.dense(_np(sd["transformer.wte.weight"]))},
+        "layers": [],
+    }
+    qd = cfg.q_dim
+    for i in range(cfg.n_layers):
+        pre = f"transformer.h.{i}."
+        wqkv = _np(sd[pre + "attn.c_attn.weight"])
+        bqkv = _np(sd[pre + "attn.c_attn.bias"])
+        p["layers"].append({
+            "attn_norm": cv.norm_p(sd[pre + "ln_1.weight"]),
+            "ffn_norm": cv.norm_p(sd[pre + "ln_2.weight"]),
+            "q": cv.linear(wqkv[:qd], bqkv[:qd]),
+            "k": cv.linear(wqkv[qd: 2 * qd], bqkv[qd: 2 * qd]),
+            "v": cv.linear(wqkv[2 * qd:], bqkv[2 * qd:]),
+            "o": cv.linear(sd[pre + "attn.c_proj.weight"]),
+            "ffn": {
+                "up": cv.linear(sd[pre + "mlp.w1.weight"]),
+                "gate": cv.linear(sd[pre + "mlp.w2.weight"]),
+                "down": cv.linear(sd[pre + "mlp.c_proj.weight"]),
+            },
+        })
+    p["final_norm"] = cv.norm_p(sd["transformer.ln_f.weight"])
+    p["lm_head"] = cv.linear(sd["lm_head.weight"],
+                             quant=cv.quantize_lm_head)
+    return p
+
+
 MAPPERS: Dict[str, Callable] = {
     "llama": map_llama,
     "mistral": map_llama,
@@ -575,6 +608,7 @@ MAPPERS: Dict[str, Callable] = {
     "starcoder": map_starcoder,
     "phi": map_phi,
     "chatglm2": map_chatglm2,
+    "qwen": map_qwen,
     "grok": map_grok,
     "grok-1": map_grok,
 }

@@ -491,3 +491,54 @@ def test_model_server_beam_config_length_respected(our_model):
         srv.issue_query(PROMPTS[0])
         srv.join()
     assert results[0] == ref and len(results[0]) <= 3
+
+
+def test_scheduler_fuzz_mixed_and_spec_equal_plain(our_model):
+    """Randomized admission fuzz: arbitrary prompts, budgets, and
+    admission times must yield BIT-IDENTICAL greedy streams across the
+    plain, speculative, mixed, and mixed+speculative schedulers (each
+    request's output is a pure function of the model + its prompt; no
+    scheduling decision may leak into results)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+
+    def make_workload():
+        reqs = []
+        for r in range(7):
+            n = int(rng.integers(2, 40))
+            # mix repetitive (draft-friendly) and random prompts
+            if r % 2 == 0:
+                unit = rng.integers(1, 250, size=rng.integers(2, 5)).tolist()
+                prompt = (unit * 20)[:n]
+            else:
+                prompt = rng.integers(1, 250, size=n).tolist()
+            reqs.append((prompt, int(rng.integers(3, 15)),
+                         int(rng.integers(0, 6))))  # (prompt, budget, delay)
+        return reqs
+
+    def run(reqs, **kw):
+        sched = ContinuousBatchingScheduler(our_model.engine, sp,
+                                            chunk_size=3, **kw)
+        pending = list(reqs)
+        rids, out = [], {}
+        step = 0
+        while pending or sched.has_work:
+            admitted = [r for r in pending if r[2] <= step]
+            for prompt, budget, _ in admitted:
+                rids.append(sched.add_request(list(prompt), budget))
+            pending = [r for r in pending if r[2] > step]
+            if sched.has_work:
+                sched.step()
+            for s in sched.pop_finished():
+                out[s.request_id] = s.generated
+            step += 1
+        return [out[r] for r in rids]
+
+    reqs = make_workload()
+    ref = run(reqs)
+    assert run(reqs, speculative=True, spec_k=5) == ref
+    assert run(reqs, mixed_prefill=True, mixed_chunk=8) == ref
+    assert run(reqs, mixed_prefill=True, mixed_chunk=8,
+               speculative=True, spec_k=5) == ref
