@@ -550,7 +550,7 @@ _GGUF_ARCH_KEYS = {
 }
 
 
-def _arch_from_gguf(kv: Dict[str, Any]) -> ArchConfig:
+def _arch_from_gguf(kv: Dict[str, Any], tensors=None) -> ArchConfig:
     arch = kv["general.architecture"]
     name = _GGUF_ARCH_KEYS.get(arch, arch)
     pre = arch
@@ -562,6 +562,53 @@ def _arch_from_gguf(kv: Dict[str, Any]) -> ArchConfig:
     vocab = kv.get("tokenizer.ggml.tokens")
     vocab_size = (len(vocab) if vocab is not None
                   else g("vocab_size", kv.get("general.vocab_size")))
+    # non-llama families the reference validates GGUF for (docs/gguf.md:
+    # falcon, mpt, bloom) — reuse the HF arch builders via synthesized
+    # config dicts so per-arch quirks stay in one place
+    if arch == "falcon":
+        from ..models.configs import falcon_arch
+
+        n_kv = g("attention.head_count_kv", 1)
+        two_norms = bool(tensors) and "blk.0.attn_norm_2.weight" in tensors
+        return falcon_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": g("embedding_length"),
+            "num_hidden_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "num_kv_heads": n_kv,
+            "new_decoder_architecture": two_norms
+            or n_kv not in (1, n_heads),
+            "multi_query": n_kv == 1,
+            "layer_norm_epsilon": g("attention.layer_norm_epsilon", 1e-5),
+            "rope_theta": g("rope.freq_base", 10000.0),
+            "alibi": False,
+        })
+    if arch == "mpt":
+        from ..models.configs import mpt_arch
+
+        e = g("embedding_length")
+        return mpt_arch({
+            "vocab_size": vocab_size,
+            "d_model": e,
+            "n_layers": g("block_count"),
+            "n_heads": n_heads,
+            "expansion_ratio": g("feed_forward_length", 4 * e) // e,
+            "max_seq_len": g("context_length", 2048),
+            "attn_config": {
+                "clip_qkv": g("attention.clamp_kqv"),
+                "kv_n_heads": g("attention.head_count_kv", n_heads),
+            },
+        })
+    if arch == "bloom":
+        from ..models.configs import bloom_arch
+
+        return bloom_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": g("embedding_length"),
+            "n_layer": g("block_count"),
+            "n_head": n_heads,
+            "layer_norm_epsilon": g("attention.layer_norm_epsilon", 1e-5),
+        })
     return ArchConfig(
         name=name,
         vocab_size=vocab_size,
@@ -581,8 +628,11 @@ def _arch_from_gguf(kv: Dict[str, Any]) -> ArchConfig:
 
 def load_gguf_model(path: str):
     """Returns (params, ArchConfig, GGUFTokenizer)."""
+    import numpy as _np
+
     r = GGUFReader(path)
-    cfg = _arch_from_gguf(r.kv)
+    arch = r.kv["general.architecture"]
+    cfg = _arch_from_gguf(r.kv, r.tensors)
 
     def lin(name):
         info = r.tensors[name]
@@ -595,19 +645,70 @@ def load_gguf_model(path: str):
     def arr(name, dtype=jnp.float32):
         return gguf_tensor_to_array(r, r.tensors[name], dtype)
 
+    def lin_b(base):
+        out = lin(base + ".weight")
+        if base + ".bias" in r.tensors:
+            out["b"] = arr(base + ".bias")
+        return out
+
+    def norm_g(base):
+        out = {"weight": arr(base + ".weight")}
+        if base + ".bias" in r.tensors:
+            out["bias"] = arr(base + ".bias")
+        return out
+
+    def qkv_split(entry, sections):
+        """Unfuse a plain-concat attn_qkv entry along N (the gguf
+        falcon/mpt/bloom graphs view wqkv at contiguous [q; k; v]
+        offsets)."""
+        from ..ops.quantize import QTensor, split_n
+
+        w = entry["w"]
+        if isinstance(w, QTensor):
+            parts = split_n(w, sections)
+        else:
+            idx = _np.cumsum(sections)[:-1]
+            parts = jnp.split(w, idx, axis=1)
+        outs = [{"w": p} for p in parts]
+        if "b" in entry:
+            idx = _np.cumsum(sections)[:-1]
+            for o, bpart in zip(outs, jnp.split(entry["b"], idx)):
+                o["b"] = bpart
+        return outs
+
     params: Dict[str, Any] = {
         "embed": {"weight": arr("token_embd.weight", jnp.bfloat16)},
         "layers": [],
-        "final_norm": {"weight": arr("output_norm.weight")},
+        "final_norm": norm_g("output_norm"),
     }
+    if "token_embd_norm.weight" in r.tensors:  # bloom embedding LN
+        params["embed_ln"] = norm_g("token_embd_norm")
     if "output.weight" in r.tensors:
         params["lm_head"] = lin("output.weight")
+    qkv_sections = [cfg.q_dim, cfg.kv_dim, cfg.kv_dim]
     for i in range(cfg.n_layers):
         b = f"blk.{i}."
+        if arch in ("falcon", "mpt", "bloom"):
+            q, k, v = qkv_split(lin_b(b + "attn_qkv"), qkv_sections)
+            lp: Dict[str, Any] = {
+                "attn_norm": norm_g(b + "attn_norm"),
+                "q": q, "k": k, "v": v,
+                "o": lin_b(b + "attn_output"),
+                "ffn": {
+                    "up": lin_b(b + "ffn_up"),
+                    "down": lin_b(b + "ffn_down"),
+                },
+            }
+            if b + "ffn_norm.weight" in r.tensors:   # mpt/bloom
+                lp["ffn_norm"] = norm_g(b + "ffn_norm")
+            if b + "attn_norm_2.weight" in r.tensors:  # falcon-40b ln_mlp
+                lp["ffn_norm"] = norm_g(b + "attn_norm_2")
+            params["layers"].append(lp)
+            continue
         params["layers"].append(
             {
-                "attn_norm": {"weight": arr(b + "attn_norm.weight")},
-                "ffn_norm": {"weight": arr(b + "ffn_norm.weight")},
+                "attn_norm": norm_g(b + "attn_norm"),
+                "ffn_norm": norm_g(b + "ffn_norm"),
                 "q": lin(b + "attn_q.weight"),
                 "k": lin(b + "attn_k.weight"),
                 "v": lin(b + "attn_v.weight"),
@@ -620,7 +721,8 @@ def load_gguf_model(path: str):
             }
         )
     tok = None
-    if "tokenizer.ggml.tokens" in r.kv:
+    spm = r.kv.get("tokenizer.ggml.model", "llama") in ("llama", "spm")
+    if spm and "tokenizer.ggml.tokens" in r.kv:
         tok = GGUFTokenizer(
             r.kv["tokenizer.ggml.tokens"],
             r.kv.get("tokenizer.ggml.scores",
@@ -637,8 +739,11 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
                      ggml_type: int = GGML_Q4_0,
                      tokens: Optional[List[str]] = None,
                      scores: Optional[List[float]] = None):
-    """HF llama-family checkpoint -> GGUF (parity: convert-hf-to-gguf.py).
-    Weights arrive torch-style [out, in], which is ggml's row layout."""
+    """HF checkpoint -> GGUF (parity: convert-hf-to-gguf.py).
+    Weights arrive torch-style [out, in], which is ggml's row layout.
+    llama-family plus the reference's validated non-llama GGUF archs
+    (docs/gguf.md): falcon / mpt / bloom — fused qkv normalized to the
+    plain [q; k; v] row concat their gguf graphs expect."""
     import numpy as _np
 
     def np_of(t):
@@ -646,8 +751,12 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
             t = t.detach().float().cpu().numpy()
         return _np.asarray(t, _np.float32)
 
-    w = GGUFWriter(out_path)
     arch = hf_cfg.get("model_type", "llama")
+    if arch in ("falcon", "mpt", "bloom"):
+        return _write_gguf_nonllama(state_dict, hf_cfg, out_path, ggml_type,
+                                    np_of)
+
+    w = GGUFWriter(out_path)
     n_heads = hf_cfg["num_attention_heads"]
     w.add("general.architecture", arch)
     w.add("general.name", "neural_speed_tpu export")
@@ -690,4 +799,165 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
         put(b + "ffn_gate.weight", hf + "mlp.gate_proj.weight")
         put(b + "ffn_up.weight", hf + "mlp.up_proj.weight")
         put(b + "ffn_down.weight", hf + "mlp.down_proj.weight")
+    w.write()
+
+
+def _write_gguf_nonllama(sd, hf_cfg, out_path, ggml_type, np_of):
+    import numpy as _np
+
+    arch = hf_cfg["model_type"]
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add("general.name", "neural_speed_tpu export")
+
+    def wt(name, a, ttype=None):
+        w.add_tensor(name, _np.asarray(a, _np.float32),
+                     ttype if ttype is not None else ggml_type)
+
+    if arch == "falcon":
+        e = hf_cfg["hidden_size"]
+        h = hf_cfg["num_attention_heads"]
+        d = e // h
+        new_dec = hf_cfg.get("new_decoder_architecture", False)
+        hkv = (hf_cfg.get("num_kv_heads") or hf_cfg.get("n_head_kv", 8)) \
+            if new_dec else (1 if hf_cfg.get("multi_query", True) else h)
+        w.add("falcon.embedding_length", e)
+        w.add("falcon.block_count", hf_cfg["num_hidden_layers"])
+        w.add("falcon.attention.head_count", h)
+        w.add("falcon.attention.head_count_kv", hkv)
+        w.add("falcon.feed_forward_length", 4 * e)
+        w.add("falcon.attention.layer_norm_epsilon",
+              float(hf_cfg.get("layer_norm_epsilon", 1e-5)))
+        w.add("falcon.rope.freq_base",
+              float(hf_cfg.get("rope_theta", 10000.0)))
+        w.add("general.vocab_size", hf_cfg["vocab_size"])
+        pre_t = "transformer."
+        wt("token_embd.weight", np_of(sd[pre_t + "word_embeddings.weight"]),
+           GGML_F16)
+        wt("output_norm.weight", np_of(sd[pre_t + "ln_f.weight"]), GGML_F32)
+        wt("output_norm.bias", np_of(sd[pre_t + "ln_f.bias"]), GGML_F32)
+        if "lm_head.weight" in sd:
+            wt("output.weight", np_of(sd["lm_head.weight"]), ggml_type)
+        n_rep = h // hkv
+        for i in range(hf_cfg["num_hidden_layers"]):
+            hfp = f"{pre_t}h.{i}."
+            b = f"blk.{i}."
+            if new_dec:  # 40b: ln_attn + ln_mlp
+                wt(b + "attn_norm.weight", np_of(sd[hfp + "ln_attn.weight"]),
+                   GGML_F32)
+                wt(b + "attn_norm.bias", np_of(sd[hfp + "ln_attn.bias"]),
+                   GGML_F32)
+                wt(b + "attn_norm_2.weight", np_of(sd[hfp + "ln_mlp.weight"]),
+                   GGML_F32)
+                wt(b + "attn_norm_2.bias", np_of(sd[hfp + "ln_mlp.bias"]),
+                   GGML_F32)
+            else:
+                wt(b + "attn_norm.weight",
+                   np_of(sd[hfp + "input_layernorm.weight"]), GGML_F32)
+                wt(b + "attn_norm.bias",
+                   np_of(sd[hfp + "input_layernorm.bias"]), GGML_F32)
+            # HF grouping [hkv, n_rep+2, d, :] -> plain [q; k; v] rows
+            qkv = np_of(sd[hfp + "self_attention.query_key_value.weight"])
+            w4 = qkv.reshape(hkv, n_rep + 2, d, -1)
+            plain = _np.concatenate([
+                w4[:, :n_rep].reshape(h * d, -1),
+                w4[:, n_rep].reshape(hkv * d, -1),
+                w4[:, n_rep + 1].reshape(hkv * d, -1),
+            ])
+            wt(b + "attn_qkv.weight", plain)
+            wt(b + "attn_output.weight",
+               np_of(sd[hfp + "self_attention.dense.weight"]))
+            wt(b + "ffn_up.weight",
+               np_of(sd[hfp + "mlp.dense_h_to_4h.weight"]))
+            wt(b + "ffn_down.weight",
+               np_of(sd[hfp + "mlp.dense_4h_to_h.weight"]))
+    elif arch == "mpt":
+        e = hf_cfg["d_model"]
+        h = hf_cfg["n_heads"]
+        attn_cfg = hf_cfg.get("attn_config", {})
+        w.add("mpt.embedding_length", e)
+        w.add("mpt.block_count", hf_cfg["n_layers"])
+        w.add("mpt.attention.head_count", h)
+        w.add("mpt.attention.head_count_kv",
+              attn_cfg.get("kv_n_heads", h))
+        w.add("mpt.feed_forward_length",
+              hf_cfg.get("expansion_ratio", 4) * e)
+        w.add("mpt.context_length", hf_cfg.get("max_seq_len", 2048))
+        if attn_cfg.get("clip_qkv"):
+            w.add("mpt.attention.clamp_kqv", float(attn_cfg["clip_qkv"]))
+        w.add("general.vocab_size", hf_cfg["vocab_size"])
+        pre_t = "transformer."
+        wt("token_embd.weight", np_of(sd[pre_t + "wte.weight"]), GGML_F16)
+        wt("output_norm.weight", np_of(sd[pre_t + "norm_f.weight"]),
+           GGML_F32)
+        for i in range(hf_cfg["n_layers"]):
+            hfp = f"{pre_t}blocks.{i}."
+            b = f"blk.{i}."
+            wt(b + "attn_norm.weight", np_of(sd[hfp + "norm_1.weight"]),
+               GGML_F32)
+            wt(b + "ffn_norm.weight", np_of(sd[hfp + "norm_2.weight"]),
+               GGML_F32)
+            wt(b + "attn_qkv.weight", np_of(sd[hfp + "attn.Wqkv.weight"]))
+            wt(b + "attn_output.weight",
+               np_of(sd[hfp + "attn.out_proj.weight"]))
+            wt(b + "ffn_up.weight", np_of(sd[hfp + "ffn.up_proj.weight"]))
+            wt(b + "ffn_down.weight",
+               np_of(sd[hfp + "ffn.down_proj.weight"]))
+    else:  # bloom
+        e = hf_cfg.get("hidden_size") or hf_cfg["n_embd"]
+        h = hf_cfg.get("n_head") or hf_cfg["num_attention_heads"]
+        d = e // h
+        nl = hf_cfg.get("n_layer") or hf_cfg["num_hidden_layers"]
+        w.add("bloom.embedding_length", e)
+        w.add("bloom.block_count", nl)
+        w.add("bloom.attention.head_count", h)
+        w.add("bloom.attention.head_count_kv", h)
+        w.add("bloom.feed_forward_length", 4 * e)
+        w.add("bloom.attention.layer_norm_epsilon",
+              float(hf_cfg.get("layer_norm_epsilon", 1e-5)))
+        w.add("general.vocab_size", hf_cfg["vocab_size"])
+        pre_t = "transformer."
+        wt("token_embd.weight", np_of(sd[pre_t + "word_embeddings.weight"]),
+           GGML_F16)
+        wt("token_embd_norm.weight",
+           np_of(sd[pre_t + "word_embeddings_layernorm.weight"]), GGML_F32)
+        wt("token_embd_norm.bias",
+           np_of(sd[pre_t + "word_embeddings_layernorm.bias"]), GGML_F32)
+        wt("output_norm.weight", np_of(sd[pre_t + "ln_f.weight"]), GGML_F32)
+        wt("output_norm.bias", np_of(sd[pre_t + "ln_f.bias"]), GGML_F32)
+        for i in range(nl):
+            hfp = f"{pre_t}h.{i}."
+            b = f"blk.{i}."
+            wt(b + "attn_norm.weight",
+               np_of(sd[hfp + "input_layernorm.weight"]), GGML_F32)
+            wt(b + "attn_norm.bias",
+               np_of(sd[hfp + "input_layernorm.bias"]), GGML_F32)
+            wt(b + "ffn_norm.weight",
+               np_of(sd[hfp + "post_attention_layernorm.weight"]), GGML_F32)
+            wt(b + "ffn_norm.bias",
+               np_of(sd[hfp + "post_attention_layernorm.bias"]), GGML_F32)
+            # HF grouping [h, 3, d, :] -> plain [q; k; v] (llama.cpp's
+            # BloomModel qkv re-pack)
+            qkv = np_of(sd[hfp + "self_attention.query_key_value.weight"])
+            w4 = qkv.reshape(h, 3, d, -1)
+            plain = _np.concatenate([w4[:, j].reshape(h * d, -1)
+                                     for j in range(3)])
+            wt(b + "attn_qkv.weight", plain)
+            bqkv = np_of(sd[hfp + "self_attention.query_key_value.bias"])
+            b4 = bqkv.reshape(h, 3, d)
+            wt(b + "attn_qkv.bias",
+               _np.concatenate([b4[:, j].reshape(-1) for j in range(3)]),
+               GGML_F32)
+            wt(b + "attn_output.weight",
+               np_of(sd[hfp + "self_attention.dense.weight"]))
+            wt(b + "attn_output.bias",
+               np_of(sd[hfp + "self_attention.dense.bias"]), GGML_F32)
+            wt(b + "ffn_up.weight",
+               np_of(sd[hfp + "mlp.dense_h_to_4h.weight"]))
+            wt(b + "ffn_up.bias",
+               np_of(sd[hfp + "mlp.dense_h_to_4h.bias"]), GGML_F32)
+            wt(b + "ffn_down.weight",
+               np_of(sd[hfp + "mlp.dense_4h_to_h.weight"]))
+            wt(b + "ffn_down.bias",
+               np_of(sd[hfp + "mlp.dense_4h_to_h.bias"]), GGML_F32)
     w.write()

@@ -420,6 +420,30 @@ def concat_n(qts) -> QTensor:
                    (q0.shape[0], n_total), q0.k_shards)
 
 
+def split_n(qt: QTensor, sections) -> Tuple[QTensor, ...]:
+    """Split a QTensor along N (out features) into contiguous pieces of
+    the given sizes — the exact inverse of `concat_n` (every component is
+    `[*, N]`, so a column slice is a valid pack).  Used to unfuse the
+    plain-concat `attn_qkv` tensors of falcon/mpt/bloom GGUF files
+    (gguf falcon/mpt/bloom graphs view wqkv at contiguous offsets)."""
+    if sum(sections) != qt.shape[1]:
+        raise ValueError(f"sections {sections} != N={qt.shape[1]}")
+    outs = []
+    start = 0
+    for n in sections:
+        sl = slice(start, start + n)
+        outs.append(dataclasses.replace(
+            qt,
+            data=tuple(d[..., sl] for d in qt.data),
+            scales=qt.scales[..., sl],
+            zeros=None if qt.zeros is None else qt.zeros[..., sl],
+            sscale=None if qt.sscale is None else qt.sscale[..., sl],
+            shape=(qt.shape[0], n),
+        ))
+        start += n
+    return tuple(outs)
+
+
 def repad_k(qt: QTensor, multiple: int) -> QTensor:
     """Re-pack with K padded up to `multiple` (lossless: padded code rows
     carry zero scales, so they dequantize to exactly 0).

@@ -130,3 +130,64 @@ def test_tokenizer_encode_decode():
     # byte fallback for unseen chars
     ids2 = tok.encode("z", add_bos=False)
     assert tok.decode(ids2).strip() == "z"
+
+
+@pytest.mark.parametrize("family", ["falcon_mq", "falcon_gqa", "mpt",
+                                    "bloom"])
+def test_nonllama_gguf_roundtrip(tmp_path, family):
+    """GGUF ingest for the reference's validated non-llama GGUF archs
+    (docs/gguf.md: falcon, mpt, bloom): tiny HF model -> our GGUF writer
+    (plain-concat fused qkv, per-arch kv keys) -> loader -> greedy ids
+    must equal HF transformers at Q8_0 (near-lossless)."""
+    torch.manual_seed(0)
+    if family.startswith("falcon"):
+        from transformers import FalconConfig, FalconForCausalLM
+
+        gqa = family == "falcon_gqa"
+        cfg = FalconConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, multi_query=not gqa,
+            new_decoder_architecture=gqa,
+            num_kv_heads=2 if gqa else None,
+            parallel_attn=True, bias=False, alibi=False,
+        )
+        with torch.no_grad():
+            m = FalconForCausalLM(cfg)
+    elif family == "mpt":
+        from transformers import MptConfig, MptForCausalLM
+
+        cfg = MptConfig(vocab_size=128, d_model=64, n_heads=4, n_layers=2,
+                        expansion_ratio=2, max_seq_len=128)
+        with torch.no_grad():
+            m = MptForCausalLM(cfg)
+    else:
+        from transformers import BloomConfig, BloomForCausalLM
+
+        cfg = BloomConfig(vocab_size=128, hidden_size=64, n_head=4,
+                          n_layer=2)
+        with torch.no_grad():
+            m = BloomForCausalLM(cfg)
+    m.eval()
+
+    path = str(tmp_path / f"{family}.gguf")
+    G.write_hf_to_gguf(dict(m.state_dict()), cfg.to_dict(), path,
+                       ggml_type=G.GGML_Q8_0)
+    params, acfg, tok = G.load_gguf_model(path)
+    assert tok is None  # BPE-family models: bring your own tokenizer
+    if family == "falcon_gqa":
+        assert acfg.n_kv_heads == 2 and not acfg.shared_parallel_norm
+    if family == "mpt":
+        assert acfg.use_alibi and acfg.rope_style == "none"
+    if family == "bloom":
+        assert acfg.embedding_ln and "embed_ln" in params
+
+    from neural_speed_tpu.runtime.engine import Engine
+
+    eng = Engine(params, acfg, max_batch=1, max_len=64)
+    ids = [1, 5, 9, 17, 3]
+    ours = eng.generate_greedy(ids, 8)
+    with torch.no_grad():
+        ref = m.generate(torch.tensor([ids]), max_new_tokens=8,
+                         do_sample=False,
+                         pad_token_id=0)[0].tolist()[len(ids):]
+    assert ours == ref, (family, ours, ref)

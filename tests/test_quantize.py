@@ -181,3 +181,31 @@ def test_widen_bits_exact():
             assert wide.spec.bits in (4, 8)
             np.testing.assert_array_equal(
                 np.asarray(dequantize(wide)), np.asarray(dequantize(qt)))
+
+
+def test_split_n_inverts_concat_n():
+    """split_n must be the exact inverse of concat_n (column slices of
+    every packed component), across int4 sym/asym and double-quant."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_speed_tpu.ops.qtypes import QSpec, QType, named_qspec
+    from neural_speed_tpu.ops.quantize import (concat_n, dequantize,
+                                               quantize, split_n)
+
+    rng = np.random.default_rng(0)
+    for spec in (named_qspec("int4", group_size=32),
+                 QSpec(QType.INT, 4, 32, True),
+                 QSpec(QType.INT, 3, 32, False)):
+        parts = [quantize(jnp.asarray(rng.normal(size=(64, n)), jnp.float32),
+                          spec) for n in (32, 16, 48)]
+        fused = concat_n(parts)
+        back = split_n(fused, [32, 16, 48])
+        for a, b in zip(parts, back):
+            np.testing.assert_array_equal(np.asarray(dequantize(a)),
+                                          np.asarray(dequantize(b)))
+            assert a.shape == b.shape
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_n(fused, [32, 16, 40])
