@@ -116,6 +116,15 @@ class ContinuousBatchingScheduler:
                     f"{mode} scheduling requires the contiguous KV "
                     "cache (paged page growth is not transactional under "
                     "draft rollback)")
+        if mixed_prefill and engine.cfg.rope_style == "chatglm":
+            # GLM blank infilling makes prompt attention BIDIRECTIONAL:
+            # early-chunk queries must see later prompt keys, which do not
+            # exist yet under chunked prefill — the monolithic prefill
+            # path is the only correct one (same guard as TP/PP)
+            raise NotImplementedError(
+                "mixed_prefill cannot chunk chatglm-1's bidirectional "
+                "prompt (GLM blank-infilling mask); use the default "
+                "alternating scheduler")
         self.spec_k = spec_k
         self.spec_min_k = spec_min_k
         self.spec_max_ngram = spec_max_ngram
@@ -259,7 +268,8 @@ class ContinuousBatchingScheduler:
                                 prompt_obs=batch)
         for s in batch:
             self._slot_len[s.slot] = int(lens[s.slot]) + s.cached
-            s.status = SeqStatus.DECODING
+            if s.status != SeqStatus.FINISHED:  # first token may be eos
+                s.status = SeqStatus.DECODING
 
     def _decode_step(self) -> None:
         if self._dev_lens_dirty:
@@ -347,8 +357,8 @@ class ContinuousBatchingScheduler:
         token) — the ORCA-style mixed iteration of the reference
         (llama.cpp:64-90: one eval over concatenated prefill+decode
         sequences, rope/attention per infer group = per slot here)."""
-        from .speculative import (_SPEC_BUCKETS, _verify_forward,
-                                  _verify_forward_argmax, propose_ngram)
+        from .speculative import (_SPEC_BUCKETS, _verify_forward_argmax,
+                                  propose_ngram)
 
         eng = self.engine
         slots = [(slot, seq) for slot, seq in self.running.items()
@@ -411,12 +421,28 @@ class ContinuousBatchingScheduler:
         timer_key = "mixed" if slots_p else "decode"
         with self.timings.timer(timer_key, int(seq_lens.sum())):
             if sampled or penalized:
-                all_logits, eng.cache = _verify_forward(
+                from .speculative import _verify_forward_rows
+
+                # fetch only the rows the accept loops read: every decode
+                # row, but just the prompt-completing row of prefill
+                # chunks (prefill rows are forced tokens — their logits
+                # are dead weight at [B, pad_t, vocab] scale)
+                need = 1
+                for slot, _ in slots:
+                    need = max(need, len(rows[slot]))
+                r = pad_to_bucket(need, buckets) if slots_p else pad_t
+                r = min(r, pad_t)
+                row_idx = np.minimum(
+                    np.broadcast_to(np.arange(r), (b, r)), pad_t - 1
+                ).astype(np.int32).copy()
+                for slot, _ in slots_p:
+                    row_idx[slot, :] = len(rows[slot]) - 1
+                rows_dev, eng.cache = _verify_forward_rows(
                     eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
                     jnp.asarray(pos), jnp.asarray(kv_lens),
-                    glm_lens=eng.glm_arg(),
+                    jnp.asarray(row_idx), glm_lens=eng.glm_arg(),
                 )
-                rows_np = np.asarray(all_logits, np.float32)
+                rows_np = np.asarray(rows_dev, np.float32)
             else:
                 g_ids, eng.cache = _verify_forward_argmax(
                     eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
@@ -439,11 +465,13 @@ class ContinuousBatchingScheduler:
 
             pen = _PenalizedGreedy(seq.prompt, self.sp)
             self._pens[slot] = pen
+            # gathered layout: every fetched row of a prefill slot IS the
+            # prompt-completing row (see row_idx above)
             if sampled:
-                p0 = _target_dist(rows_np[slot, n - 1], self.sp, pen.obs)
+                p0 = _target_dist(rows_np[slot, 0], self.sp, pen.obs)
                 tok = int(self._spec_rng.choice(p0.shape[0], p=p0))
             elif penalized:
-                tok = pen.pick(rows_np[slot, n - 1], [])
+                tok = pen.pick(rows_np[slot, 0], [])
             else:
                 tok = int(g_np[slot, n - 1])
             pen.observe([tok])
@@ -665,9 +693,4 @@ class ContinuousBatchingScheduler:
             if (self.eos_id is not None and tok == self.eos_id) or len(
                 seq.generated
             ) >= seq.max_new_tokens:
-                seq.status = SeqStatus.FINISHED
-                seq.end_time = time.time()
-                self.running.pop(slot, None)
-                self.free_slots.append(slot)
-                self.finished.append(seq)
-                self._pens.pop(slot, None)
+                self._finish(slot, seq)

@@ -43,6 +43,9 @@ class ModelServer:
             if speculative:
                 raise ValueError(
                     "speculative serving does not compose with beam search")
+            if mixed_prefill:
+                raise ValueError(
+                    "mixed_prefill does not compose with beam search")
             self._bc = beam_config or BeamConfig(
                 num_beams=num_beams, max_new_tokens=max_new_tokens,
                 eos_id=eos_id,

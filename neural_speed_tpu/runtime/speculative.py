@@ -108,6 +108,24 @@ def _verify_forward(params, cfg, cache, ids, pos, kv_lens, glm_lens=None):
 
 @functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnames=("cache",))
+def _verify_forward_rows(params, cfg, cache, ids, pos, kv_lens, row_idx,
+                         glm_lens=None):
+    """_verify_forward returning only the per-slot rows named by `row_idx`
+    [B, R] (device-side gather).  Mixed prefill chunks run at pad_t up to
+    mixed_chunk with almost every logit row unused (only decode rows and
+    the prompt-completing row are read); fetching [B, R, vocab] instead of
+    [B, pad_t, vocab] keeps the host transfer proportional to what the
+    accept loops actually consume."""
+    from ..models.transformer import forward
+
+    logits, cache = forward(params, cfg, ids, pos, cache, kv_lens,
+                            glm_lens=glm_lens)
+    rows = jnp.take_along_axis(logits, row_idx[..., None], axis=1)
+    return rows, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("cache",))
 def _verify_forward_argmax(params, cfg, cache, ids, pos, kv_lens,
                            glm_lens=None):
     """Verify forward reduced to per-position argmax token ids on device
@@ -155,8 +173,14 @@ def _target_dist(row: np.ndarray, sp: SamplingParams,
     (ops/sampling.sample: penalties -> temperature -> top-k -> top-p ->
     softmax).  tfs/typical/mirostat are rejected upstream."""
     l = _penalized_row(row, sp, obs)
-    t = sp.temperature if sp.temperature > 0 else 1.0
-    l = l / np.float32(t)
+    if sp.temperature <= 0.0:
+        # the device sampler treats do_sample + temperature<=0 as greedy
+        # (ops/sampling.sample:246): the target is a point mass at the
+        # penalized argmax
+        p = np.zeros_like(l)
+        p[int(np.argmax(l))] = 1.0
+        return p
+    l = l / np.float32(sp.temperature)
     v = l.shape[0]
     if 0 < sp.top_k < v:
         kth = np.sort(l)[-sp.top_k]

@@ -542,3 +542,74 @@ def test_scheduler_fuzz_mixed_and_spec_equal_plain(our_model):
     assert run(reqs, mixed_prefill=True, mixed_chunk=8) == ref
     assert run(reqs, mixed_prefill=True, mixed_chunk=8,
                speculative=True, spec_k=5) == ref
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_first_token_finish_status_and_paged_release(our_model):
+    """Requests finishing on their very first sampled token must come back
+    FINISHED (the prefill loop used to flip them back to 'decoding') and,
+    on the paged engine, release their pages (the finish path used to skip
+    release_slot, leaking the pool)."""
+    from neural_speed_tpu.runtime.scheduler import SeqStatus
+
+    sched = ContinuousBatchingScheduler(
+        our_model.engine, SamplingParams(do_sample=False))
+    sched.add_request([1, 17, 9], max_new_tokens=1)
+    done = sched.run_to_completion()
+    assert done[0].status == SeqStatus.FINISHED
+    assert len(done[0].generated) == 1
+
+    # paged pool: sustained 1-token requests must not exhaust pages
+    from neural_speed_tpu.runtime.engine import PagedEngine
+
+    eng = PagedEngine(our_model.engine.params, our_model.cfg, max_batch=2,
+                      max_len=64, page_size=16, n_pages=8)
+    sched = ContinuousBatchingScheduler(eng, SamplingParams(do_sample=False))
+    for _ in range(12):  # far more than the pool could leak
+        sched.add_request([1, 17, 9, 4, 8], max_new_tokens=1)
+    done = sched.run_to_completion()
+    assert len(done) == 12
+    assert all(len(s.generated) == 1 for s in done)
+
+
+def test_sampled_spec_temperature_zero_is_greedy(our_model):
+    """do_sample=True + temperature<=0 is GREEDY on the device sampler;
+    the host replica must match (it used to substitute temperature=1)."""
+    prompts = [[1, 17, 9, 33] * 3, [2, 5, 8, 13, 21, 34]]
+    ref = our_model.generate(prompts, max_new_tokens=10, ignore_prompt=True,
+                             repetition_penalty=1.1)  # penalized greedy
+    got = our_model.generate(prompts, max_new_tokens=10, ignore_prompt=True,
+                             do_sample=True, temperature=0.0, top_k=0,
+                             top_p=1.0, repetition_penalty=1.1,
+                             speculative=True)
+    # strip prompts (speculative path honors ignore_prompt)
+    got = [g[len(p):] if g[: len(p)] == p else g
+           for g, p in zip(got, prompts)]
+    assert got == ref
+
+
+def test_mixed_prefill_rejects_chatglm1():
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="chatglm", vocab_size=64, hidden_size=64,
+                     n_layers=1, n_heads=4, n_kv_heads=4,
+                     intermediate_size=64, max_position_embeddings=64,
+                     norm="ln", rope_style="chatglm", act="gelu",
+                     gated_ffn=False, deepnorm_alpha=1.0)
+    eng = Engine(synth_params(cfg, named_qspec("int4", group_size=32)),
+                 cfg, max_batch=1, max_len=64)
+    with pytest.raises(NotImplementedError):
+        ContinuousBatchingScheduler(eng, SamplingParams(do_sample=False),
+                                    mixed_prefill=True)
+
+
+def test_server_beam_rejects_mixed_prefill(our_model):
+    with pytest.raises(ValueError):
+        ModelServer(our_model, lambda r, t: None, num_beams=2,
+                    mixed_prefill=True)
