@@ -535,6 +535,101 @@ class GGUFTokenizer:
         return "".join(out)
 
 
+def _bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2's reversible byte<->unicode table (encoder.py
+    bytes_to_unicode; also llama.cpp unicode_byte_to_utf8)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class GGUFBPETokenizer:
+    """GPT-2-style byte-level BPE reconstructed from GGUF metadata
+    (`tokenizer.ggml.model == "gpt2"`: tokens already in byte-to-unicode
+    space + rank-ordered merges) — the vocab of falcon/mpt/bloom/gpt2
+    GGUF files.  Parity: the reference's gguf vocab parse feeding
+    `model_tokenize`; algorithm: llama.cpp llm_tokenizer_bpe / the
+    original GPT-2 encoder.py."""
+
+    _PAT = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"
+            r" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+")
+
+    def __init__(self, tokens: List[str], merges: List[str],
+                 bos_id: Optional[int] = None, eos_id: Optional[int] = None,
+                 unk_id: int = 0, add_bos: bool = False):
+        import regex
+
+        self.tokens = tokens
+        self.vocab = {t: i for i, t in enumerate(tokens)}
+        self.ranks: Dict[Tuple[str, str], int] = {}
+        for i, m in enumerate(merges):
+            a, _, c = m.partition(" ")
+            self.ranks[(a, c)] = i
+        self.bos_token_id = bos_id
+        self.eos_token_id = eos_id
+        self.unk_id = unk_id
+        self.add_bos = add_bos
+        self._b2u = _bytes_to_unicode()
+        self._u2b = {u: b for b, u in self._b2u.items()}
+        self._re = regex.compile(self._PAT)
+        self._cache: Dict[str, List[str]] = {}
+
+    def _bpe(self, piece: str) -> List[str]:
+        cached = self._cache.get(piece)
+        if cached is not None:
+            return cached
+        word = list(piece)
+        while len(word) > 1:
+            best, best_i = None, -1
+            for i in range(len(word) - 1):
+                r = self.ranks.get((word[i], word[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best_i < 0:
+                break
+            word[best_i: best_i + 2] = [word[best_i] + word[best_i + 1]]
+        if len(self._cache) < 32768:
+            self._cache[piece] = word
+        return word
+
+    def encode(self, text: str,
+               add_bos: Optional[bool] = None) -> List[int]:
+        ids: List[int] = []
+        for piece in self._re.findall(text):
+            mapped = "".join(self._b2u[b] for b in piece.encode("utf-8"))
+            for sub in self._bpe(mapped):
+                ids.append(self.vocab.get(sub, self.unk_id))
+        bos = self.add_bos if add_bos is None else add_bos
+        if bos and self.bos_token_id is not None:
+            ids = [self.bos_token_id] + ids
+        return ids
+
+    def __call__(self, text: str):
+        return {"input_ids": self.encode(text)}
+
+    def decode(self, ids) -> str:
+        buf = bytearray()
+        for i in ids:
+            i = int(i)
+            if i in (self.bos_token_id, self.eos_token_id):
+                continue
+            for ch in self.tokens[i]:
+                b = self._u2b.get(ch)
+                if b is not None:
+                    buf.append(b)
+                else:  # added/special token stored verbatim
+                    buf.extend(ch.encode("utf-8"))
+        return buf.decode("utf-8", errors="replace")
+
+
 # ---------------------------------------------------------------------------
 # full-model load (parity: gguf path of model_load_internal,
 # llama_utils.cpp:90-252 blk.N.* name mapping)
@@ -721,8 +816,8 @@ def load_gguf_model(path: str):
             }
         )
     tok = None
-    spm = r.kv.get("tokenizer.ggml.model", "llama") in ("llama", "spm")
-    if spm and "tokenizer.ggml.tokens" in r.kv:
+    tok_model = r.kv.get("tokenizer.ggml.model", "llama")
+    if tok_model in ("llama", "spm") and "tokenizer.ggml.tokens" in r.kv:
         tok = GGUFTokenizer(
             r.kv["tokenizer.ggml.tokens"],
             r.kv.get("tokenizer.ggml.scores",
@@ -732,13 +827,22 @@ def load_gguf_model(path: str):
             eos_id=r.kv.get("tokenizer.ggml.eos_token_id", 2),
             unk_id=r.kv.get("tokenizer.ggml.unknown_token_id", 0),
         )
+    elif tok_model == "gpt2" and "tokenizer.ggml.tokens" in r.kv:
+        tok = GGUFBPETokenizer(
+            r.kv["tokenizer.ggml.tokens"],
+            r.kv.get("tokenizer.ggml.merges", []),
+            bos_id=r.kv.get("tokenizer.ggml.bos_token_id"),
+            eos_id=r.kv.get("tokenizer.ggml.eos_token_id"),
+            unk_id=r.kv.get("tokenizer.ggml.unknown_token_id", 0),
+        )
     return params, cfg, tok
 
 
 def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
                      ggml_type: int = GGML_Q4_0,
                      tokens: Optional[List[str]] = None,
-                     scores: Optional[List[float]] = None):
+                     scores: Optional[List[float]] = None,
+                     merges: Optional[List[str]] = None):
     """HF checkpoint -> GGUF (parity: convert-hf-to-gguf.py).
     Weights arrive torch-style [out, in], which is ggml's row layout.
     llama-family plus the reference's validated non-llama GGUF archs
@@ -754,7 +858,7 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
     arch = hf_cfg.get("model_type", "llama")
     if arch in ("falcon", "mpt", "bloom"):
         return _write_gguf_nonllama(state_dict, hf_cfg, out_path, ggml_type,
-                                    np_of)
+                                    np_of, tokens=tokens, merges=merges)
 
     w = GGUFWriter(out_path)
     n_heads = hf_cfg["num_attention_heads"]
@@ -802,13 +906,23 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
     w.write()
 
 
-def _write_gguf_nonllama(sd, hf_cfg, out_path, ggml_type, np_of):
+def _write_gguf_nonllama(sd, hf_cfg, out_path, ggml_type, np_of,
+                         tokens=None, merges=None):
     import numpy as _np
 
     arch = hf_cfg["model_type"]
     w = GGUFWriter(out_path)
     w.add("general.architecture", arch)
     w.add("general.name", "neural_speed_tpu export")
+    if tokens:
+        # these families ship byte-level BPE vocabs (gpt2 scheme)
+        w.add("tokenizer.ggml.model", "gpt2")
+        w.add("tokenizer.ggml.tokens", tokens)
+        w.add("tokenizer.ggml.merges", merges or [])
+        if hf_cfg.get("bos_token_id") is not None:
+            w.add("tokenizer.ggml.bos_token_id", hf_cfg["bos_token_id"])
+        if hf_cfg.get("eos_token_id") is not None:
+            w.add("tokenizer.ggml.eos_token_id", hf_cfg["eos_token_id"])
 
     def wt(name, a, ttype=None):
         w.add_tensor(name, _np.asarray(a, _np.float32),

@@ -191,3 +191,68 @@ def test_nonllama_gguf_roundtrip(tmp_path, family):
                          do_sample=False,
                          pad_token_id=0)[0].tolist()[len(ids):]
     assert ours == ref, (family, ours, ref)
+
+
+def test_bpe_tokenizer_matches_gpt2_reference(tmp_path):
+    """GGUFBPETokenizer must reproduce transformers' GPT2Tokenizer (the
+    canonical byte-level BPE) exactly for the same vocab+merges, and
+    round-trip through GGUF metadata (tokenizer.ggml.model == 'gpt2')."""
+    import json
+
+    from neural_speed_tpu.convert.gguf import (GGUFBPETokenizer,
+                                               _bytes_to_unicode)
+
+    # tiny byte-level BPE: all 256 byte symbols + a few merges
+    b2u = _bytes_to_unicode()
+    alphabet = [b2u[b] for b in range(256)]
+    merges = ["h e", "l l", "he ll", "hell o", "Ġ w", "o r", "Ġw or",
+              "Ġwor ld", "ll o"]
+    vocab = list(alphabet)
+    for m in merges:
+        a, b = m.split(" ")
+        vocab.append(a + b)
+    ours = GGUFBPETokenizer(vocab, merges)
+
+    vf = tmp_path / "vocab.json"
+    mf = tmp_path / "merges.txt"
+    vf.write_text(json.dumps({t: i for i, t in enumerate(vocab)}),
+                  encoding="utf-8")
+    mf.write_text("#version: 0.2\n" + "\n".join(merges) + "\n",
+                  encoding="utf-8")
+    from transformers import GPT2Tokenizer
+
+    hf = GPT2Tokenizer(str(vf), str(mf))
+
+    for text in ["hello world", "hello  world!x", "héllo wörld",
+                 "a\nb  c", "  hello", "hello-world 123", "日本語 test"]:
+        got = ours.encode(text)
+        ref = hf.encode(text)
+        assert got == ref, (text, got, ref)
+        assert ours.decode(got) == hf.decode(ref)
+
+
+def test_bloom_gguf_carries_bpe_tokenizer(tmp_path):
+    from transformers import BloomConfig, BloomForCausalLM
+
+    from neural_speed_tpu.convert.gguf import (GGUFBPETokenizer,
+                                               _bytes_to_unicode)
+
+    torch.manual_seed(0)
+    cfg = BloomConfig(vocab_size=300, hidden_size=64, n_head=4, n_layer=1,
+                      bos_token_id=1, eos_token_id=2)
+    with torch.no_grad():
+        m = BloomForCausalLM(cfg)
+    b2u = _bytes_to_unicode()
+    tokens = ["<unk>", "<s>", "</s>"] + [b2u[b] for b in range(256)]
+    tokens += ["he", "hel"]  # the merge results below
+    tokens += [f"tk{i}" for i in range(300 - len(tokens))]
+    path = str(tmp_path / "bloom.gguf")
+    G.write_hf_to_gguf(dict(m.state_dict()), cfg.to_dict(), path,
+                       ggml_type=G.GGML_Q8_0, tokens=tokens,
+                       merges=["h e", "he l"])
+    params, acfg, tok = G.load_gguf_model(path)
+    assert isinstance(tok, GGUFBPETokenizer)
+    assert tok.eos_token_id == 2
+    ids = tok.encode("hel lo")
+    assert ids and all(0 <= t < 300 for t in ids)
+    assert tok.decode(ids) == "hel lo"
