@@ -198,12 +198,15 @@ class Model:
             if (num_beams > 1 or stopping_criteria is not None or cached):
                 raise ValueError("speculative=True needs num_beams=1, no "
                                  "stopping_criteria/session")
+            # the single-sequence fast paths own slot 0 of a CONTIGUOUS
+            # cache; paged engines take the scheduler (page-table growth)
+            paged = hasattr(self.engine, "page_size")
             if do_sample:
                 sp = SamplingParams(
                     do_sample=True, temperature=temperature, top_k=top_k,
                     top_p=top_p, repetition_penalty=repetition_penalty,
                 )
-                if len(ids) == 1:
+                if len(ids) == 1 and not paged:
                     from .runtime.speculative import (
                         generate_sampled_speculative)
 
@@ -221,7 +224,7 @@ class Model:
             else:
                 sp = SamplingParams(do_sample=False,
                                     repetition_penalty=repetition_penalty)
-                if len(ids) == 1:
+                if len(ids) == 1 and not paged:
                     from .runtime.speculative import (
                         generate_greedy_speculative)
 

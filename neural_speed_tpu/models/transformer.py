@@ -309,6 +309,12 @@ def _cache_append(cache, layer_idx: int, k, v, positions, active):
         if positions.shape[1] == 1:
             return pkv.append_decode(cache, layer_idx, k, v, positions,
                                      active)
+        if positions.shape[1] <= cache.page_size:
+            # short spans (speculative verify, mixed prefill chunks) may
+            # cross into pages claimed one at a time — no physical
+            # contiguity; resolve every row through the page table
+            return pkv.append_span(cache, layer_idx, k, v, positions,
+                                   active=active)
         return pkv.append_prefill(cache, layer_idx, k, v, positions,
                                   active=active)
     return kvc.append_layer(cache, layer_idx, k, v, positions, active=active)

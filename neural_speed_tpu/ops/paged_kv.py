@@ -226,6 +226,57 @@ def _write_pool_scale(dst, upd, layer: int, row0, keep):
     return jax.lax.dynamic_update_slice(dst, new, idx)
 
 
+def append_span(cache: PagedKVCache, layer: int, k_new: jax.Array,
+                v_new: jax.Array, positions: jax.Array,
+                active=None) -> PagedKVCache:
+    """Multi-token write fully resolved through the page table: physical
+    row per (slot, t) = table[b, pos//ps]*ps + pos%ps.  Unlike
+    `append_prefill` this needs NO physical contiguity of the span's
+    pages, so it serves speculative-verify and mixed-prefill growth whose
+    pages were claimed one at a time.  Padding positions (pos >=
+    max_len-1) and inactive slots park on the reserved trash page.
+    k_new/v_new: [B, T, H, D]; scatter-based — prefer append_prefill's
+    sliced writes when the run guarantee holds and T is large."""
+    b, t = positions.shape
+    ps = cache.page_size
+    pos = jnp.clip(positions, 0, cache.max_len - 1)        # [B, T]
+    block = pos // ps
+    page = jnp.take_along_axis(cache.page_tables, block, axis=1)  # [B, T]
+    row = page * ps + pos % ps
+    trash = cache.n_pages * ps - 1
+    valid = pos < cache.max_len - 1                        # padding parked
+    if active is not None:
+        valid = valid & active[:, None]
+    row = jnp.where(valid, row, trash)                     # [B, T]
+    hidx = jnp.arange(cache.kv_heads)[None, None, :]       # [1, 1, H]
+    ridx = row[:, :, None]                                 # [B, T, 1]
+    k = _pool_rows(cache.k_pages)
+    v = _pool_rows(cache.v_pages)
+    if cache.quantized:
+        kc, ks = quantize_kv(k_new)
+        vc, vs = quantize_kv(v_new)
+        k = k.at[layer, hidx, ridx].set(kc)
+        v = v.at[layer, hidx, ridx].set(vc)
+        kscale = cache.k_scale.reshape(cache.layers, cache.kv_heads, 1, -1)
+        vscale = cache.v_scale.reshape(cache.layers, cache.kv_heads, 1, -1)
+        kscale = kscale.at[layer, hidx, 0, ridx].set(ks[..., 0])
+        vscale = vscale.at[layer, hidx, 0, ridx].set(vs[..., 0])
+        return dataclasses.replace(
+            cache,
+            k_pages=k.reshape(cache.k_pages.shape),
+            v_pages=v.reshape(cache.v_pages.shape),
+            k_scale=kscale.reshape(cache.k_scale.shape),
+            v_scale=vscale.reshape(cache.v_scale.shape),
+        )
+    k = k.at[layer, hidx, ridx].set(k_new.astype(k.dtype))
+    v = v.at[layer, hidx, ridx].set(v_new.astype(v.dtype))
+    return dataclasses.replace(
+        cache,
+        k_pages=k.reshape(cache.k_pages.shape),
+        v_pages=v.reshape(cache.v_pages.shape),
+    )
+
+
 def append_decode(cache: PagedKVCache, layer: int, k_new: jax.Array,
                   v_new: jax.Array, positions: jax.Array,
                   active=None) -> PagedKVCache:

@@ -302,6 +302,10 @@ class PagedEngine(Engine):
             (max_batch, max_len // page_size), np.int32
         )
         self._lens = np.zeros((max_batch,), np.int64)
+        # blocks actually MAPPED per slot: may exceed ceil(_lens/ps) after
+        # a speculative rollback (commit_lens snaps _lens back; the
+        # overshoot pages stay mapped for reuse and are freed at release)
+        self._mapped = np.zeros((max_batch,), np.int64)
         super().__init__(params, cfg, max_batch, max_len, kv_dtype,
                          kv_quantized, buckets, fuse)
 
@@ -320,14 +324,17 @@ class PagedEngine(Engine):
         )
 
     def _ensure_pages(self, slot: int, new_len: int) -> None:
+        """Idempotent: only blocks past the mapped high-water mark are
+        claimed (a rolled-back slot re-crossing a boundary must reuse its
+        still-mapped page, not leak it)."""
         ps = self.page_size
-        have = -(-int(self._lens[slot]) // ps)
         need = -(-new_len // ps)
-        for blk in range(have, need):
+        for blk in range(int(self._mapped[slot]), need):
             page = self._alloc.alloc_page()
             if page is None:
                 raise RuntimeError("paged KV pool exhausted")
             self._tables[slot, blk] = page
+        self._mapped[slot] = max(self._mapped[slot], need)
 
     def prefill(self, prompts):
         from ..ops import kv_cache as kvc
@@ -376,6 +383,7 @@ class PagedEngine(Engine):
                     raise RuntimeError("paged KV pool exhausted (prefill)")
                 self._tables[slot, blk0:n_blocks] = first + np.arange(run)
             self._lens[slot] = start + int(ln)
+            self._mapped[slot] = max(int(self._mapped[slot]), n_blocks)
         self._sync_tables()
 
     def prepare_decode(self, active_np, chunk: int = 1) -> None:
@@ -385,13 +393,34 @@ class PagedEngine(Engine):
             self._lens[slot] += chunk
         self._sync_tables()
 
+    def prepare_rows(self, target_lens) -> None:
+        """Reserve pages up to per-slot TARGET lengths (speculative verify
+        / mixed prefill rows).  Unlike prepare_decode the advance is
+        provisional — the scheduler calls commit_lens with the accepted
+        lengths afterwards; overshoot pages stay mapped for reuse."""
+        changed = False
+        for slot, tgt in enumerate(target_lens):
+            tgt = int(tgt)
+            if tgt > int(self._lens[slot]):
+                self._ensure_pages(slot, tgt)
+                self._lens[slot] = tgt
+                changed = True
+        if changed:
+            self._sync_tables()
+
+    def commit_lens(self, lens) -> None:
+        """Snap the host length mirror to the ACCEPTED lengths after a
+        speculative rollback (pages stay mapped; see _ensure_pages)."""
+        self._lens[:] = np.asarray(lens, np.int64)
+
     def release_slot(self, slot: int) -> None:
-        """Free a finished slot's pages back to the pool."""
-        ps = self.page_size
-        n_blocks = -(-int(self._lens[slot]) // ps)
+        """Free a finished slot's pages back to the pool (every MAPPED
+        block, incl. speculative overshoot past the committed length)."""
+        n_blocks = int(self._mapped[slot])
         self._alloc.free_pages(self._tables[slot, :n_blocks].tolist())
         self._tables[slot, :n_blocks] = 0
         self._lens[slot] = 0
+        self._mapped[slot] = 0
 
 
 # -- scheduler hooks (paged-aware) ---------------------------------------
@@ -402,4 +431,6 @@ def _noop(*a, **k):
 
 Engine.prepare_prefill = _noop
 Engine.prepare_decode = _noop
+Engine.prepare_rows = _noop
+Engine.commit_lens = _noop
 Engine.release_slot = _noop

@@ -111,11 +111,6 @@ class ContinuousBatchingScheduler:
                     f"sampled {mode} scheduling supports temperature/"
                     "top_k/top_p/penalties only (no host replica of "
                     "tfs/typical/mirostat)")
-            if hasattr(engine, "page_size"):
-                raise NotImplementedError(
-                    f"{mode} scheduling requires the contiguous KV "
-                    "cache (paged page growth is not transactional under "
-                    "draft rollback)")
         if mixed_prefill and engine.cfg.rope_style == "chatglm":
             # GLM blank infilling makes prompt attention BIDIRECTIONAL:
             # early-chunk queries must see later prompt keys, which do not
@@ -267,8 +262,8 @@ class ContinuousBatchingScheduler:
         self._sample_and_commit(logits, {s.slot: s for s in batch},
                                 prompt_obs=batch)
         for s in batch:
-            self._slot_len[s.slot] = int(lens[s.slot]) + s.cached
             if s.status != SeqStatus.FINISHED:  # first token may be eos
+                self._slot_len[s.slot] = int(lens[s.slot]) + s.cached
                 s.status = SeqStatus.DECODING
 
     def _decode_step(self) -> None:
@@ -314,13 +309,7 @@ class ContinuousBatchingScheduler:
                     seq.generated
                 ) >= seq.max_new_tokens:
                     active_np[slot] = False  # later chunk tokens discarded
-                    seq.status = SeqStatus.FINISHED
-                    seq.end_time = time.time()
-                    self.running.pop(slot, None)
-                    self.free_slots.append(slot)
-                    self.finished.append(seq)
-                    self._pens.pop(slot, None)
-                    eng.release_slot(slot)
+                    self._finish(slot, seq)
 
     # -- mixed admission (chunked prefill) ------------------------------
     def _admit_mixed(self) -> None:
@@ -415,6 +404,12 @@ class ContinuousBatchingScheduler:
         in_range = np.arange(pad_t)[None, :] < seq_lens[:, None]
         pos = np.where(in_range, pos, eng.max_len - 1).astype(np.int32)
         kv_lens = (self._slot_len + seq_lens).astype(np.int32)
+        # paged KV: reserve pages up to each row's end (provisional —
+        # commit_lens snaps back to the accepted lengths below; base
+        # engines no-op).  Idle slots get target 0: never reserve for a
+        # slot without rows.
+        eng.prepare_rows(np.where(seq_lens > 0,
+                                  self._slot_len + seq_lens, 0))
 
         sampled = self.sp.do_sample
         penalized = self._penalties_active()
@@ -562,6 +557,9 @@ class ContinuousBatchingScheduler:
                 # speculation is not paying — plain chunked decode for a
                 # spell
                 self._spec_backoff = self.spec_backoff_chunks
+        # paged KV: roll the provisional page-reservation lengths back to
+        # what was actually committed (no-op on base engines)
+        eng.commit_lens(self._slot_len)
 
     def _finish(self, slot: int, seq: Sequence) -> None:
         seq.status = SeqStatus.FINISHED
@@ -571,6 +569,7 @@ class ContinuousBatchingScheduler:
         self.finished.append(seq)
         self._pens.pop(slot, None)
         self.engine.release_slot(slot)
+        self._slot_len[slot] = 0
 
     def _sync_sampler_from_pens(self) -> None:
         """Rebuild the device sampler's penalty state from the host

@@ -242,8 +242,9 @@ def generate_greedy_speculative(
 
     if not isinstance(engine.cache, kvc.KVCache):
         raise NotImplementedError(
-            "speculative decoding requires the contiguous KV cache "
-            "(PagedEngine page growth is not transactional under rollback)"
+            "the single-sequence speculative helper owns slot 0 of a "
+            "contiguous cache; paged engines speculate through the "
+            "ContinuousBatchingScheduler(speculative=True)"
         )
     b = engine.max_batch
     pen = _PenalizedGreedy(prompt, sp)
@@ -382,7 +383,9 @@ def generate_sampled_speculative(
                          "top_p/penalties only")
     if not isinstance(engine.cache, kvc.KVCache):
         raise NotImplementedError(
-            "speculative decoding requires the contiguous KV cache")
+            "the single-sequence speculative helper owns slot 0 of a "
+            "contiguous cache; paged engines speculate through the "
+            "ContinuousBatchingScheduler(speculative=True)")
     rng = np.random.default_rng(seed)
     b = engine.max_batch
     obs: List[int] = list(prompt[-sp.penalty_window:])

@@ -245,3 +245,86 @@ def test_inactive_slot_never_corrupts_neighbors(monkeypatch):
         out_paged.append(int(tp_[1]))
         out_ref.append(int(tr_[1]))
     assert out_paged == out_ref
+
+
+def test_paged_speculative_and_mixed_match_contiguous(monkeypatch):
+    """Speculative + mixed scheduling over the PAGED cache: greedy streams
+    must be bit-identical to the contiguous-cache scheduler (append_span
+    resolves verify rows through the page table; prepare_rows/commit_lens
+    make the provisional page growth roll back exactly), and the page pool
+    must fully recover — overshoot pages from rejected drafts are reused,
+    not leaked."""
+    monkeypatch.setenv("NST_FLASH", "off")
+    import jax
+    jax.clear_caches()
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.runtime.engine import Engine, PagedEngine
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=96, hidden_size=64,
+                     n_layers=1, n_heads=2, n_kv_heads=2,
+                     intermediate_size=128, max_position_embeddings=256)
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+    prompts = [
+        list(range(1, 9)) * 5,               # repetitive: drafts accepted
+        [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],   # sparse matches
+        [17, 23, 42],                        # queued (2 slots)
+    ]
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+
+    def run(make_engine, **kw):
+        eng = make_engine()
+        sched = ContinuousBatchingScheduler(eng, sp, chunk_size=4, **kw)
+        rids = [sched.add_request(list(p), 24) for p in prompts]
+        done = {s.request_id: s.generated
+                for s in sched.run_to_completion()}
+        return [done[r] for r in rids], eng
+
+    cont = lambda: Engine(params, cfg, max_batch=2, max_len=256)
+    # page_size 16 << draft bucket: verify rows routinely cross pages
+    paged = lambda: PagedEngine(params, cfg, max_batch=2, max_len=256,
+                                page_size=16, n_pages=20)
+
+    ref, _ = run(cont)
+    for kw in (dict(speculative=True, spec_k=5),
+               dict(mixed_prefill=True, mixed_chunk=8),
+               dict(mixed_prefill=True, mixed_chunk=8, speculative=True,
+                    spec_k=5)):
+        out_c, _ = run(cont, **kw)
+        out_p, eng = run(paged, **kw)
+        assert out_c == ref, kw
+        assert out_p == ref, kw
+        assert eng._alloc.available == eng.n_pages - 1, kw  # pool restored
+        assert (eng._mapped == 0).all(), kw
+
+
+def test_paged_speculative_sampled_support(monkeypatch):
+    monkeypatch.setenv("NST_FLASH", "off")
+    import jax
+    jax.clear_caches()
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.runtime.engine import PagedEngine
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=96, hidden_size=64,
+                     n_layers=1, n_heads=2, n_kv_heads=2,
+                     intermediate_size=128, max_position_embeddings=256)
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+    eng = PagedEngine(params, cfg, max_batch=2, max_len=256,
+                      page_size=16, n_pages=20)
+    sp = SamplingParams(do_sample=True, temperature=0.9, top_k=8,
+                        top_p=0.9, repetition_penalty=1.1)
+    sched = ContinuousBatchingScheduler(eng, sp, speculative=True, spec_k=4)
+    rids = [sched.add_request(list(range(1, 9)) * 4, 12),
+            sched.add_request([17, 23, 42], 12)]
+    done = {s.request_id: s.generated for s in sched.run_to_completion()}
+    for r in rids:
+        assert len(done[r]) == 12
+        assert all(0 <= t < 96 for t in done[r])
+    assert eng._alloc.available == eng.n_pages - 1
