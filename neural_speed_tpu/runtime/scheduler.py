@@ -17,7 +17,6 @@ Pure-Python control; all tensor work happens in the Engine's jitted steps.
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import time
 from collections import deque
 from typing import Callable, Deque, Dict, List, Optional, Sequence
@@ -136,7 +135,7 @@ class ContinuousBatchingScheduler:
         self.running: Dict[int, Sequence] = {}  # slot -> seq
         self.finished: Deque[Sequence] = deque()
         self.free_slots = list(range(engine.max_batch))[::-1]
-        self._ids = itertools.count()
+        self._next_rid = 0
         vocab = engine.cfg.vocab_size
         self.sampler = smp.init_state(
             jax.random.PRNGKey(seed), engine.max_batch, vocab,
@@ -151,7 +150,8 @@ class ContinuousBatchingScheduler:
         target slot (prompt-session files — parity:
         model_load_session_file, model_utils.cpp:1775-1830); only the
         suffix is prefilled."""
-        rid = next(self._ids)
+        rid = self._next_rid
+        self._next_rid += 1
         cached = max(0, min(cached, len(prompt) - 1))
         self.waiting.append(
             Sequence(rid, list(prompt), max_new_tokens, streamer=streamer,
@@ -693,3 +693,148 @@ class ContinuousBatchingScheduler:
                 seq.generated
             ) >= seq.max_new_tokens:
                 self._finish(slot, seq)
+
+    # -- checkpoint / resume --------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Serialize EVERYTHING a serving process needs to resume
+        bit-identically: KV cache (any cache type, via its pytree
+        leaves), device sampler state (PRNG key, penalty ring/counts,
+        mirostat mu), host mirrors, queued + running requests, the
+        speculative adaptive state + host RNG, paged page tables and
+        GLM prompt lengths.
+
+        Parity + extension: the reference serializes rng/logits/KV for
+        ONE sequence (`model_get/copy/set_state_data`,
+        model_utils.cpp:1529-1773); this checkpoints the whole
+        continuous-batching server.  Streamer callbacks are not
+        serializable and are dropped — reattach after `load_state`."""
+        import json
+
+        eng = self.engine
+        if self._dev_lens_dirty:
+            self._sync_dev_lengths()
+
+        def seq_j(s: Sequence) -> dict:
+            return {"rid": s.request_id, "prompt": s.prompt,
+                    "mx": s.max_new_tokens, "cached": s.cached,
+                    "status": s.status, "slot": s.slot,
+                    "generated": s.generated, "feed": s.feed, "fed": s.fed}
+
+        arrays: Dict[str, np.ndarray] = {}
+        dtypes: List[str] = []
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(eng.cache)):
+            a = np.asarray(leaf)
+            dtypes.append(str(a.dtype))
+            if a.dtype == jnp.bfloat16:
+                a = a.view(np.uint16)
+            arrays[f"c{i}"] = a
+        for name, a in (("s_key", self.sampler.key),
+                        ("s_cnt", self.sampler.counts),
+                        ("s_ring", self.sampler.last_tokens),
+                        ("s_pos", self.sampler.ring_pos),
+                        ("s_mu", self.sampler.mu)):
+            arrays[name] = np.asarray(a)
+        arrays["slot_len"] = self._slot_len
+        arrays["last_tokens"] = self._last_tokens
+        if hasattr(eng, "page_size"):
+            arrays["pg_tables"] = eng._tables
+            arrays["pg_lens"] = eng._lens
+            arrays["pg_mapped"] = eng._mapped
+        if eng.glm_lens is not None:
+            arrays["glm_lens"] = eng.glm_lens
+        meta = {
+            "magic": "nst-sched1",
+            "cache_dtypes": dtypes,
+            "sp": dataclasses.asdict(self.sp),
+            "cfg": {"eos_id": self.eos_id, "chunk_size": self.chunk_size,
+                    "speculative": self.speculative, "spec_k": self.spec_k,
+                    "spec_min_k": self.spec_min_k,
+                    "spec_max_ngram": self.spec_max_ngram,
+                    "mixed_prefill": self.mixed_prefill,
+                    "mixed_chunk": self.mixed_chunk},
+            "waiting": [seq_j(s) for s in self.waiting],
+            "running": {str(k): seq_j(s) for k, s in self.running.items()},
+            "free_slots": list(self.free_slots),
+            "next_rid": self._next_rid,
+            "pens": {str(k): list(p.obs) for k, p in self._pens.items()},
+            "spec_gain": self._spec_gain_ema,
+            "spec_backoff": self._spec_backoff,
+            "spec_rng": self._spec_rng.bit_generator.state,
+        }
+        np.savez(path, __manifest__=json.dumps(meta), **arrays)
+
+    @classmethod
+    def load_state(cls, engine: Engine, path: str,
+                   streamers: Optional[Dict[int, Callable]] = None
+                   ) -> "ContinuousBatchingScheduler":
+        """Rebuild a scheduler from `save_state` onto a fresh engine of
+        the same configuration.  `streamers`: optional request_id ->
+        callback map to reattach."""
+        import json
+
+        from .speculative import _PenalizedGreedy
+
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["__manifest__"]))
+        assert meta["magic"] == "nst-sched1"
+        sp = smp.SamplingParams(**meta["sp"])
+        self = cls(engine, sp, **meta["cfg"])
+
+        leaves = jax.tree_util.tree_leaves(engine.cache)
+        treedef = jax.tree_util.tree_structure(engine.cache)
+        new_leaves = []
+        for i, (leaf, dt) in enumerate(zip(leaves, meta["cache_dtypes"])):
+            a = z[f"c{i}"]
+            if dt == "bfloat16":
+                new_leaves.append(jnp.asarray(a).view(jnp.bfloat16))
+            else:
+                new_leaves.append(jnp.asarray(a))
+        engine.cache = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+        self.sampler = smp.SamplerState(
+            key=jnp.asarray(z["s_key"]), counts=jnp.asarray(z["s_cnt"]),
+            last_tokens=jnp.asarray(z["s_ring"]),
+            ring_pos=jnp.asarray(z["s_pos"]), mu=jnp.asarray(z["s_mu"]),
+        )
+        self._slot_len = np.asarray(z["slot_len"], np.int64).copy()
+        self._last_tokens = np.asarray(z["last_tokens"], np.int32).copy()
+        if hasattr(engine, "page_size"):
+            engine._tables = np.asarray(z["pg_tables"], np.int32).copy()
+            engine._lens = np.asarray(z["pg_lens"], np.int64).copy()
+            engine._mapped = np.asarray(z["pg_mapped"], np.int64).copy()
+            used = set()
+            for slot in range(engine.max_batch):
+                used.update(
+                    engine._tables[slot, : int(engine._mapped[slot])]
+                    .tolist())
+            engine._alloc.free = [p for p in range(engine.n_pages - 1)
+                                  if p not in used]
+            engine._sync_tables()
+        if engine.glm_lens is not None and "glm_lens" in z:
+            engine.glm_lens = np.asarray(z["glm_lens"], np.int32).copy()
+
+        def seq_of(d: dict) -> Sequence:
+            s = Sequence(d["rid"], list(d["prompt"]), d["mx"],
+                         cached=d["cached"], status=d["status"],
+                         slot=d["slot"],
+                         generated=list(d["generated"]),
+                         feed=(list(d["feed"]) if d["feed"] is not None
+                               else None), fed=d["fed"])
+            if streamers and d["rid"] in streamers:
+                s.streamer = streamers[d["rid"]]
+            return s
+
+        self.waiting = deque(seq_of(d) for d in meta["waiting"])
+        self.running = {int(k): seq_of(d)
+                        for k, d in meta["running"].items()}
+        self.free_slots = list(meta["free_slots"])
+        self._next_rid = meta["next_rid"]
+        for k, obs in meta["pens"].items():
+            pen = _PenalizedGreedy([], self.sp)
+            pen.obs = list(obs)
+            self._pens[int(k)] = pen
+        self._spec_gain_ema = meta["spec_gain"]
+        self._spec_backoff = meta["spec_backoff"]
+        self._spec_rng = np.random.default_rng()
+        self._spec_rng.bit_generator.state = meta["spec_rng"]
+        return self

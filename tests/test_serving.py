@@ -613,3 +613,67 @@ def test_server_beam_rejects_mixed_prefill(our_model):
     with pytest.raises(ValueError):
         ModelServer(our_model, lambda r, t: None, num_beams=2,
                     mixed_prefill=True)
+
+
+@pytest.mark.parametrize("mode", ["greedy", "spec", "mixed", "sampled",
+                                  "paged_spec"])
+def test_scheduler_checkpoint_resume(our_model, tmp_path, mode):
+    """Serving checkpoint/resume (parity+extension of the reference's
+    rng/logits/KV state blob, model_utils.cpp:1529-1773): save mid-run,
+    rebuild on a FRESH engine, and the resumed run must emit exactly what
+    the uninterrupted run emits — across greedy/penalized, speculative,
+    mixed-prefill, sampled (device+host RNG state), and paged engines
+    (page tables + allocator reconstruction)."""
+    from neural_speed_tpu.runtime.engine import PagedEngine
+
+    params = our_model.engine.params
+    cfg = our_model.cfg
+
+    def fresh_engine():
+        if mode == "paged_spec":
+            return PagedEngine(params, cfg, max_batch=4, max_len=128,
+                               page_size=16, fuse=False)
+        return Engine(params, cfg, max_batch=4, max_len=128, fuse=False)
+
+    kw = dict(chunk_size=3)
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    if mode in ("spec", "paged_spec"):
+        kw.update(speculative=True, spec_k=4)
+    elif mode == "mixed":
+        kw.update(mixed_prefill=True, mixed_chunk=8)
+    elif mode == "sampled":
+        sp = SamplingParams(do_sample=True, temperature=0.9, top_k=8,
+                            top_p=0.9, repetition_penalty=1.1)
+        kw.update(speculative=True, spec_k=4)
+
+    prompts = [[1, 17, 9, 33] * 4, [2, 5, 8, 13, 21, 34],
+               list(range(40, 70)), [7, 7, 7] * 4, [9, 4]]
+
+    def seed_requests(s):
+        return [s.add_request(list(p), 14) for p in prompts]
+
+    # uninterrupted reference
+    s_ref = ContinuousBatchingScheduler(fresh_engine(), sp, seed=5, **kw)
+    rids = seed_requests(s_ref)
+    ref = {q.request_id: q.generated for q in s_ref.run_to_completion()}
+
+    # interrupted at several points: save -> fresh engine -> resume
+    for cut in (1, 3, 6):
+        s1 = ContinuousBatchingScheduler(fresh_engine(), sp, seed=5, **kw)
+        seed_requests(s1)
+        done = {}
+        for _ in range(cut):
+            if not s1.has_work:
+                break
+            s1.step()
+            for q in s1.pop_finished():
+                done[q.request_id] = q.generated
+        path = str(tmp_path / f"{mode}_{cut}.npz")
+        s1.save_state(path)
+
+        s2 = ContinuousBatchingScheduler.load_state(fresh_engine(), path)
+        while s2.has_work:
+            s2.step()
+            for q in s2.pop_finished():
+                done[q.request_id] = q.generated
+        assert {r: done[r] for r in rids} == ref, (mode, cut)
