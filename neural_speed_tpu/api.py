@@ -49,6 +49,7 @@ class Model:
         model_file: Optional[str] = None,
         lora_path: Optional[str] = None,
         lora_scale: Optional[float] = None,
+        tp: int = 1,
     ):
         """Convert + quantize an HF checkpoint (parity: Model.init,
         __init__.py:142-225).  `use_cache` reuses the packed .npz;
@@ -98,7 +99,7 @@ class Model:
                 lcfg = dict(lcfg, lora_alpha=lora_scale * lcfg.get("r", 1.0))
             params = lora_mod.apply_lora_to_params(params, self.cfg, lsd,
                                                    lcfg)
-        self._make_engine(params, max_batch, ctx_size, kv_quantized)
+        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp)
         return self
 
     def _convert(self, model_name: str, qspec: Optional[QSpec]):
@@ -110,16 +111,18 @@ class Model:
 
     def init_from_bin(self, arch_cfg: ArchConfig, bin_path: str,
                       max_batch: int = 1, ctx_size: int = 2048,
-                      kv_quantized: bool = False, tokenizer=None):
+                      kv_quantized: bool = False, tokenizer=None,
+                      tp: int = 1):
         """Load a previously saved packed model (parity: init_from_bin)."""
         self.cfg = arch_cfg
         self.tokenizer = tokenizer
         params = serialization.load_params(bin_path)
-        self._make_engine(params, max_batch, ctx_size, kv_quantized)
+        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp)
         return self
 
     def init_from_gguf(self, gguf_path: str, max_batch: int = 1,
-                       ctx_size: int = 2048, kv_quantized: bool = False):
+                       ctx_size: int = 2048, kv_quantized: bool = False,
+                       tp: int = 1):
         from .convert import gguf as gguf_mod
 
         params, cfg, tok = gguf_mod.load_gguf_model(gguf_path)
@@ -127,10 +130,21 @@ class Model:
         self.tokenizer = tok
         if tok is not None:
             self.eos_id = tok.eos_token_id
-        self._make_engine(params, max_batch, ctx_size, kv_quantized)
+        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp)
         return self
 
-    def _make_engine(self, params, max_batch, ctx_size, kv_quantized):
+    def _make_engine(self, params, max_batch, ctx_size, kv_quantized,
+                     tp: int = 1):
+        if tp > 1:
+            # multi-chip serving: shard per the Megatron split table and
+            # drive the whole mesh from this process (parallel/tp.TPEngine)
+            from .parallel.tp import TPEngine, make_mesh
+
+            self.engine = TPEngine(
+                params, self.cfg, make_mesh(tp=tp), max_batch=max_batch,
+                max_len=ctx_size, kv_quantized=kv_quantized,
+            )
+            return
         self.engine = Engine(
             params, self.cfg, max_batch=max_batch, max_len=ctx_size,
             kv_quantized=kv_quantized,

@@ -283,3 +283,178 @@ def make_tp_step(cfg: ArchConfig, mesh: Mesh, params_specs):
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(1,))
+
+
+class TPEngine:
+    """Serving engine over a TP(+DP/EP) mesh: the drop-in multi-chip
+    `Engine` for the continuous-batching scheduler / ModelServer / Model
+    API (parity: the reference serves under TP — every rank's model_eval
+    is TP-aware and the server just calls it, docs/tensor_parallelism.md;
+    here one process drives the whole mesh through shard_map).
+
+    Built on the same machinery as make_tp_step: params fused then
+    sharded per the Megatron split table (scale groups intact), KV cache
+    head-sharded when possible, one psum after attn-out and ffn-down.
+    The scheduler drives it exclusively through run_prefill /
+    run_decode_chunk / run_verify_rows / run_verify_argmax, all wrapping
+    ONE shard_map'ed full-logits step."""
+
+    def __init__(self, params: Dict[str, Any], cfg: ArchConfig, mesh: Mesh,
+                 max_batch: int = 1, max_len: int = 2048,
+                 kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
+                 buckets=None, fuse: bool = False):
+        from ..runtime.engine import DEFAULT_BUCKETS
+
+        if cfg.rope_style == "chatglm":
+            raise NotImplementedError(
+                "chatglm-1 (GLM blank-infilling positions/mask) is "
+                "single-chip only")
+        if fuse:
+            # a column shard of the fused [q|k|v] concat mixes projections
+            # (device0 would get q-only columns that the layer then splits
+            # as q/k/v) — per-device fusion needs a device-aware column
+            # layout, planned; TP runs with separate projections
+            raise NotImplementedError(
+                "fused QKV/gate-up does not compose with TP column splits; "
+                "pass unfused params (fuse=False)")
+        self.mesh = mesh
+        self.params, self._specs = shard_params(params, cfg, mesh)
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.kv_dtype = kv_dtype
+        self.kv_quantized = kv_quantized
+        buckets = buckets or DEFAULT_BUCKETS
+        self.buckets = tuple(b for b in buckets if b <= max_len) or (
+            max_len,)
+        if self.buckets[-1] < max_len:
+            self.buckets = self.buckets + (max_len,)
+        self.shift_roped_k = False
+        self.n_keep = 4
+        self.n_discard = -1
+        self.glm_lens = None
+        self._step = make_tp_step(cfg, mesh, self._specs)
+        self.cache = self.new_cache()
+
+    # -- Engine surface ---------------------------------------------------
+    def new_cache(self) -> kvc.KVCache:
+        return kvc.init_cache(
+            self.cfg.n_layers, self.max_batch, self.max_len,
+            self.cfg.n_kv_heads, self.cfg.head_dim, self.kv_dtype,
+            self.kv_quantized,
+        )
+
+    def glm_arg(self):
+        return None
+
+    def discard_count(self) -> int:
+        nd = self.n_discard
+        if nd <= 0:
+            nd = max((self.max_len - self.n_keep) // 2, 1)
+        return nd
+
+    def rope_inv_freq(self):
+        from ..ops.rope import rope_inv_freq
+
+        rot = self.cfg.rot_dim or self.cfg.head_dim
+        inv, _ = rope_inv_freq(rot, self.cfg.rope_base,
+                               self.cfg.rope_scaling, seq_len=self.max_len)
+        return inv
+
+    # scheduler hooks (contiguous cache: no page management)
+    def prepare_prefill(self, *a, **k):
+        return None
+
+    def prepare_decode(self, *a, **k):
+        return None
+
+    def prepare_rows(self, *a, **k):
+        return None
+
+    def commit_lens(self, *a, **k):
+        return None
+
+    def release_slot(self, *a, **k):
+        return None
+
+    # -- scheduler step methods -------------------------------------------
+    def run_prefill(self, ids, lens, starts):
+        b, t = ids.shape
+        active = lens > 0
+        pos = starts[:, None] + jnp.arange(t)[None, :]
+        in_range = jnp.arange(t)[None, :] < lens[:, None]
+        pos = jnp.where(in_range, pos, self.max_len - 1)
+        kv_lens = jnp.where(active, starts + lens, self.cache.lengths)
+        logits, self.cache = self._step(self.params, self.cache,
+                                        ids, pos, kv_lens)
+        self.cache = kvc.set_lengths(self.cache, kv_lens)
+        last = jnp.clip(lens - 1, 0, t - 1)
+        return jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0]
+
+    def run_decode_chunk(self, sampler, tokens, active, chunk: int, sp):
+        from ..ops import sampling as smp
+
+        outs = []
+        cur = tokens
+        for _ in range(chunk):
+            lens = self.cache.lengths
+            pos = jnp.where(active, lens, self.max_len - 1)[:, None]
+            kv_lens = lens + active.astype(jnp.int32)
+            logits, self.cache = self._step(self.params, self.cache,
+                                            cur[:, None], pos, kv_lens)
+            self.cache = kvc.set_lengths(self.cache, kv_lens)
+            nxt, sampler = smp.sample(logits[:, 0], sampler, sp,
+                                      active=active)
+            cur = jnp.where(active, nxt.astype(jnp.int32), cur)
+            outs.append(cur)
+        return jnp.stack(outs, axis=1), sampler
+
+    def run_verify_rows(self, ids, pos, kv_lens, row_idx):
+        logits, self.cache = self._step(self.params, self.cache,
+                                        ids, pos, kv_lens)
+        return jnp.take_along_axis(logits, row_idx[..., None], axis=1)
+
+    def run_verify_argmax(self, ids, pos, kv_lens):
+        logits, self.cache = self._step(self.params, self.cache,
+                                        ids, pos, kv_lens)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # -- single-prompt convenience (Model.generate parity) -----------------
+    def prefill(self, prompts):
+        from ..runtime.engine import pad_to_bucket
+
+        b = len(prompts)
+        assert b <= self.max_batch
+        t = pad_to_bucket(max(len(p) for p in prompts), self.buckets)
+        ids = np.zeros((self.max_batch, t), np.int32)
+        lens = np.zeros((self.max_batch,), np.int32)
+        for i, p in enumerate(prompts):
+            ids[i, : len(p)] = p
+            lens[i] = len(p)
+        self.cache = kvc.set_lengths(
+            self.cache, jnp.zeros((self.max_batch,), jnp.int32))
+        return self.run_prefill(jnp.asarray(ids), jnp.asarray(lens),
+                                jnp.zeros((self.max_batch,), jnp.int32))
+
+    def decode(self, tokens, active):
+        lens = self.cache.lengths
+        pos = jnp.where(active, lens, self.max_len - 1)[:, None]
+        kv_lens = lens + active.astype(jnp.int32)
+        logits, self.cache = self._step(self.params, self.cache,
+                                        tokens[:, None], pos, kv_lens)
+        self.cache = kvc.set_lengths(self.cache, kv_lens)
+        return logits[:, 0]
+
+    def generate_greedy(self, prompt, max_new_tokens, eos_id=None):
+        logits = self.prefill([prompt])
+        out = []
+        tok = int(jnp.argmax(logits[0]))
+        active = jnp.zeros((self.max_batch,), bool).at[0].set(True)
+        for _ in range(max_new_tokens):
+            out.append(tok)
+            if eos_id is not None and tok == eos_id:
+                break
+            logits = self.decode(
+                jnp.full((self.max_batch,), tok, jnp.int32), active)
+            tok = int(jnp.argmax(logits[0]))
+        return out

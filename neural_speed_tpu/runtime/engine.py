@@ -186,6 +186,49 @@ class Engine:
             self.kv_quantized,
         )
 
+    # -- scheduler step methods -----------------------------------------
+    # The scheduler drives the engine EXCLUSIVELY through these four
+    # methods, so sharded engines (parallel/tp.py TPEngine) can serve by
+    # overriding them with shard_map'ed steps.
+    def run_prefill(self, ids: jax.Array, lens: jax.Array,
+                    starts: jax.Array) -> jax.Array:
+        """Padded prefill batch; returns last-real-token logits [B, V]."""
+        logits, self.cache = prefill_step(
+            self.params, self.cfg, self.cache, ids, lens, starts
+        )
+        return logits
+
+    def run_decode_chunk(self, sampler, tokens: jax.Array,
+                         active: jax.Array, chunk: int, sp):
+        """`chunk` decode+sample steps; returns (tokens [B, chunk],
+        sampler)."""
+        toks, self.cache, sampler = decode_sample_chunk(
+            self.params, self.cfg, self.cache, sampler, tokens, active,
+            chunk, sp, glm_lens=self.glm_arg(),
+        )
+        return toks, sampler
+
+    def run_verify_rows(self, ids, pos, kv_lens, row_idx) -> jax.Array:
+        """Multi-token verify forward; returns the gathered logit rows
+        [B, R, V]."""
+        from .speculative import _verify_forward_rows
+
+        rows, self.cache = _verify_forward_rows(
+            self.params, self.cfg, self.cache, ids, pos, kv_lens, row_idx,
+            glm_lens=self.glm_arg(),
+        )
+        return rows
+
+    def run_verify_argmax(self, ids, pos, kv_lens) -> jax.Array:
+        """Verify forward reduced to per-position argmax ids [B, T]."""
+        from .speculative import _verify_forward_argmax
+
+        g, self.cache = _verify_forward_argmax(
+            self.params, self.cfg, self.cache, ids, pos, kv_lens,
+            glm_lens=self.glm_arg(),
+        )
+        return g
+
     # -- single-prompt convenience (Model.generate parity) ---------------
     def prefill(self, prompts: List[List[int]]) -> jax.Array:
         """Prefill `prompts` into slots 0..B-1; returns last-token logits."""

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sampling as smp
-from .engine import Engine, pad_to_bucket, prefill_step
+from .engine import Engine, pad_to_bucket
 
 
 class SeqStatus:
@@ -254,10 +254,8 @@ class ContinuousBatchingScheduler:
         eng.prepare_prefill([s.slot for s in batch],
                             [lens[s.slot] for s in batch], starts=start)
         with self.timings.timer("prefill", int(lens.sum())):
-            logits, eng.cache = prefill_step(
-                eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
-                jnp.asarray(lens), jnp.asarray(start),
-            )
+            logits = eng.run_prefill(jnp.asarray(ids), jnp.asarray(lens),
+                                     jnp.asarray(start))
             logits.block_until_ready()
         self._sample_and_commit(logits, {s.slot: s for s in batch},
                                 prompt_obs=batch)
@@ -283,13 +281,10 @@ class ContinuousBatchingScheduler:
         chunk = self.chunk_size
         self._maybe_evict(active_np, chunk)
         eng.prepare_decode(active_np, chunk)
-        from .engine import decode_sample_chunk
-
         with self.timings.timer("decode", int(active_np.sum()) * chunk):
-            toks, eng.cache, self.sampler = decode_sample_chunk(
-                eng.params, eng.cfg, eng.cache, self.sampler,
-                jnp.asarray(self._last_tokens), jnp.asarray(active_np),
-                chunk, self.sp, glm_lens=eng.glm_arg(),
+            toks, self.sampler = eng.run_decode_chunk(
+                self.sampler, jnp.asarray(self._last_tokens),
+                jnp.asarray(active_np), chunk, self.sp,
             )
             toks_np = np.asarray(toks)  # [B, chunk] — the one host sync
         self._slot_len[active_np] += chunk
@@ -346,8 +341,7 @@ class ContinuousBatchingScheduler:
         token) — the ORCA-style mixed iteration of the reference
         (llama.cpp:64-90: one eval over concatenated prefill+decode
         sequences, rope/attention per infer group = per slot here)."""
-        from .speculative import (_SPEC_BUCKETS, _verify_forward_argmax,
-                                  propose_ngram)
+        from .speculative import _SPEC_BUCKETS, propose_ngram
 
         eng = self.engine
         slots = [(slot, seq) for slot, seq in self.running.items()
@@ -416,8 +410,6 @@ class ContinuousBatchingScheduler:
         timer_key = "mixed" if slots_p else "decode"
         with self.timings.timer(timer_key, int(seq_lens.sum())):
             if sampled or penalized:
-                from .speculative import _verify_forward_rows
-
                 # fetch only the rows the accept loops read: every decode
                 # row, but just the prompt-completing row of prefill
                 # chunks (prefill rows are forced tokens — their logits
@@ -432,17 +424,14 @@ class ContinuousBatchingScheduler:
                 ).astype(np.int32).copy()
                 for slot, _ in slots_p:
                     row_idx[slot, :] = len(rows[slot]) - 1
-                rows_dev, eng.cache = _verify_forward_rows(
-                    eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
-                    jnp.asarray(pos), jnp.asarray(kv_lens),
-                    jnp.asarray(row_idx), glm_lens=eng.glm_arg(),
+                rows_dev = eng.run_verify_rows(
+                    jnp.asarray(ids), jnp.asarray(pos),
+                    jnp.asarray(kv_lens), jnp.asarray(row_idx),
                 )
                 rows_np = np.asarray(rows_dev, np.float32)
             else:
-                g_ids, eng.cache = _verify_forward_argmax(
-                    eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
-                    jnp.asarray(pos), jnp.asarray(kv_lens),
-                    glm_lens=eng.glm_arg(),
+                g_ids = eng.run_verify_argmax(
+                    jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(kv_lens)
                 )
                 g_np = np.asarray(g_ids)  # [B, pad_t] — the one host sync
 
@@ -646,10 +635,8 @@ class ContinuousBatchingScheduler:
             ids[slot, : len(re_eval)] = re_eval
             lens[slot] = len(re_eval)
             start[slot] = n_keep
-            _logits, eng.cache = prefill_step(
-                eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
-                jnp.asarray(lens), jnp.asarray(start),
-            )
+            _logits = eng.run_prefill(jnp.asarray(ids), jnp.asarray(lens),
+                                      jnp.asarray(start))
             self._slot_len[slot] = n_keep + len(re_eval)
 
     def _sample_and_commit(self, logits, slot_map: Dict[int, Sequence],

@@ -1,0 +1,146 @@
+"""Serving over a TP mesh: the TPEngine drives the full serving stack
+(continuous batching, speculation, sampling, ModelServer) on an
+8-virtual-device CPU mesh, producing the same greedy token streams as
+the single-device Engine (the reference serves under TP too — each
+rank's model_eval is TP-aware, docs/tensor_parallelism.md; here one
+process drives the mesh through shard_map)."""
+
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_speed_tpu.models.arch import ArchConfig
+from neural_speed_tpu.ops.qtypes import QSpec, QType
+from neural_speed_tpu.ops.quantize import quantize
+from neural_speed_tpu.ops.sampling import SamplingParams
+from neural_speed_tpu.parallel import tp as tpmod
+from neural_speed_tpu.parallel.tp import TPEngine
+from neural_speed_tpu.runtime.engine import Engine
+from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+
+V = 128
+
+
+def _cfg():
+    return ArchConfig(
+        name="llama", vocab_size=V, hidden_size=64, n_layers=2, n_heads=4,
+        n_kv_heads=4, intermediate_size=128, max_position_embeddings=128,
+    )
+
+
+def _params(cfg, qspec=None, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def lin(k, n):
+        w = rng.standard_normal((k, n), np.float32) * 0.05
+        if qspec is not None:
+            return {"w": quantize(jnp.asarray(w), qspec)}
+        return {"w": jnp.asarray(w)}
+
+    e = cfg.hidden_size
+    p = {
+        "embed": {"weight": jnp.asarray(
+            rng.standard_normal((V, e), np.float32) * 0.05)},
+        "layers": [],
+        "final_norm": {"weight": jnp.ones((e,))},
+        "lm_head": lin(e, V),
+    }
+    for _ in range(cfg.n_layers):
+        p["layers"].append({
+            "attn_norm": {"weight": jnp.ones((e,))},
+            "ffn_norm": {"weight": jnp.ones((e,))},
+            "q": lin(e, cfg.q_dim),
+            "k": lin(e, cfg.kv_dim),
+            "v": lin(e, cfg.kv_dim),
+            "o": lin(cfg.q_dim, e),
+            "ffn": {"gate": lin(e, cfg.intermediate_size),
+                    "up": lin(e, cfg.intermediate_size),
+                    "down": lin(cfg.intermediate_size, e)},
+        })
+    return p
+
+
+PROMPTS = [
+    [1, 17, 9, 33] * 4,                  # repetitive: drafts accepted
+    [2, 5, 8, 13, 21, 34],
+    list(range(40, 70)),                 # long: multi-chunk under mixed
+    [7, 7, 7],                           # queued beyond max_batch
+]
+
+
+def _run(engine, sp, **kw):
+    sched = ContinuousBatchingScheduler(engine, sp, chunk_size=4, **kw)
+    rids = [sched.add_request(list(p), 12) for p in PROMPTS]
+    done = {s.request_id: s.generated for s in sched.run_to_completion()}
+    return [done[r] for r in rids]
+
+
+@pytest.mark.parametrize("qspec", [None, QSpec(QType.INT, 4, 16, True)],
+                         ids=["fp", "int4"])
+def test_tp_serving_matches_single_device(qspec):
+    cfg = _cfg()
+    params = _params(cfg, qspec)
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    ref = _run(Engine(params, cfg, max_batch=2, max_len=128), sp)
+
+    mesh = tpmod.make_mesh(tp=4, dp=1)
+    tpe = TPEngine(params, cfg, mesh, max_batch=2, max_len=128)
+    assert _run(tpe, sp) == ref
+
+    # speculative + mixed-prefill serving over the mesh
+    tpe2 = TPEngine(params, cfg, mesh, max_batch=2, max_len=128)
+    assert _run(tpe2, sp, speculative=True, spec_k=4) == ref
+    tpe3 = TPEngine(params, cfg, mesh, max_batch=2, max_len=128)
+    assert _run(tpe3, sp, mixed_prefill=True, mixed_chunk=8) == ref
+
+
+def test_tp_engine_generate_greedy_matches():
+    cfg = _cfg()
+    params = _params(cfg)
+    eng = Engine(params, cfg, max_batch=1, max_len=128)
+    ref = eng.generate_greedy(PROMPTS[0], 10)
+    mesh = tpmod.make_mesh(tp=2, dp=1)
+    tpe = TPEngine(params, cfg, mesh, max_batch=1, max_len=128)
+    assert tpe.generate_greedy(PROMPTS[0], 10) == ref
+
+
+def test_tp_serving_sampled_runs():
+    cfg = _cfg()
+    params = _params(cfg)
+    mesh = tpmod.make_mesh(tp=2, dp=1)
+    tpe = TPEngine(params, cfg, mesh, max_batch=2, max_len=128)
+    sp = SamplingParams(do_sample=True, temperature=0.9, top_k=8,
+                        top_p=0.9, repetition_penalty=1.1)
+    outs = _run(tpe, sp)
+    assert all(len(o) == 12 for o in outs)
+    assert all(0 <= t < V for o in outs for t in o)
+
+
+def test_model_server_over_tp():
+    from neural_speed_tpu.runtime.server import ModelServer
+
+    cfg = _cfg()
+    params = _params(cfg)
+    mesh = tpmod.make_mesh(tp=2, dp=1)
+    tpe = TPEngine(params, cfg, mesh, max_batch=2, max_len=128)
+    ref = _run(TPEngine(params, cfg, mesh, max_batch=2, max_len=128),
+               SamplingParams(do_sample=False, repetition_penalty=1.0))
+
+    results = {}
+    lock = threading.Lock()
+
+    def cb(rid, toks):
+        with lock:
+            results[rid] = toks
+
+    with ModelServer(
+        tpe, cb,
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.0),
+        max_new_tokens=12,
+    ) as srv:
+        for p in PROMPTS:
+            srv.issue_query(p)
+        srv.join()
+    assert [results[i] for i in sorted(results)] == ref
