@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import kv_cache as kvc
-from .engine import Engine, pad_to_bucket, prefill_step
+from .engine import Engine, pad_to_bucket
 
 
 @dataclasses.dataclass
@@ -250,9 +250,9 @@ class BeamContinuousScheduler:
             if eng.glm_lens is not None:  # chatglm-1: all beam slots share
                 for s in r.slots:         # the request's prompt length
                     eng.glm_lens[s] = len(p)
-        logits, eng.cache = prefill_step(
-            eng.params, eng.cfg, eng.cache, jnp.asarray(ids),
-            jnp.asarray(lens), jnp.zeros((eng.max_batch,), jnp.int32),
+        logits = eng.run_prefill(
+            jnp.asarray(ids), jnp.asarray(lens),
+            jnp.zeros((eng.max_batch,), jnp.int32),
         )
         lp = np.asarray(
             jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)

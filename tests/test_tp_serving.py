@@ -144,3 +144,24 @@ def test_model_server_over_tp():
             srv.issue_query(p)
         srv.join()
     assert [results[i] for i in sorted(results)] == ref
+
+
+def test_beam_search_over_tp():
+    from neural_speed_tpu.runtime.beam import (BeamConfig,
+                                               BeamContinuousScheduler)
+
+    cfg = _cfg()
+    params = _params(cfg)
+
+    def run(eng):
+        sched = BeamContinuousScheduler(
+            eng, BeamConfig(num_beams=2, max_new_tokens=8))
+        rids = [sched.add_request(list(p)) for p in PROMPTS[:2]]
+        done = {r.request_id: r.generated
+                for r in sched.run_to_completion()}
+        return [done[r] for r in rids]
+
+    ref = run(Engine(params, cfg, max_batch=4, max_len=128))
+    mesh = tpmod.make_mesh(tp=2, dp=1)
+    got = run(TPEngine(params, cfg, mesh, max_batch=4, max_len=128))
+    assert got == ref
