@@ -918,7 +918,8 @@ def _write_gguf_nonllama(sd, hf_cfg, out_path, ggml_type, np_of,
         # these families ship byte-level BPE vocabs (gpt2 scheme)
         w.add("tokenizer.ggml.model", "gpt2")
         w.add("tokenizer.ggml.tokens", tokens)
-        w.add("tokenizer.ggml.merges", merges or [])
+        if merges:  # the writer cannot encode empty arrays; the loader
+            w.add("tokenizer.ggml.merges", merges)  # defaults to []
         if hf_cfg.get("bos_token_id") is not None:
             w.add("tokenizer.ggml.bos_token_id", hf_cfg["bos_token_id"])
         if hf_cfg.get("eos_token_id") is not None:

@@ -33,6 +33,7 @@ from ..models.arch import ArchConfig
 from ..models.transformer import forward
 from ..ops import kv_cache as kvc
 from ..ops.quantize import QTensor
+from ..runtime.engine import Engine
 
 COLUMN_KEYS = {"q", "k", "v", "gate", "up", "lm_head"}
 ROW_KEYS = {"o", "down"}
@@ -285,19 +286,19 @@ def make_tp_step(cfg: ArchConfig, mesh: Mesh, params_specs):
     return jax.jit(fn, donate_argnums=(1,))
 
 
-class TPEngine:
+class TPEngine(Engine):
     """Serving engine over a TP(+DP/EP) mesh: the drop-in multi-chip
     `Engine` for the continuous-batching scheduler / ModelServer / Model
     API (parity: the reference serves under TP — every rank's model_eval
     is TP-aware and the server just calls it, docs/tensor_parallelism.md;
     here one process drives the whole mesh through shard_map).
 
-    Built on the same machinery as make_tp_step: params fused then
-    sharded per the Megatron split table (scale groups intact), KV cache
-    head-sharded when possible, one psum after attn-out and ffn-down.
-    The scheduler drives it exclusively through run_prefill /
-    run_decode_chunk / run_verify_rows / run_verify_argmax, all wrapping
-    ONE shard_map'ed full-logits step."""
+    Built on the same machinery as make_tp_step: params sharded per the
+    Megatron split table (scale groups intact), KV cache head-sharded
+    when possible, one psum after attn-out and ffn-down.  Everything the
+    scheduler needs is inherited from Engine except the four run_* step
+    methods (and the single-prompt conveniences), which wrap ONE
+    shard_map'ed full-logits step."""
 
     def __init__(self, params: Dict[str, Any], cfg: ArchConfig, mesh: Mesh,
                  max_batch: int = 1, max_len: int = 2048,
@@ -318,64 +319,12 @@ class TPEngine:
                 "fused QKV/gate-up does not compose with TP column splits; "
                 "pass unfused params (fuse=False)")
         self.mesh = mesh
-        self.params, self._specs = shard_params(params, cfg, mesh)
-        self.cfg = cfg
-        self.max_batch = max_batch
-        self.max_len = max_len
-        self.kv_dtype = kv_dtype
-        self.kv_quantized = kv_quantized
-        buckets = buckets or DEFAULT_BUCKETS
-        self.buckets = tuple(b for b in buckets if b <= max_len) or (
-            max_len,)
-        if self.buckets[-1] < max_len:
-            self.buckets = self.buckets + (max_len,)
-        self.shift_roped_k = False
-        self.n_keep = 4
-        self.n_discard = -1
-        self.glm_lens = None
+        sharded, self._specs = shard_params(params, cfg, mesh)
+        super().__init__(sharded, cfg, max_batch=max_batch, max_len=max_len,
+                         kv_dtype=kv_dtype, kv_quantized=kv_quantized,
+                         buckets=buckets or DEFAULT_BUCKETS, fuse=False)
         self._step = make_tp_step(cfg, mesh, self._specs)
-        self.cache = self.new_cache()
-
-    # -- Engine surface ---------------------------------------------------
-    def new_cache(self) -> kvc.KVCache:
-        return kvc.init_cache(
-            self.cfg.n_layers, self.max_batch, self.max_len,
-            self.cfg.n_kv_heads, self.cfg.head_dim, self.kv_dtype,
-            self.kv_quantized,
-        )
-
-    def glm_arg(self):
-        return None
-
-    def discard_count(self) -> int:
-        nd = self.n_discard
-        if nd <= 0:
-            nd = max((self.max_len - self.n_keep) // 2, 1)
-        return nd
-
-    def rope_inv_freq(self):
-        from ..ops.rope import rope_inv_freq
-
-        rot = self.cfg.rot_dim or self.cfg.head_dim
-        inv, _ = rope_inv_freq(rot, self.cfg.rope_base,
-                               self.cfg.rope_scaling, seq_len=self.max_len)
-        return inv
-
-    # scheduler hooks (contiguous cache: no page management)
-    def prepare_prefill(self, *a, **k):
-        return None
-
-    def prepare_decode(self, *a, **k):
-        return None
-
-    def prepare_rows(self, *a, **k):
-        return None
-
-    def commit_lens(self, *a, **k):
-        return None
-
-    def release_slot(self, *a, **k):
-        return None
+        self._chunk_fns: Dict[Any, Any] = {}
 
     # -- scheduler step methods -------------------------------------------
     def run_prefill(self, ids, lens, starts):
@@ -391,23 +340,45 @@ class TPEngine:
         last = jnp.clip(lens - 1, 0, t - 1)
         return jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0]
 
-    def run_decode_chunk(self, sampler, tokens, active, chunk: int, sp):
+    def _chunk_fn(self, chunk: int, sp):
+        """Jitted decode+sample chunk (the TP analogue of
+        engine.decode_sample_chunk): lax.scan over the shard_map'ed step,
+        ONE dispatch + one host sync per chunk instead of per token."""
+        key = (chunk, sp)
+        fn = self._chunk_fns.get(key)
+        if fn is not None:
+            return fn
         from ..ops import sampling as smp
 
-        outs = []
-        cur = tokens
-        for _ in range(chunk):
-            lens = self.cache.lengths
-            pos = jnp.where(active, lens, self.max_len - 1)[:, None]
-            kv_lens = lens + active.astype(jnp.int32)
-            logits, self.cache = self._step(self.params, self.cache,
-                                            cur[:, None], pos, kv_lens)
-            self.cache = kvc.set_lengths(self.cache, kv_lens)
-            nxt, sampler = smp.sample(logits[:, 0], sampler, sp,
-                                      active=active)
-            cur = jnp.where(active, nxt.astype(jnp.int32), cur)
-            outs.append(cur)
-        return jnp.stack(outs, axis=1), sampler
+        step = self._step
+        max_len = self.max_len
+
+        def chunk_body(params, cache, sampler, tokens, active):
+            def body(carry, _):
+                cache, sampler, cur = carry
+                lens = cache.lengths
+                pos = jnp.where(active, lens, max_len - 1)[:, None]
+                kv_lens = lens + active.astype(jnp.int32)
+                logits, cache = step(params, cache, cur[:, None], pos,
+                                     kv_lens)
+                cache = kvc.set_lengths(cache, kv_lens)
+                nxt, sampler = smp.sample(logits[:, 0], sampler, sp,
+                                          active=active)
+                cur = jnp.where(active, nxt.astype(jnp.int32), cur)
+                return (cache, sampler, cur), cur
+
+            (cache, sampler, _), toks = jax.lax.scan(
+                body, (cache, sampler, tokens), None, length=chunk)
+            return toks.T, cache, sampler
+
+        fn = jax.jit(chunk_body, donate_argnums=(1, 2))
+        self._chunk_fns[key] = fn
+        return fn
+
+    def run_decode_chunk(self, sampler, tokens, active, chunk: int, sp):
+        toks, self.cache, sampler = self._chunk_fn(chunk, sp)(
+            self.params, self.cache, sampler, tokens, active)
+        return toks, sampler
 
     def run_verify_rows(self, ids, pos, kv_lens, row_idx):
         logits, self.cache = self._step(self.params, self.cache,
@@ -444,17 +415,3 @@ class TPEngine:
                                         tokens[:, None], pos, kv_lens)
         self.cache = kvc.set_lengths(self.cache, kv_lens)
         return logits[:, 0]
-
-    def generate_greedy(self, prompt, max_new_tokens, eos_id=None):
-        logits = self.prefill([prompt])
-        out = []
-        tok = int(jnp.argmax(logits[0]))
-        active = jnp.zeros((self.max_batch,), bool).at[0].set(True)
-        for _ in range(max_new_tokens):
-            out.append(tok)
-            if eos_id is not None and tok == eos_id:
-                break
-            logits = self.decode(
-                jnp.full((self.max_batch,), tok, jnp.int32), active)
-            tok = int(jnp.argmax(logits[0]))
-        return out

@@ -110,6 +110,19 @@ class ContinuousBatchingScheduler:
                     f"sampled {mode} scheduling supports temperature/"
                     "top_k/top_p/penalties only (no host replica of "
                     "tfs/typical/mirostat)")
+        if ((speculative or mixed_prefill)
+                and hasattr(engine, "page_size")):
+            # paged spans are written through the page table (append_span)
+            # ONLY up to page_size tokens; longer T>1 windows take the
+            # contiguous-run fast path, which spec/mixed growth pages do
+            # not satisfy — so every joint-step row must fit in a page
+            ps = int(engine.page_size)
+            if ps < 2:
+                raise ValueError("speculative/mixed scheduling on paged "
+                                 "KV needs page_size >= 2")
+            self.mixed_chunk = min(self.mixed_chunk, ps)
+            spec_k = min(spec_k, ps - 1)
+            spec_min_k = min(spec_min_k, ps - 1)
         if mixed_prefill and engine.cfg.rope_style == "chatglm":
             # GLM blank infilling makes prompt attention BIDIRECTIONAL:
             # early-chunk queries must see later prompt keys, which do not
@@ -374,6 +387,14 @@ class ContinuousBatchingScheduler:
         max_seq = max(len(r) for r in rows.values())
         buckets = _SPEC_BUCKETS if self.mixed_chunk <= _SPEC_BUCKETS[-1] \
             else _SPEC_BUCKETS + (self.mixed_chunk,)
+        if hasattr(eng, "page_size"):
+            # the padded window must also fit in one page (append_span
+            # routing; rows are already clamped to page_size at __init__,
+            # but a power-of-two bucket could pad past a non-pow2 page)
+            ps = int(eng.page_size)
+            buckets = tuple(b for b in buckets if b <= ps)
+            if not buckets or buckets[-1] < ps:
+                buckets = buckets + (ps,)
         pad_t = pad_to_bucket(max_seq, buckets)
 
         active_np = np.zeros((b,), bool)
@@ -748,6 +769,8 @@ class ContinuousBatchingScheduler:
             "spec_backoff": self._spec_backoff,
             "spec_rng": self._spec_rng.bit_generator.state,
         }
+        if not path.endswith(".npz"):
+            path = path + ".npz"  # np.savez appends it silently otherwise
         np.savez(path, __manifest__=json.dumps(meta), **arrays)
 
     @classmethod
@@ -761,6 +784,8 @@ class ContinuousBatchingScheduler:
 
         from .speculative import _PenalizedGreedy
 
+        if not path.endswith(".npz"):
+            path = path + ".npz"
         z = np.load(path, allow_pickle=False)
         meta = json.loads(str(z["__manifest__"]))
         assert meta["magic"] == "nst-sched1"

@@ -328,3 +328,44 @@ def test_paged_speculative_sampled_support(monkeypatch):
         assert len(done[r]) == 12
         assert all(0 <= t < 96 for t in done[r])
     assert eng._alloc.available == eng.n_pages - 1
+
+
+def test_paged_span_clamps_to_page_size(monkeypatch):
+    """Regression: joint-step rows longer than page_size would route to
+    append_prefill, whose contiguous-run write corrupts across
+    one-at-a-time growth pages — the scheduler must clamp mixed_chunk and
+    draft lengths so every padded window fits in a page, and outputs must
+    still match the contiguous cache."""
+    monkeypatch.setenv("NST_FLASH", "off")
+    import jax
+    jax.clear_caches()
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.runtime.engine import Engine, PagedEngine
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=96, hidden_size=64,
+                     n_layers=1, n_heads=2, n_kv_heads=2,
+                     intermediate_size=128, max_position_embeddings=256)
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+    prompts = [list(range(1, 9)) * 6, [3, 1, 4, 1, 5, 9, 2, 6]]
+    sp = SamplingParams(do_sample=False)
+
+    def run(eng, **kw):
+        s = ContinuousBatchingScheduler(eng, sp, **kw)
+        rids = [s.add_request(list(p), 16) for p in prompts]
+        done = {q.request_id: q.generated for q in s.run_to_completion()}
+        return [done[r] for r in rids], s
+
+    ref, _ = run(Engine(params, cfg, max_batch=2, max_len=256))
+    # mixed_chunk 32 > page_size 16 and spec_k 31 > page_size-1: both must
+    # clamp instead of corrupting
+    eng = PagedEngine(params, cfg, max_batch=2, max_len=256,
+                      page_size=16, n_pages=40)
+    out, s = run(eng, mixed_prefill=True, mixed_chunk=32,
+                 speculative=True, spec_k=31)
+    assert s.mixed_chunk == 16 and s.spec_k == 15
+    assert out == ref
+    assert eng._alloc.available == eng.n_pages - 1
