@@ -165,3 +165,27 @@ def test_beam_search_over_tp():
     mesh = tpmod.make_mesh(tp=2, dp=1)
     got = run(TPEngine(params, cfg, mesh, max_batch=4, max_len=128))
     assert got == ref
+
+
+def test_moe_serving_over_ep_tp_mesh():
+    """MoE serving on a dp x ep x tp mesh: TPEngine + scheduler produce
+    the single-device greedy stream (experts sharded on 'ep', localized
+    routing; Megatron splits inside each expert shard)."""
+    import dataclasses
+
+    from neural_speed_tpu.models.arch import MoEConfig
+    from neural_speed_tpu.utils.synthetic import synth_params
+    from neural_speed_tpu.ops.qtypes import named_qspec
+
+    cfg = dataclasses.replace(
+        _cfg(), moe=MoEConfig(num_experts=4, top_k=2), intermediate_size=64)
+    params = synth_params(cfg, named_qspec("int4", group_size=16),
+                          dtype=jnp.float32)
+    # strip the fused expert stacks' gateup if any (synth stacks gate/up
+    # separately already) and drop fused qkv (synth is unfused)
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    ref = _run(Engine(params, cfg, max_batch=2, max_len=128, fuse=False),
+               sp)
+    mesh = tpmod.make_mesh(tp=2, dp=1, ep=2)
+    tpe = TPEngine(params, cfg, mesh, max_batch=2, max_len=128)
+    assert _run(tpe, sp) == ref
