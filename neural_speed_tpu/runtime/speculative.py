@@ -183,13 +183,27 @@ def _target_dist(row: np.ndarray, sp: SamplingParams,
     l = l / np.float32(sp.temperature)
     v = l.shape[0]
     if 0 < sp.top_k < v:
-        kth = np.sort(l)[-sp.top_k]
+        # O(V) selection instead of a full sort: at a 32k-152k vocab and
+        # B serving slots this runs per emitted token on the host
+        kth = np.partition(l, v - sp.top_k)[v - sp.top_k]
         l[l < kth] = -np.inf
     if sp.top_p < 1.0:
-        order = np.argsort(l)[::-1]
-        sl = l[order]
-        p = _softmax_np(sl)
-        cum = np.cumsum(p)
+        # nucleus cutoff without sorting the whole vocab: grow a top-m
+        # selection until its cumulative mass covers top_p (the kept set
+        # is a prefix of the descending order, so once covered the
+        # cutoff is exact — identical to the full-sort rule)
+        mx = l.max()
+        total = np.exp(l - mx).sum()  # softmax normalizer over kept set
+        m = 64
+        while True:
+            m = min(m, v)
+            top = np.partition(l, v - m)[v - m:]
+            sl = np.sort(top)[::-1]
+            p = np.exp(sl - mx) / total
+            cum = np.cumsum(p)
+            if cum[-1] >= sp.top_p or m >= v:
+                break
+            m *= 2
         keep = cum - p < sp.top_p
         keep[0] = True  # always keep top-1
         cutoff = sl[keep].min()
