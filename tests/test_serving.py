@@ -543,6 +543,33 @@ def test_scheduler_fuzz_mixed_and_spec_equal_plain(our_model):
     assert run(reqs, mixed_prefill=True, mixed_chunk=8,
                speculative=True, spec_k=5) == ref
 
+    # the same workload over a paged engine, all modes
+    from neural_speed_tpu.runtime.engine import PagedEngine
+
+    def run_paged(reqs, **kw):
+        eng = PagedEngine(our_model.engine.params, our_model.cfg,
+                          max_batch=8, max_len=128, page_size=16,
+                          fuse=False)
+        sched = ContinuousBatchingScheduler(eng, sp, chunk_size=3, **kw)
+        pending = list(reqs)
+        rids, out = [], {}
+        step = 0
+        while pending or sched.has_work:
+            for prompt, budget, _ in [r for r in pending if r[2] <= step]:
+                rids.append(sched.add_request(list(prompt), budget))
+            pending = [r for r in pending if r[2] > step]
+            if sched.has_work:
+                sched.step()
+            for q in sched.pop_finished():
+                out[q.request_id] = q.generated
+            step += 1
+        return [out[r] for r in rids]
+
+    assert run_paged(reqs) == ref
+    assert run_paged(reqs, speculative=True, spec_k=5) == ref
+    assert run_paged(reqs, mixed_prefill=True, mixed_chunk=8,
+                     speculative=True, spec_k=5) == ref
+
 
 # ---------------------------------------------------------------------------
 # review-fix regressions

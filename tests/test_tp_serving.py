@@ -189,3 +189,51 @@ def test_moe_serving_over_ep_tp_mesh():
     mesh = tpmod.make_mesh(tp=2, dp=1, ep=2)
     tpe = TPEngine(params, cfg, mesh, max_batch=2, max_len=128)
     assert _run(tpe, sp) == ref
+
+
+def test_tp_serving_quantized_kv():
+    cfg = _cfg()
+    params = _params(cfg)
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    ref = _run(Engine(params, cfg, max_batch=2, max_len=128,
+                      kv_quantized=True), sp)
+    mesh = tpmod.make_mesh(tp=2, dp=1)
+    tpe = TPEngine(params, cfg, mesh, max_batch=2, max_len=128,
+                   kv_quantized=True)
+    assert _run(tpe, sp) == ref
+
+
+def test_tp_checkpoint_resume(tmp_path):
+    """save_state gathers the sharded cache leaves; load_state onto a
+    fresh TPEngine reshards at the next dispatch — resumed output must be
+    bit-identical."""
+    cfg = _cfg()
+    params = _params(cfg)
+    mesh = tpmod.make_mesh(tp=2, dp=1)
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+
+    def fresh():
+        return TPEngine(params, cfg, mesh, max_batch=2, max_len=128)
+
+    s_ref = ContinuousBatchingScheduler(fresh(), sp, chunk_size=3,
+                                        speculative=True, spec_k=4)
+    rids = [s_ref.add_request(list(p), 10) for p in PROMPTS[:3]]
+    ref = {q.request_id: q.generated for q in s_ref.run_to_completion()}
+
+    s1 = ContinuousBatchingScheduler(fresh(), sp, chunk_size=3,
+                                     speculative=True, spec_k=4)
+    for p in PROMPTS[:3]:
+        s1.add_request(list(p), 10)
+    done = {}
+    for _ in range(3):
+        s1.step()
+        for q in s1.pop_finished():
+            done[q.request_id] = q.generated
+    path = str(tmp_path / "tp_ckpt.npz")
+    s1.save_state(path)
+    s2 = ContinuousBatchingScheduler.load_state(fresh(), path)
+    while s2.has_work:
+        s2.step()
+        for q in s2.pop_finished():
+            done[q.request_id] = q.generated
+    assert {r: done[r] for r in rids} == ref
