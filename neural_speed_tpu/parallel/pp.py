@@ -283,3 +283,49 @@ def make_pp_step(cfg: ArchConfig, mesh: Mesh, n_microbatches: int):
         return jax.jit(f, donate_argnums=(2,))
 
     return build
+
+
+from .tp import TPEngine  # noqa: E402  (no cycle: tp does not import pp)
+
+
+class PPEngine(TPEngine):
+    """Serving engine over a (dp?, pp, tp?) pipeline mesh: GPipe
+    microbatched forward behind the same four scheduler step methods as
+    TPEngine — the continuous-batching scheduler / ModelServer drive a
+    pipeline-sharded model unchanged.  Decode (T=1) pays the pipeline's
+    serial stage latency per token; PP serving trades per-token latency
+    for fitting models no single chip's HBM holds (pair with tp via
+    make_pp_mesh(pp, tp))."""
+
+    def __init__(self, params, cfg: ArchConfig, mesh: Mesh,
+                 max_batch: int = 1, max_len: int = 2048,
+                 kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
+                 buckets=None, n_microbatches: Optional[int] = None,
+                 fuse: bool = False):
+        from ..runtime.engine import DEFAULT_BUCKETS, Engine
+
+        if cfg.rope_style == "chatglm":
+            raise NotImplementedError(
+                "chatglm-1 (GLM blank-infilling positions/mask) is "
+                "single-chip only")
+        if fuse:
+            raise NotImplementedError(
+                "fused QKV/gate-up does not compose with pipeline "
+                "sharding's per-leaf TP specs; pass unfused params")
+        n_mb = n_microbatches or min(max_batch, mesh.shape["pp"])
+        if max_batch % n_mb:
+            raise ValueError(f"max_batch={max_batch} must divide into "
+                             f"n_microbatches={n_mb}")
+        shared, stacked, specs = shard_pp_params(params, mesh, cfg)
+        step = make_pp_step(cfg, mesh, n_mb)(shared, stacked, specs)
+        # bypass TPEngine.__init__ (it re-shards for a flat tp mesh);
+        # Engine.__init__ provides the whole serving surface
+        Engine.__init__(self, shared, cfg, max_batch=max_batch,
+                        max_len=max_len, kv_dtype=kv_dtype,
+                        kv_quantized=kv_quantized,
+                        buckets=buckets or DEFAULT_BUCKETS, fuse=False)
+        self.mesh = mesh
+        self._step_params = (shared, stacked)
+        self._step = (lambda p, cache, ids, pos, kv:
+                      step(p[0], p[1], cache, ids, pos, kv))
+        self._chunk_fns = {}

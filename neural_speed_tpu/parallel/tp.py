@@ -324,6 +324,7 @@ class TPEngine(Engine):
                          kv_dtype=kv_dtype, kv_quantized=kv_quantized,
                          buckets=buckets or DEFAULT_BUCKETS, fuse=False)
         self._step = make_tp_step(cfg, mesh, self._specs)
+        self._step_params = self.params
         self._chunk_fns: Dict[Any, Any] = {}
 
     # -- scheduler step methods -------------------------------------------
@@ -334,7 +335,7 @@ class TPEngine(Engine):
         in_range = jnp.arange(t)[None, :] < lens[:, None]
         pos = jnp.where(in_range, pos, self.max_len - 1)
         kv_lens = jnp.where(active, starts + lens, self.cache.lengths)
-        logits, self.cache = self._step(self.params, self.cache,
+        logits, self.cache = self._step(self._step_params, self.cache,
                                         ids, pos, kv_lens)
         self.cache = kvc.set_lengths(self.cache, kv_lens)
         last = jnp.clip(lens - 1, 0, t - 1)
@@ -377,16 +378,16 @@ class TPEngine(Engine):
 
     def run_decode_chunk(self, sampler, tokens, active, chunk: int, sp):
         toks, self.cache, sampler = self._chunk_fn(chunk, sp)(
-            self.params, self.cache, sampler, tokens, active)
+            self._step_params, self.cache, sampler, tokens, active)
         return toks, sampler
 
     def run_verify_rows(self, ids, pos, kv_lens, row_idx):
-        logits, self.cache = self._step(self.params, self.cache,
+        logits, self.cache = self._step(self._step_params, self.cache,
                                         ids, pos, kv_lens)
         return jnp.take_along_axis(logits, row_idx[..., None], axis=1)
 
     def run_verify_argmax(self, ids, pos, kv_lens):
-        logits, self.cache = self._step(self.params, self.cache,
+        logits, self.cache = self._step(self._step_params, self.cache,
                                         ids, pos, kv_lens)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -411,7 +412,7 @@ class TPEngine(Engine):
         lens = self.cache.lengths
         pos = jnp.where(active, lens, self.max_len - 1)[:, None]
         kv_lens = lens + active.astype(jnp.int32)
-        logits, self.cache = self._step(self.params, self.cache,
+        logits, self.cache = self._step(self._step_params, self.cache,
                                         tokens[:, None], pos, kv_lens)
         self.cache = kvc.set_lengths(self.cache, kv_lens)
         return logits[:, 0]

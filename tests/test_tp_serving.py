@@ -237,3 +237,27 @@ def test_tp_checkpoint_resume(tmp_path):
         for q in s2.pop_finished():
             done[q.request_id] = q.generated
     assert {r: done[r] for r in rids} == ref
+
+
+def test_pp_serving_matches_single_device():
+    """Pipeline-parallel SERVING: PPEngine behind the scheduler (plain and
+    speculative) reproduces the single-device greedy stream on a pp=2 and
+    a pp=2 x tp=2 mesh."""
+    from neural_speed_tpu.parallel import pp as ppmod
+    from neural_speed_tpu.parallel.pp import PPEngine
+
+    cfg = _cfg()
+    params = _params(cfg)
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    ref = _run(Engine(params, cfg, max_batch=2, max_len=128, fuse=False),
+               sp)
+
+    mesh = ppmod.make_pp_mesh(pp=2)
+    ppe = PPEngine(params, cfg, mesh, max_batch=2, max_len=128)
+    assert _run(ppe, sp) == ref
+    ppe2 = PPEngine(params, cfg, mesh, max_batch=2, max_len=128)
+    assert _run(ppe2, sp, speculative=True, spec_k=4) == ref
+
+    mesh2 = ppmod.make_pp_mesh(pp=2, tp=2)
+    ppe3 = PPEngine(params, cfg, mesh2, max_batch=2, max_len=128)
+    assert _run(ppe3, sp) == ref
