@@ -227,3 +227,26 @@ def recommend(cfg: ArchConfig, qspec: Optional[QSpec], n_chips: int,
 
 def _divisors(n: int) -> List[int]:
     return [d for d in range(1, n + 1) if n % d == 0]
+
+
+def build_engine(plan: Plan, params, cfg, max_batch: int = 1,
+                 max_len: int = 2048, kv_quantized: bool = False,
+                 devices=None):
+    """Instantiate the serving engine a Plan describes — the bridge from
+    `recommend()` to a running deployment.  dp/ep/tp plans build a
+    TPEngine over make_mesh; plans with pp>1 build a PPEngine over
+    make_pp_mesh (composing tp inside each stage).  Params must be
+    unfused (fused projections do not compose with column splits)."""
+    from .pp import PPEngine, make_pp_mesh
+    from .tp import TPEngine, make_mesh
+
+    if plan.pp > 1:
+        if plan.ep > 1:
+            raise NotImplementedError("pp x ep plans are not buildable yet")
+        mesh = make_pp_mesh(plan.pp, tp=plan.tp, dp=plan.dp,
+                            devices=devices)
+        return PPEngine(params, cfg, mesh, max_batch=max_batch,
+                        max_len=max_len, kv_quantized=kv_quantized)
+    mesh = make_mesh(tp=plan.tp, dp=plan.dp, ep=plan.ep, devices=devices)
+    return TPEngine(params, cfg, mesh, max_batch=max_batch,
+                    max_len=max_len, kv_quantized=kv_quantized)

@@ -129,3 +129,52 @@ def test_awkward_chip_count_falls_back_to_fewer():
     model fits one chip — recommend must not raise."""
     p = pl.recommend(CFG_7B, Q4, n_chips=6, hbm_gb=16, batch=1, ctx=2048)
     assert p.fits and p.n_chips <= 6
+
+
+def test_build_engine_from_plan():
+    """recommend() -> build_engine() -> serving: the planner's chosen mesh
+    becomes a running engine whose output matches single-device."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.parallel.planner import Plan, build_engine
+    from neural_speed_tpu.runtime.engine import Engine
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+
+    cfg = ArchConfig(name="llama", vocab_size=128, hidden_size=64,
+                     n_layers=2, n_heads=4, n_kv_heads=4,
+                     intermediate_size=128, max_position_embeddings=128)
+    rng = np.random.default_rng(0)
+
+    def lin(k, n):
+        return {"w": jnp.asarray(
+            rng.standard_normal((k, n), np.float32) * 0.05)}
+
+    params = {
+        "embed": {"weight": jnp.asarray(
+            rng.standard_normal((128, 64), np.float32) * 0.05)},
+        "layers": [
+            {"attn_norm": {"weight": jnp.ones((64,))},
+             "ffn_norm": {"weight": jnp.ones((64,))},
+             "q": lin(64, 64), "k": lin(64, 64), "v": lin(64, 64),
+             "o": lin(64, 64),
+             "ffn": {"gate": lin(64, 128), "up": lin(64, 128),
+                     "down": lin(128, 64)}}
+            for _ in range(2)
+        ],
+        "final_norm": {"weight": jnp.ones((64,))},
+        "lm_head": lin(64, 128),
+    }
+
+    def run(eng):
+        s = ContinuousBatchingScheduler(
+            eng, SamplingParams(do_sample=False, repetition_penalty=1.1))
+        s.add_request([1, 17, 9, 33, 2], 8)
+        return s.run_to_completion()[0].generated
+
+    ref = run(Engine(params, cfg, max_batch=2, max_len=128, fuse=False))
+    for plan in (Plan(dp=1, pp=1, tp=2), Plan(dp=1, pp=2, tp=2)):
+        eng = build_engine(plan, params, cfg, max_batch=2, max_len=128)
+        assert run(eng) == ref, plan
