@@ -261,3 +261,29 @@ def test_pp_serving_matches_single_device():
     mesh2 = ppmod.make_pp_mesh(pp=2, tp=2)
     ppe3 = PPEngine(params, cfg, mesh2, max_batch=2, max_len=128)
     assert _run(ppe3, sp) == ref
+
+
+def test_tp_streaming_eviction_matches_single_device():
+    """StreamingLLM eviction (discard-and-re-eval AND shift-RoPE ring) on
+    a TP-sharded KV cache: the eviction ops run as plain jnp on the
+    sharded arrays (GSPMD) and must reproduce the single-device stream."""
+    cfg = _cfg()
+    params = _params(cfg)
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.0)
+    prompt = list(range(1, 25))
+
+    def run(eng, shift):
+        eng.n_keep = 4
+        eng.n_discard = 8
+        eng.shift_roped_k = shift
+        sched = ContinuousBatchingScheduler(eng, sp, chunk_size=2)
+        sched.add_request(list(prompt), 24)  # 24+24 > max_len 32: evicts
+        return sched.run_to_completion()[0].generated
+
+    mesh = tpmod.make_mesh(tp=2, dp=1)
+    for shift in (False, True):
+        ref = run(Engine(params, cfg, max_batch=2, max_len=32, fuse=False),
+                  shift)
+        got = run(TPEngine(params, cfg, mesh, max_batch=2, max_len=32),
+                  shift)
+        assert got == ref, ("shift" if shift else "re-eval")
