@@ -62,6 +62,8 @@ class ModelServer:
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._err: Optional[BaseException] = None
+        self._ckpt_path: Optional[str] = None
+        self._ckpt_done = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -77,6 +79,22 @@ class ModelServer:
         self._queue.join()
         while self.sched.has_work and self._err is None:
             threading.Event().wait(0.01)
+        if self._err:
+            raise self._err
+
+    def save_state(self, path: str, timeout: Optional[float] = 60.0
+                   ) -> None:
+        """Checkpoint the live server between scheduler steps (a
+        consistent point: no dispatch in flight).  Resume with
+        `ContinuousBatchingScheduler.load_state` on a fresh engine +
+        a new ModelServer wired to it (beam servers don't checkpoint)."""
+        if self._beam:
+            raise NotImplementedError(
+                "beam serving has no checkpoint/resume yet")
+        self._ckpt_done.clear()
+        self._ckpt_path = path
+        if not self._ckpt_done.wait(timeout):
+            raise TimeoutError("server checkpoint did not complete")
         if self._err:
             raise self._err
 
@@ -112,6 +130,11 @@ class ModelServer:
                         drained = True
                     except queue.Empty:
                         break
+                if self._ckpt_path is not None:
+                    # between steps: no dispatch in flight, state coherent
+                    self.sched.save_state(self._ckpt_path)
+                    self._ckpt_path = None
+                    self._ckpt_done.set()
                 if self.sched.has_work:
                     self.sched.step()
                     for seq in self.sched.pop_finished():

@@ -704,3 +704,48 @@ def test_scheduler_checkpoint_resume(our_model, tmp_path, mode):
             for q in s2.pop_finished():
                 done[q.request_id] = q.generated
         assert {r: done[r] for r in rids} == ref, (mode, cut)
+
+
+def test_model_server_live_checkpoint(our_model, tmp_path):
+    """Checkpoint a RUNNING server mid-generation and resume on a fresh
+    engine: the union of tokens delivered before the cut and after resume
+    must equal the uninterrupted run's outputs."""
+    from neural_speed_tpu.runtime.server import ModelServer as _MS
+
+    params = our_model.engine.params
+    cfg = our_model.cfg
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+
+    def fresh():
+        return Engine(params, cfg, max_batch=4, max_len=128, fuse=False)
+
+    prompts = [[1, 17, 9, 33] * 3, [2, 5, 8, 13, 21], [7, 7, 7] * 3,
+               list(range(40, 60)), [9, 4, 2]]
+
+    ref = {}
+    with _MS(fresh(), lambda r, t: ref.__setitem__(r, t), sampling=sp,
+             max_new_tokens=12) as srv:
+        for p in prompts:
+            srv.issue_query(p)
+        srv.join()
+
+    got = {}
+    path = str(tmp_path / "live.npz")
+    with _MS(fresh(), lambda r, t: got.__setitem__(r, t), sampling=sp,
+             max_new_tokens=12) as srv:
+        for p in prompts:
+            srv.issue_query(p)
+        import time as _t
+
+        _t.sleep(0.4)            # some progress, some work outstanding
+        srv.save_state(path)
+        srv.shutdown()           # simulated crash after the checkpoint
+
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+
+    sched = ContinuousBatchingScheduler.load_state(fresh(), path)
+    while sched.has_work:
+        sched.step()
+        for q in sched.pop_finished():
+            got[q.request_id] = q.generated
+    assert got == ref
