@@ -20,8 +20,8 @@ called out in SURVEY.md §5 "Distributed communication backend").
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
