@@ -309,14 +309,14 @@ def _cache_append(cache, layer_idx: int, k, v, positions, active):
         if positions.shape[1] == 1:
             return pkv.append_decode(cache, layer_idx, k, v, positions,
                                      active)
-        if positions.shape[1] <= cache.page_size:
-            # short spans (speculative verify, mixed prefill chunks) may
-            # cross into pages claimed one at a time — no physical
-            # contiguity; resolve every row through the page table
-            return pkv.append_span(cache, layer_idx, k, v, positions,
-                                   active=active)
-        return pkv.append_prefill(cache, layer_idx, k, v, positions,
-                                  active=active)
+        # every multi-token paged write resolves per-row through the page
+        # table (append_span): padding rows park on the trash page and
+        # spans may cross pages claimed one at a time.  append_prefill's
+        # single contiguous-window write is UNSAFE here — prefill buckets
+        # pad past the allocated run (pages are claimed for the TRUE
+        # prompt length), so the window tramples the next slot's pages.
+        return pkv.append_span(cache, layer_idx, k, v, positions,
+                               active=active)
     return kvc.append_layer(cache, layer_idx, k, v, positions, active=active)
 
 

@@ -155,12 +155,16 @@ def append_prefill(cache: PagedKVCache, layer: int, k_new: jax.Array,
                    v_new: jax.Array, positions: jax.Array,
                    first_pages: Optional[jax.Array] = None,
                    active=None) -> PagedKVCache:
-    """Prompt-chunk write: the allocator guarantees each slot's blocks for
-    the written span form a contiguous physical run, so the whole [T]
-    window lands with one in-place dynamic slice per slot (same trick as
-    the contiguous cache).  The run's first page is read from the page
-    table (or passed explicitly).  k_new/v_new: [B, T, H, D];
-    positions [B, T] logical contiguous run."""
+    """Prompt-chunk write as ONE in-place dynamic slice per slot.
+
+    UNSAFE unless the CALLER guarantees the slot's physical pages for the
+    ENTIRE PADDED window [T] form a contiguous run: the window writes all
+    T rows from the run's first page, so bucket padding past the
+    allocated pages tramples whatever physical pages follow (the model
+    path uses `append_span` instead, which resolves every row through the
+    page table and parks padding on the trash page).  Kept as the
+    fast-path candidate for a future allocator that reserves padded runs.
+    k_new/v_new: [B, T, H, D]; positions [B, T] logical contiguous run."""
     b, t = positions.shape
     ps = cache.page_size
     if active is None:

@@ -369,3 +369,62 @@ def test_paged_span_clamps_to_page_size(monkeypatch):
     assert s.mixed_chunk == 16 and s.spec_k == 15
     assert out == ref
     assert eng._alloc.available == eng.n_pages - 1
+
+
+def test_paged_prefill_bucket_padding_does_not_trample(monkeypatch):
+    """Regression (found by soak-fuzzing): prefill pads prompts to a
+    power-of-two bucket LARGER than the pages allocated for the true
+    length; the old contiguous-window write (append_prefill) then wrote
+    the padded tail straight through the following physical pages —
+    silently corrupting other slots' KV.  Every multi-token paged write
+    now resolves per-row through the page table.  The distilled trigger:
+    admit new prompts (bucket 64, runs of 1-3 16-row pages) while another
+    slot holds content in the physically adjacent pages."""
+    monkeypatch.setenv("NST_FLASH", "off")
+    import jax
+    jax.clear_caches()
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import named_qspec
+    from neural_speed_tpu.ops.sampling import SamplingParams
+    from neural_speed_tpu.runtime.engine import Engine, PagedEngine
+    from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=96, hidden_size=64,
+                     n_layers=1, n_heads=2, n_kv_heads=2,
+                     intermediate_size=128, max_position_embeddings=256)
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    # (prompt, budget, admission-step): staggered so new runs land next
+    # to a live slot's pages (the seed-7 soak schedule, distilled)
+    rng = np.random.default_rng(7)
+    reqs = []
+    for r in range(8):
+        n = int(rng.integers(2, 50))
+        if r % 2 == 0:
+            unit = rng.integers(1, 90, size=rng.integers(2, 5)).tolist()
+            prompt = (unit * 25)[:n]
+        else:
+            prompt = rng.integers(1, 90, size=n).tolist()
+        reqs.append((prompt, int(rng.integers(1, 16)),
+                     int(rng.integers(0, 8))))
+
+    def run(eng):
+        sched = ContinuousBatchingScheduler(eng, sp, chunk_size=3)
+        pending = list(reqs)
+        rids, out, step = [], {}, 0
+        while pending or sched.has_work:
+            for prompt, budget, _ in [r for r in pending if r[2] <= step]:
+                rids.append(sched.add_request(list(prompt), budget))
+            pending = [r for r in pending if r[2] > step]
+            if sched.has_work:
+                sched.step()
+            for q in sched.pop_finished():
+                out[q.request_id] = q.generated
+            step += 1
+        return [out[r] for r in rids]
+
+    ref = run(Engine(params, cfg, max_batch=4, max_len=128, fuse=False))
+    got = run(PagedEngine(params, cfg, max_batch=4, max_len=128,
+                          page_size=16, fuse=False))
+    assert got == ref
