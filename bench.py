@@ -9,6 +9,8 @@ Extra context (prefill TTFT, memory) goes to stderr.
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -17,9 +19,39 @@ import jax.numpy as jnp
 
 BASELINE_DECODE_TOKS = 24.2  # docs/fused_attention.md:111 (41.27 ms/tok)
 
+METRIC = "llama2-7b int4-g128 decode tok/s (1 chip, batch 1, {kv} KV)"
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def probe_backend(timeout_s=None):
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("NST_BENCH_PROBE_TIMEOUT", "150"))
+    """True iff jax backend init answers in a subprocess within timeout.
+
+    The axon tunnel's failure mode is an indefinite hang inside
+    jax.devices(), so the probe must run out-of-process with a hard
+    timeout — an in-process try/except would never return.
+    """
+    code = "import jax; jax.devices(); print('backend-ok')"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True)
+        ok = r.returncode == 0 and "backend-ok" in r.stdout
+        if not ok:
+            log(f"backend probe rc={r.returncode}: "
+                f"{(r.stderr or '').strip().splitlines()[-1:]!r}")
+        return ok
+    except subprocess.TimeoutExpired:
+        log(f"backend probe timed out after {timeout_s}s")
+        return False
 
 
 def main():
@@ -36,6 +68,26 @@ def main():
                     help="tiny shapes for a smoke run (compile-path check only; "
                          "the reported rate is meaningless on cached tunnels)")
     args = ap.parse_args()
+
+    # ---- backend availability gate (VERDICT r1 §missing-1) ----
+    # One driver-side outage must not erase the round's perf record: probe
+    # the backend out-of-process, retry once, and on double failure run a
+    # degraded CPU compile-check so the JSON line still lands.
+    degraded_error = None
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        if not probe_backend():
+            retry_s = int(os.environ.get("NST_BENCH_RETRY_WAIT", "20"))
+            log(f"backend unavailable; retrying once in {retry_s}s ...")
+            time.sleep(retry_s)
+            if not probe_backend():
+                degraded_error = ("TPU backend unavailable (2 probe "
+                                  "attempts); degraded CPU compile-check")
+                jax.config.update("jax_platforms", "cpu")
+                args.small = True
+                args.prompt = min(args.prompt, 64)
+                args.ctx = min(args.ctx, 128)
+                args.steps = min(args.steps, 4)
+    args.degraded_error = degraded_error
 
     from neural_speed_tpu.models.arch import ArchConfig
     from neural_speed_tpu.ops import kv_cache as kvc
@@ -125,14 +177,36 @@ def main():
         f"{tok_s:.2f} tok/s ({dt/(s2-s1)*1e3:.2f} ms/tok); raw@{s2}: "
         f"{s2*b/t2:.2f} tok/s")
 
-    print(json.dumps({
-        "metric": "llama2-7b int4-g128 decode tok/s (1 chip, batch 1, "
-                  f"{args.kv} KV)",
-        "value": round(tok_s, 2),
-        "unit": "tokens/s",
-        "vs_baseline": round(tok_s / BASELINE_DECODE_TOKS, 3),
-    }))
+    if args.degraded_error:
+        emit({
+            "metric": METRIC.format(kv=args.kv),
+            "value": 0.0,
+            "unit": "tokens/s",
+            "vs_baseline": 0.0,
+            "error": args.degraded_error,
+            "cpu_compile_check": "pass",
+        })
+    else:
+        emit({
+            "metric": METRIC.format(kv=args.kv),
+            "value": round(tok_s, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(tok_s / BASELINE_DECODE_TOKS, 3),
+        })
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — always land the JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        emit({
+            "metric": METRIC.format(kv="int8"),
+            "value": 0.0,
+            "unit": "tokens/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        })
+        sys.exit(0)
