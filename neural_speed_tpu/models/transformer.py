@@ -564,21 +564,34 @@ def _fuse_group(parts):
     return fused
 
 
+def _kernel_pack(val: QTensor) -> QTensor:
+    """Load-time repack so the weight hits a fused Pallas kernel: K-repad
+    to the pack-period x group multiple; odd widths (3/5/6/7) stay in
+    their native multi-plane storage when the planar kernel applies
+    (in-kernel multi-plane dequant — HBM traffic stays at the quantized
+    footprint), else widen to the next kernel-native width as before."""
+    from ..ops.matmul import (_pallas_supported, _planar_supported,
+                              kernel_k_multiple)
+    from ..ops.quantize import repad_k, widen_bits
+
+    g = val.spec.effective_group(val.shape[0])
+    cand = repad_k(val, kernel_k_multiple(val.spec) * g)
+    if _pallas_supported(cand) or _planar_supported(cand):
+        return cand
+    wide = widen_bits(val)
+    if wide is not val:
+        g = wide.spec.effective_group(wide.shape[0])
+        wide = repad_k(wide, kernel_k_multiple(wide.spec) * g)
+    return wide
+
+
 def _repad_tree(node):
-    """Recursively K-repad QTensor weights to bands x group multiples so
-    every projection hits the fused kernel's group-dot fast path."""
-    from ..ops.matmul import _bands
-    from ..ops.quantize import repad_k
-
-    from ..ops.quantize import widen_bits
-
+    """Recursively repack QTensor weights for the fused kernels."""
     if isinstance(node, dict):
         out = {}
         for key, val in node.items():
             if key == "w" and isinstance(val, QTensor):
-                val = widen_bits(val)  # 3/5/6/7-bit -> kernel-native width
-                g = val.spec.effective_group(val.shape[0])
-                out[key] = repad_k(val, _bands(val.spec) * g)
+                out[key] = _kernel_pack(val)
             else:
                 out[key] = _repad_tree(val)
         return out

@@ -60,8 +60,40 @@ def flash_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _head_dim_ok(head_dim: int) -> bool:
+    """Lane-aligned head dims are native; other multiples of 8 up to 256
+    (phi-2/stablelm 80, gptneox 96) run with Mosaic's masked-lane padding —
+    the dots contract over the true D, padding lanes are masked (parity:
+    the reference's mha_dense handles arbitrary head sizes,
+    mha_dense.cpp:31-80).  NST_FLASH_ODD_D=0 restores the old gate."""
+    if head_dim in (64, 128, 256):
+        return True
+    return (head_dim % 8 == 0 and head_dim <= 256
+            and os.environ.get("NST_FLASH_ODD_D", "1") != "0")
+
+
 def _supported(head_dim: int, s: int) -> bool:
-    return head_dim in (64, 128, 256) and s % 128 == 0
+    return _head_dim_ok(head_dim) and s % 128 == 0
+
+
+_warned_shapes: set = set()
+
+
+def warn_fallback(site: str, head_dim: int, s: int) -> None:
+    """One-time warning when a flash-eligible call drops to the XLA path
+    (VERDICT r1: the silent fallback hid that phi-2-class models lost
+    fused attention + native int8-KV reads)."""
+    key = (site, head_dim, s)
+    if key in _warned_shapes:
+        return
+    _warned_shapes.add(key)
+    import warnings
+
+    warnings.warn(
+        f"flash attention unsupported at {site} (head_dim={head_dim}, "
+        f"S={s}); falling back to the XLA attention path",
+        stacklevel=3,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -509,6 +541,7 @@ def mha(
     b, t, h, d = q.shape
     hkv, s = k.shape[-3], k.shape[-2]
     if not _supported(d, s):
+        warn_fallback("mha", d, s)
         return None
     n_rep = h // hkv
     r = n_rep * t
@@ -673,7 +706,8 @@ def mha_paged(q, cache, layer: int, q_positions, kv_lens, *, scale,
     `mha`; KV blocks stream page by page via the prefetched page table."""
     b, t, h, d = q.shape
     hkv = cache.kv_heads
-    if d not in (64, 128, 256) or cache.page_size % 128:
+    if not _head_dim_ok(d) or cache.page_size % 128:
+        warn_fallback("mha_paged", d, cache.page_size)
         return None
     n_rep = h // hkv
     r = n_rep * t

@@ -259,17 +259,212 @@ def _pallas_supported(qt: QTensor) -> bool:
     spec = qt.spec
     if qt.k_shards != 1:
         return False  # multi-slab packs go through the XLA path
-    if spec.double_quant:
-        return False
     if qt.zeros is not None and jnp.issubdtype(qt.zeros.dtype, jnp.floating):
-        return False  # ggml float-offset formats -> XLA path
+        return False  # ggml float-offset formats -> planar kernel
     if spec.is_fp8:
-        return False  # XLA handles fp8 astype well already
+        return False  # -> planar kernel
     if not (spec.is_lut or spec.bits in (1, 2, 4, 8)):
-        return False
+        return False  # odd widths -> planar kernel
     # subdivided group must stay coarse enough that the repeated scale
     # tensor remains a small fraction of the weight bytes
     return _kernel_group(qt) >= 32
+
+
+def _int_planes(bits: int):
+    """(width, shift) per packed plane, MSB-first (matches pack_codes)."""
+    widths = plane_widths(bits)
+    shifts, s = [], bits
+    for w in widths:
+        s -= w
+        shifts.append(s)
+    return list(zip(widths, shifts))
+
+
+def kernel_k_multiple(spec: QSpec) -> int:
+    """K must be a multiple of this x group for a fused kernel (the widest
+    plane's pack period; parity note: the reference's analogous constraint
+    is KPad alignment in bestla_prologue_b.h reorderWeight)."""
+    if spec.is_fp8 or (spec.qtype == QType.INT and spec.bits == 8):
+        return 1
+    if spec.is_lut:
+        return 8
+    return max(32 // w for w in plane_widths(spec.bits))
+
+
+def _planar_supported(qt: QTensor) -> bool:
+    """Formats served by the monolithic-K planar kernel: odd INT widths
+    (3/5/6/7 multi-plane), FP8, and ggml float-offset (Q4_1/Q5_1-style)
+    packs.  Requires group-dot eligibility on every plane (g | K/e_p and
+    g >= 128, or a single group) — awkward shapes fall back to XLA.
+
+    Parity: bestla_gemm.h:2771-4330 KBlock cores cover every width
+    natively; kernel_jit.h:253 DecompressS3."""
+    spec = qt.spec
+    if qt.k_shards != 1:
+        return False
+    if spec.is_lut or (spec.qtype == QType.INT and spec.bits == 1):
+        return False  # LUT/1-bit live in their dedicated kernels
+    float_zero = qt.zeros is not None and jnp.issubdtype(
+        qt.zeros.dtype, jnp.floating)
+    odd = spec.qtype == QType.INT and spec.bits not in (1, 2, 4, 8)
+    if not (spec.is_fp8 or odd or float_zero):
+        return False  # single-plane formats already have the main kernel
+    k = qt.shape[0]
+    g = spec.effective_group(k)
+    if k % g:
+        return False
+    if g >= k:
+        return True
+    if g < 128:
+        return False
+    if spec.is_fp8:
+        return True
+
+    def _plane_ok(w):
+        kw = k // (32 // w)
+        # groups align with bands either way: whole groups per band, or
+        # whole bands per group (correction accumulates across bands)
+        return kw % g == 0 or (kw and g % kw == 0)
+
+    return all(_plane_ok(w) for w in plane_widths(spec.bits))
+
+
+def _gemm_kernel_planar(x_ref, w_refs, s_ref, z_ref, o_ref, *, spec: QSpec,
+                        k: int, g: int, cdt, zmode: str):
+    """Monolithic-K fused dequant-GEMM over multi-plane packs.
+
+    Per-plane scaled group dots: since dequant is linear in the plane
+    codes, each plane p contributes 2^shift_p * (x_g @ codes_pg) * s_g and
+    the zero-point/offset correction is applied once (first plane) via the
+    activation row-sum (bestla_epilogue.h:278-311 analogue).  Float-offset
+    (ggml Q4_1/Q5_1: w = s*code + m) flips the correction sign and drops
+    the scale factor on it.
+
+    x_ref  : [BM, K]
+    w_refs : one packed plane each — uint32 planar words (or fp8/int8 rows)
+    s_ref  : [G, BN] scale rows in natural K-group order (f32)
+    z_ref  : [G, BN] zeros (uint8 int-zp or f32 offsets) or None
+    o_ref  : [BM, BN] f32 out
+    """
+    s_all = s_ref[...]
+    z_all = z_ref[...] if z_ref is not None else None
+    bm = x_ref.shape[0]
+    bn = o_ref.shape[1]
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    if spec.is_fp8:
+        planes = [(w_refs[0], 8, 0)]
+    else:
+        planes = [(r, w, s) for r, (w, s) in zip(w_refs, _int_planes(spec.bits))]
+    first = True
+    for w_ref, width, shift in planes:
+        w_blk = w_ref[...]
+        if spec.is_fp8 or width == 8:
+            e, kw = 1, k
+        else:
+            e = 32 // width
+            kw = k // e
+        g_eff = min(g, kw)
+        n_sub = kw // g_eff
+        for band in range(e):
+            if spec.is_fp8:
+                codes = w_blk.astype(cdt)
+            elif width == 8:
+                codes = w_blk.astype(cdt)
+            else:
+                codes = _unpack_band(w_blk, width, band).astype(cdt)
+            for gg in range(n_sub):
+                grow = (band * kw + gg * g_eff) // g if g < k else 0
+                wsub = codes[gg * g_eff:(gg + 1) * g_eff]
+                k0 = band * kw + gg * g_eff
+                xb = x_ref[:, k0:k0 + g_eff]
+                d = jnp.dot(xb.astype(cdt), wsub,
+                            preferred_element_type=jnp.float32)
+                srow = s_all[grow][None, :].astype(jnp.float32)
+                acc = acc + d * (srow * float(1 << shift))
+                if first and zmode != "none":
+                    xsum = jnp.sum(xb.astype(jnp.float32), axis=1,
+                                   keepdims=True)
+                    if zmode == "sym":
+                        acc = acc - xsum * (spec.code_offset * srow)
+                    elif zmode == "int":
+                        zrow = z_all[grow][None, :].astype(jnp.float32)
+                        acc = acc - xsum * (zrow * srow)
+                    else:  # float offset: w = s*code + m
+                        mrow = z_all[grow][None, :].astype(jnp.float32)
+                        acc = acc + xsum * mrow
+        first = False
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def _qmatmul_planar_2d(x: jax.Array, qt: QTensor, out_dtype=None,
+                       interpret: bool = False) -> jax.Array:
+    """x: [M, K] -> [M, N] via the planar multi-format kernel."""
+    spec = qt.spec
+    k, n = qt.shape
+    m = x.shape[0]
+    out_dtype = out_dtype or x.dtype
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    g = spec.effective_group(k)
+    bm, bn = _choose_bm(m, k), _choose_bn(n)
+    grid = (m // bm, n // bn)
+
+    scales = qt.effective_scales(jnp.float32)
+    zeros = qt.zeros
+    if zeros is None:
+        zmode = "none" if spec.is_fp8 else "sym"
+    elif jnp.issubdtype(zeros.dtype, jnp.floating):
+        zmode = "float"
+        zeros = zeros.astype(jnp.float32)
+    else:
+        zmode = "int"
+
+    x_spec = pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec((wp.shape[0], bn), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM) for wp in qt.data]
+    gr = scales.shape[0]
+    s_spec = pl.BlockSpec((gr, bn), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    bits_eff = 8 if spec.is_fp8 else spec.bits
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=(m * k * (4 if cdt == jnp.float32 else 2)
+                        + k * n * bits_eff // 8 + m * n * 4),
+        transcendentals=0,
+    )
+    n_planes = len(qt.data)
+
+    if zmode in ("int", "float"):
+        def kern(x_ref, *refs):
+            _gemm_kernel_planar(x_ref, refs[:n_planes], refs[n_planes],
+                                refs[n_planes + 1], refs[n_planes + 2],
+                                spec=spec, k=k, g=g, cdt=cdt, zmode=zmode)
+        in_specs = [x_spec, *w_specs, s_spec, s_spec]
+        args = (x.astype(cdt), *qt.data, scales, zeros)
+    else:
+        def kern(x_ref, *refs):  # noqa: F811
+            _gemm_kernel_planar(x_ref, refs[:n_planes], refs[n_planes],
+                                None, refs[n_planes + 1],
+                                spec=spec, k=k, g=g, cdt=cdt, zmode=zmode)
+        in_specs = [x_spec, *w_specs, s_spec]
+        args = (x.astype(cdt), *qt.data, scales)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+    return out.astype(out_dtype)
 
 
 def _choose_bn(n: int) -> int:
@@ -448,8 +643,12 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=None,
         # the padded weight rows dequantize to exactly 0
         pad = qt.shape[0] - x.shape[-1]
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    use_pallas = (interpret or _use_pallas()) and _pallas_supported(qt)
-    if force_xla or not use_pallas:
+    backend_ok = interpret or _use_pallas()
+    if backend_ok and not force_xla and _pallas_supported(qt):
+        launcher = _qmatmul_pallas_2d
+    elif backend_ok and not force_xla and _planar_supported(qt):
+        launcher = _qmatmul_planar_2d
+    else:
         return qmatmul_xla(x, qt, out_dtype)
     lead = x.shape[:-1]
     m = 1
@@ -459,8 +658,8 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=None,
     mp = m if m <= 256 else -(-m // 256) * 256
     if mp != m:  # keep the M block bounded (VMEM) for odd prefill lengths
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
-    out = _qmatmul_pallas_2d(x2, qt, out_dtype=out_dtype or x.dtype,
-                             interpret=interpret)
+    out = launcher(x2, qt, out_dtype=out_dtype or x.dtype,
+                   interpret=interpret)
     if mp != m:
         out = out[:m]
     return out.reshape(*lead, qt.shape[1])

@@ -281,11 +281,49 @@ def append_span(cache: PagedKVCache, layer: int, k_new: jax.Array,
     )
 
 
+def _rmw_pool_row(dst: jax.Array, upd: jax.Array, layer: int, row,
+                  keep) -> jax.Array:
+    """Write ONE token row into the pooled view dst[layer, :, row] via an
+    8-row-aligned read-modify-write window (same relayout-avoidance as
+    kv_cache._rmw_row: XLA relayout-copies the whole pool around an
+    S-extent-1 scatter, measured 411us/layer/step at B=32 on the
+    contiguous cache; extent>=8 windows update in place).  page_size is a
+    multiple of 8, so the window never crosses a page boundary.
+    dst: [L, H, R, D]; upd: [H, D]."""
+    h, d = upd.shape
+    w = min(8, dst.shape[2])
+    base = (row // w) * w
+    cur = jax.lax.dynamic_slice(dst, (layer, 0, base, 0), (1, h, w, d))
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2) == (row - base)
+    sel = jnp.logical_and(sel, keep)
+    new = jnp.where(sel, upd[None, :, None, :].astype(dst.dtype), cur)
+    return jax.lax.dynamic_update_slice(dst, new, (layer, 0, base, 0))
+
+
+def _rmw_pool_scale(dst: jax.Array, val: jax.Array, layer: int, row,
+                    keep) -> jax.Array:
+    """Write one scale column into the pooled scale view dst[layer, :, 0,
+    row] via a 128-lane-aligned RMW window (page_size % 128 == 0 keeps the
+    window inside the page).  dst: [L, H, 1, R]; val: [H]."""
+    h = val.shape[0]
+    r = dst.shape[3]
+    w = min(128, r)
+    base = jnp.clip((row // w) * w, 0, r - w)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3) == (row - base)
+    sel = jnp.logical_and(col, keep)
+    cur = jax.lax.dynamic_slice(dst, (layer, 0, 0, base), (1, h, 1, w))
+    new = jnp.where(sel, val[None, :, None, None].astype(dst.dtype), cur)
+    return jax.lax.dynamic_update_slice(dst, new, (layer, 0, 0, base))
+
+
 def append_decode(cache: PagedKVCache, layer: int, k_new: jax.Array,
                   v_new: jax.Array, positions: jax.Array,
                   active=None) -> PagedKVCache:
     """Single-token write via the page table: physical row =
-    table[b, pos // ps] * ps + pos % ps (tiny scatter, layout-neutral).
+    table[b, pos // ps] * ps + pos % ps, written through aligned RMW
+    windows per slot (the contiguous cache's decode-append fix, ported —
+    VERDICT r1 item 5; the reference's incremental tile append never
+    rewrites the cache either, mha_dense.cpp:182-299).
     k_new/v_new: [B, 1, H, D]; positions [B, 1]."""
     b = positions.shape[0]
     ps = cache.page_size
@@ -294,25 +332,23 @@ def append_decode(cache: PagedKVCache, layer: int, k_new: jax.Array,
     page = jnp.take_along_axis(cache.page_tables, block[:, None],
                                axis=1)[:, 0]
     row = page * ps + pos % ps                     # [B] physical rows
-    if active is not None:
-        # park inactive writes on the trash page (the pool's LAST page,
-        # which the engine's allocator never hands out)
-        row = jnp.where(active, row, cache.n_pages * ps - 1)
+    keep = active if active is not None else jnp.ones((b,), bool)
     kt = k_new[:, 0]                               # [B, H, D]
     vt = v_new[:, 0]
-    hidx = jnp.arange(cache.kv_heads)[None, :]
-    ridx = row[:, None]
     k = _pool_rows(cache.k_pages)
     v = _pool_rows(cache.v_pages)
     if cache.quantized:
         kc, ks = quantize_kv(kt)
         vc, vs = quantize_kv(vt)
-        k = k.at[layer, hidx, ridx].set(kc)
-        v = v.at[layer, hidx, ridx].set(vc)
         kscale = cache.k_scale.reshape(cache.layers, cache.kv_heads, 1, -1)
         vscale = cache.v_scale.reshape(cache.layers, cache.kv_heads, 1, -1)
-        kscale = kscale.at[layer, hidx, 0, ridx].set(ks[..., 0])
-        vscale = vscale.at[layer, hidx, 0, ridx].set(vs[..., 0])
+        for bi in range(b):
+            k = _rmw_pool_row(k, kc[bi], layer, row[bi], keep[bi])
+            v = _rmw_pool_row(v, vc[bi], layer, row[bi], keep[bi])
+            kscale = _rmw_pool_scale(kscale, ks[bi, :, 0], layer, row[bi],
+                                     keep[bi])
+            vscale = _rmw_pool_scale(vscale, vs[bi, :, 0], layer, row[bi],
+                                     keep[bi])
         return dataclasses.replace(
             cache,
             k_pages=k.reshape(cache.k_pages.shape),
@@ -320,8 +356,9 @@ def append_decode(cache: PagedKVCache, layer: int, k_new: jax.Array,
             k_scale=kscale.reshape(cache.k_scale.shape),
             v_scale=vscale.reshape(cache.v_scale.shape),
         )
-    k = k.at[layer, hidx, ridx].set(kt.astype(k.dtype))
-    v = v.at[layer, hidx, ridx].set(vt.astype(v.dtype))
+    for bi in range(b):
+        k = _rmw_pool_row(k, kt[bi], layer, row[bi], keep[bi])
+        v = _rmw_pool_row(v, vt[bi], layer, row[bi], keep[bi])
     return dataclasses.replace(
         cache,
         k_pages=k.reshape(cache.k_pages.shape),

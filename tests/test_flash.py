@@ -173,3 +173,46 @@ def test_engine_forward_matches_xla(monkeypatch):
         np.asarray(out_logits, np.float32), np.asarray(ref_logits, np.float32),
         atol=5e-2, rtol=5e-2,
     )
+
+
+@pytest.mark.parametrize("d", [80, 96])
+def test_odd_head_dim(d):
+    """head_dim 80 (phi-2/stablelm) / 96: fused attention instead of the
+    silent XLA fallback (VERDICT r1 item 4; parity mha_dense.cpp:31-80
+    arbitrary head sizes).  Covers prefill GQA, decode (head-blocked
+    variant), and quantized KV."""
+    b, t, h, hkv, s = 2, 16, 8, 2, 256
+    q, k, v = _mk(b, t, h, hkv, d, s, seed=7 + d)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t)).astype(jnp.int32)
+    kv_lens = jnp.array([t, t - 3], jnp.int32)
+    args = dict(scale=1.0 / np.sqrt(d), causal=True)
+    out = _mha(q, k, v, None, None, pos, kv_lens, **args)
+    assert out is not None
+    ref = attention_ref(q, k, v, pos, kv_lens, **args)
+    _compare(out, ref, pos, kv_lens)
+
+    # decode shape (exercises the head-blocked kernel) + quantized KV
+    qd = q[:, :1]
+    kc, ks = kvc.quantize_kv(k)
+    vc, vs = kvc.quantize_kv(v)
+    kv_lens_d = jnp.array([200, 256], jnp.int32)
+    pos_d = (kv_lens_d - 1)[:, None]
+    out = _mha(qd, kc, vc, ks, vs, pos_d, kv_lens_d, scale=1.0 / np.sqrt(d))
+    assert out is not None
+    kdq = kc.astype(jnp.float32) * ks
+    vdq = vc.astype(jnp.float32) * vs
+    ref = attention_ref(qd, kdq, vdq, pos_d, kv_lens_d)
+    _compare(out, ref, pos_d, kv_lens_d, atol=3e-2)
+
+
+def test_unsupported_shape_warns_once():
+    b, t, h, hkv, d, s = 1, 1, 4, 4, 72, 128  # d % 8 == 0 but not... 72%8==0
+    # use a truly unsupported dim (not multiple of 8)
+    d = 68
+    q, k, v = _mk(b, t, h, hkv, d, s, seed=9)
+    pos = jnp.zeros((b, t), jnp.int32)
+    kv_lens = jnp.array([1], jnp.int32)
+    flash._warned_shapes.clear()
+    with pytest.warns(UserWarning, match="falling back"):
+        out = _mha(q, k, v, None, None, pos, kv_lens, scale=0.125)
+    assert out is None

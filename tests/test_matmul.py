@@ -215,3 +215,114 @@ def test_int8_pallas_per_token_matches_xla():
     denom = float(jnp.sqrt(jnp.mean(fp ** 2)))
     rel = float(jnp.sqrt(jnp.mean((out - fp) ** 2))) / max(denom, 1e-8)
     assert rel < 0.03, rel
+
+
+# ---------------------------------------------------------------------------
+# planar multi-format kernel (odd widths / fp8 / float-zero / double-quant)
+# ---------------------------------------------------------------------------
+
+PK, PN = 4096, 128
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        QSpec(QType.INT, 3, 128, True),
+        QSpec(QType.INT, 5, 128, True),
+        QSpec(QType.INT, 5, 128, False),
+        QSpec(QType.INT, 6, 128, False),
+        QSpec(QType.INT, 7, 128, True),
+        QSpec(QType.INT, 3, -1, True),
+        named_qspec("fp8_e4m3", group_size=128),
+        named_qspec("fp8_e5m2", group_size=-1),
+    ],
+    ids=["i3", "i5", "i5asym", "i6asym", "i7", "i3g-1", "fp8e4m3",
+         "fp8e5m2g-1"],
+)
+def test_planar_kernel_matches_xla(spec):
+    """In-kernel multi-plane dequant for every remaining README dtype
+    (VERDICT r1 item 3; parity: bestla_gemm.h KBlock cores cover all
+    widths, kernel_jit.h:253 DecompressS3)."""
+    from neural_speed_tpu.ops.matmul import (_pallas_supported,
+                                             _planar_supported)
+
+    x, w, qt = _setup(spec, m=4, k=PK, n=PN)
+    assert _planar_supported(qt), spec
+    assert not _pallas_supported(qt), spec
+    ref = qmatmul_xla(x, qt)
+    out = qmatmul(x, qt, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5,
+                               atol=3e-5)
+
+
+def test_planar_kernel_float_zero():
+    """ggml Q4_1/Q5_1-style packs (w = scale*code + m, float offset per
+    group) run fused via the planar kernel's sign-flipped correction."""
+    from neural_speed_tpu.ops.matmul import _planar_supported
+    from neural_speed_tpu.ops.quantize import QTensor, pack_codes
+
+    for bits in (4, 5):
+        g = 128
+        key = jax.random.PRNGKey(3 + bits)
+        kx, kw_ = jax.random.split(key)
+        x = jax.random.normal(kx, (5, PK), jnp.float32)
+        w = jax.random.normal(kw_, (PK, PN), jnp.float32) * 0.1
+        wg = w.reshape(PK // g, g, PN)
+        wmin = jnp.min(wg, axis=1)
+        wmax = jnp.max(wg, axis=1)
+        maxcode = (1 << bits) - 1
+        scales = jnp.maximum((wmax - wmin) / maxcode, 1e-8)
+        codes = jnp.clip(
+            jnp.round((wg - wmin[:, None, :]) / scales[:, None, :]),
+            0, maxcode).astype(jnp.uint8).reshape(PK, PN)
+        spec = QSpec(QType.INT, bits, g, False)
+        qt = QTensor(pack_codes(codes, bits), scales,
+                     wmin.astype(jnp.float32), None, spec, (PK, PN))
+        assert _planar_supported(qt)
+        ref = qmatmul_xla(x, qt)
+        out = qmatmul(x, qt, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_double_quant_fused():
+    """Double-quantized scales (DQ8_BNB analogue) now run in the fused
+    kernels — scales are decoded by effective_scales ahead of the launch."""
+    from neural_speed_tpu.ops.matmul import _pallas_supported
+
+    for spec in (QSpec(QType.INT, 4, 128, True, double_quant=True),
+                 named_qspec("nf4", group_size=128, double_quant=True)):
+        x, w, qt = _setup(spec, m=4, k=1024, n=PN)
+        assert qt.sscale is not None
+        assert _pallas_supported(qt), spec
+        ref = qmatmul_xla(x, qt)
+        out = qmatmul(x, qt, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_planar_gemv_decode_shape():
+    spec = QSpec(QType.INT, 5, 128, True)
+    x, w, qt = _setup(spec, m=1, k=PK, n=PN)
+    ref = qmatmul_xla(x, qt)
+    out = qmatmul(x, qt, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5,
+                               atol=3e-5)
+
+
+def test_kernel_pack_keeps_odd_widths_planar():
+    """Load-time packing no longer widens 3/5/6/7-bit weights when the
+    planar kernel applies (K repadded to the pack period instead)."""
+    from neural_speed_tpu.models.transformer import _kernel_pack
+    from neural_speed_tpu.ops.matmul import _planar_supported
+
+    spec = QSpec(QType.INT, 3, 128, True)
+    x, w, qt = _setup(spec, m=2, k=11008, n=PN)
+    packed = _kernel_pack(qt)
+    assert packed.spec.bits == 3
+    assert packed.shape[0] == 12288  # padded to 32*g
+    assert _planar_supported(packed)
+    ref = qmatmul_xla(x, qt)
+    out = qmatmul(x, packed, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5,
+                               atol=3e-5)
