@@ -704,6 +704,93 @@ def _arch_from_gguf(kv: Dict[str, Any], tensors=None) -> ArchConfig:
             "n_head": n_heads,
             "layer_norm_epsilon": g("attention.layer_norm_epsilon", 1e-5),
         })
+    e = g("embedding_length")
+    d = e // n_heads if (e and n_heads) else 0
+    if arch == "gptj":
+        from ..models.configs import gptj_arch
+
+        return gptj_arch({
+            "vocab_size": vocab_size,
+            "n_embd": e,
+            "n_layer": g("block_count"),
+            "n_head": n_heads,
+            "n_inner": g("feed_forward_length"),
+            "n_positions": g("context_length", 2048),
+            "layer_norm_epsilon": g("attention.layer_norm_epsilon", 1e-5),
+            "rotary_dim": g("rope.dimension_count", d),
+        })
+    if arch == "gptneox":
+        from ..models.configs import gptneox_arch
+
+        return gptneox_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": e,
+            "num_hidden_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "intermediate_size": g("feed_forward_length"),
+            "max_position_embeddings": g("context_length", 2048),
+            "rotary_pct": g("rope.dimension_count", d) / d,
+            "use_parallel_residual": bool(g("use_parallel_residual", True)),
+            "layer_norm_eps": g("attention.layer_norm_epsilon", 1e-5),
+            "rotary_emb_base": g("rope.freq_base", 10000.0),
+        })
+    if arch == "starcoder":
+        from ..models.configs import starcoder_arch
+
+        return starcoder_arch({
+            "vocab_size": vocab_size,
+            "n_embd": e,
+            "n_layer": g("block_count"),
+            "n_head": n_heads,
+            "multi_query": g("attention.head_count_kv", 1) == 1,
+            "n_inner": g("feed_forward_length"),
+            "n_positions": g("context_length", 8192),
+            "layer_norm_epsilon": g("attention.layer_norm_epsilon", 1e-5),
+        })
+    if arch in ("phi", "phi2"):
+        from ..models.configs import phi_arch
+
+        return phi_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": e,
+            "num_hidden_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "num_key_value_heads": g("attention.head_count_kv", n_heads),
+            "intermediate_size": g("feed_forward_length"),
+            "max_position_embeddings": g("context_length", 2048),
+            "partial_rotary_factor": g("rope.dimension_count", d) / d,
+            "layer_norm_eps": g("attention.layer_norm_epsilon", 1e-5),
+            "rope_theta": g("rope.freq_base", 10000.0),
+        })
+    if arch == "qwen":
+        from ..models.configs import qwen_arch
+
+        return qwen_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": e,
+            "num_hidden_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "intermediate_size": g("feed_forward_length"),
+            "seq_length": g("context_length", 8192),
+            "layer_norm_epsilon": g("attention.layer_norm_rms_epsilon",
+                                    1e-6),
+            "rotary_emb_base": g("rope.freq_base", 10000.0),
+        })
+    if arch == "gemma":
+        from ..models.configs import gemma_arch
+
+        return gemma_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": e,
+            "num_hidden_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "num_key_value_heads": g("attention.head_count_kv", n_heads),
+            "intermediate_size": g("feed_forward_length"),
+            "head_dim": g("attention.key_length", d),
+            "max_position_embeddings": g("context_length", 8192),
+            "rms_norm_eps": g("attention.layer_norm_rms_epsilon", 1e-6),
+            "rope_theta": g("rope.freq_base", 10000.0),
+        })
     return ArchConfig(
         name=name,
         vocab_size=vocab_size,
@@ -778,43 +865,40 @@ def load_gguf_model(path: str):
     }
     if "token_embd_norm.weight" in r.tensors:  # bloom embedding LN
         params["embed_ln"] = norm_g("token_embd_norm")
+    if "position_embd.weight" in r.tensors:    # starcoder learned positions
+        params["pos_embed"] = {
+            "weight": arr("position_embd.weight", jnp.bfloat16)}
     if "output.weight" in r.tensors:
-        params["lm_head"] = lin("output.weight")
+        params["lm_head"] = lin_b("output")
     qkv_sections = [cfg.q_dim, cfg.kv_dim, cfg.kv_dim]
+    # one tensor-presence-driven loop serves every arch: fused attn_qkv
+    # (plain [q; k; v] row concat — our normalized writer form AND the
+    # form llama.cpp-style converters emit for falcon/mpt/bloom/gptneox/
+    # starcoder) or separate q/k/v, optional biases, optional gate,
+    # parallel-residual archs without ffn_norm, falcon-40b attn_norm_2
     for i in range(cfg.n_layers):
         b = f"blk.{i}."
-        if arch in ("falcon", "mpt", "bloom"):
+        lp: Dict[str, Any] = {"attn_norm": norm_g(b + "attn_norm")}
+        if b + "ffn_norm.weight" in r.tensors:
+            lp["ffn_norm"] = norm_g(b + "ffn_norm")
+        if b + "attn_norm_2.weight" in r.tensors:  # falcon-40b ln_mlp
+            lp["ffn_norm"] = norm_g(b + "attn_norm_2")
+        if b + "attn_qkv.weight" in r.tensors:
             q, k, v = qkv_split(lin_b(b + "attn_qkv"), qkv_sections)
-            lp: Dict[str, Any] = {
-                "attn_norm": norm_g(b + "attn_norm"),
-                "q": q, "k": k, "v": v,
-                "o": lin_b(b + "attn_output"),
-                "ffn": {
-                    "up": lin_b(b + "ffn_up"),
-                    "down": lin_b(b + "ffn_down"),
-                },
-            }
-            if b + "ffn_norm.weight" in r.tensors:   # mpt/bloom
-                lp["ffn_norm"] = norm_g(b + "ffn_norm")
-            if b + "attn_norm_2.weight" in r.tensors:  # falcon-40b ln_mlp
-                lp["ffn_norm"] = norm_g(b + "attn_norm_2")
-            params["layers"].append(lp)
-            continue
-        params["layers"].append(
-            {
-                "attn_norm": norm_g(b + "attn_norm"),
-                "ffn_norm": norm_g(b + "ffn_norm"),
-                "q": lin(b + "attn_q.weight"),
-                "k": lin(b + "attn_k.weight"),
-                "v": lin(b + "attn_v.weight"),
-                "o": lin(b + "attn_output.weight"),
-                "ffn": {
-                    "gate": lin(b + "ffn_gate.weight"),
-                    "up": lin(b + "ffn_up.weight"),
-                    "down": lin(b + "ffn_down.weight"),
-                },
-            }
-        )
+            lp["q"], lp["k"], lp["v"] = q, k, v
+        else:
+            lp["q"] = lin_b(b + "attn_q")
+            lp["k"] = lin_b(b + "attn_k")
+            lp["v"] = lin_b(b + "attn_v")
+        lp["o"] = lin_b(b + "attn_output")
+        ffn = {
+            "up": lin_b(b + "ffn_up"),
+            "down": lin_b(b + "ffn_down"),
+        }
+        if b + "ffn_gate.weight" in r.tensors:
+            ffn["gate"] = lin_b(b + "ffn_gate")
+        lp["ffn"] = ffn
+        params["layers"].append(lp)
     tok = None
     tok_model = r.kv.get("tokenizer.ggml.model", "llama")
     if tok_model in ("llama", "spm") and "tokenizer.ggml.tokens" in r.kv:
@@ -859,6 +943,10 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
     if arch in ("falcon", "mpt", "bloom"):
         return _write_gguf_nonllama(state_dict, hf_cfg, out_path, ggml_type,
                                     np_of, tokens=tokens, merges=merges)
+    if arch in ("gptj", "gpt_neox", "gptneox", "gpt_bigcode", "starcoder",
+                "phi", "qwen"):
+        return _write_gguf_arch2(state_dict, hf_cfg, out_path, ggml_type,
+                                 np_of, tokens=tokens, merges=merges)
 
     w = GGUFWriter(out_path)
     n_heads = hf_cfg["num_attention_heads"]
@@ -876,6 +964,10 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
     w.add(f"{arch}.attention.layer_norm_rms_epsilon",
           float(hf_cfg.get("rms_norm_eps", 1e-5)))
     w.add(f"{arch}.rope.freq_base", float(hf_cfg.get("rope_theta", 10000.0)))
+    if arch == "gemma":  # head_dim decoupled from hidden/heads
+        w.add("gemma.attention.key_length",
+              hf_cfg.get("head_dim",
+                         hf_cfg["hidden_size"] // n_heads))
     if tokens:
         w.add("tokenizer.ggml.model", "llama")
         w.add("tokenizer.ggml.tokens", tokens)
@@ -885,6 +977,12 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
     def put(name, key, ttype=None):
         w.add_tensor(name, np_of(state_dict[key]),
                      ttype if ttype is not None else ggml_type)
+
+    def put_lin(name, key):
+        """Quantized weight + optional f32 bias (qwen2-style qkv biases)."""
+        put(name + ".weight", key + ".weight")
+        if key + ".bias" in state_dict:
+            put(name + ".bias", key + ".bias", GGML_F32)
 
     put("token_embd.weight", "model.embed_tokens.weight", GGML_F16)
     put("output_norm.weight", "model.norm.weight", GGML_F32)
@@ -896,13 +994,219 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
         put(b + "attn_norm.weight", hf + "input_layernorm.weight", GGML_F32)
         put(b + "ffn_norm.weight", hf + "post_attention_layernorm.weight",
             GGML_F32)
-        put(b + "attn_q.weight", hf + "self_attn.q_proj.weight")
-        put(b + "attn_k.weight", hf + "self_attn.k_proj.weight")
-        put(b + "attn_v.weight", hf + "self_attn.v_proj.weight")
-        put(b + "attn_output.weight", hf + "self_attn.o_proj.weight")
+        put_lin(b + "attn_q", hf + "self_attn.q_proj")
+        put_lin(b + "attn_k", hf + "self_attn.k_proj")
+        put_lin(b + "attn_v", hf + "self_attn.v_proj")
+        put_lin(b + "attn_output", hf + "self_attn.o_proj")
         put(b + "ffn_gate.weight", hf + "mlp.gate_proj.weight")
         put(b + "ffn_up.weight", hf + "mlp.up_proj.weight")
         put(b + "ffn_down.weight", hf + "mlp.down_proj.weight")
+    w.write()
+
+
+def _write_gguf_arch2(sd, hf_cfg, out_path, ggml_type, np_of, tokens=None,
+                      merges=None):
+    """Normalized GGUF export for the second arch wave (VERDICT r1 item 8):
+    gptj / gptneox / starcoder / phi / qwen(1).  Fused HF qkv tensors are
+    normalized to separate attn_q/k/v (gptneox's per-head interleave is
+    un-interleaved, starcoder/qwen plain concats sliced) so the reader's
+    generic loop serves every arch (parity: convert-hf-to-gguf.py per-arch
+    subclasses, :565+)."""
+    import numpy as _np
+
+    mt = hf_cfg["model_type"]
+    arch = {"gpt_neox": "gptneox", "gpt_bigcode": "starcoder"}.get(mt, mt)
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add("general.name", "neural_speed_tpu export")
+    w.add("general.vocab_size", hf_cfg["vocab_size"])
+    if tokens:
+        w.add("tokenizer.ggml.model", "gpt2")
+        w.add("tokenizer.ggml.tokens", tokens)
+        if merges:
+            w.add("tokenizer.ggml.merges", merges)
+        if hf_cfg.get("bos_token_id") is not None:
+            w.add("tokenizer.ggml.bos_token_id", hf_cfg["bos_token_id"])
+        if hf_cfg.get("eos_token_id") is not None:
+            w.add("tokenizer.ggml.eos_token_id", hf_cfg["eos_token_id"])
+
+    def meta(k, v):
+        w.add(f"{arch}.{k}", v)
+
+    def wt(name, a, ttype=None):
+        w.add_tensor(name, _np.asarray(a, _np.float32),
+                     ttype if ttype is not None else ggml_type)
+
+    def wnorm(name, base):
+        wt(name + ".weight", np_of(sd[base + ".weight"]), GGML_F32)
+        if base + ".bias" in sd:
+            wt(name + ".bias", np_of(sd[base + ".bias"]), GGML_F32)
+
+    def wlin(name, base):
+        wt(name + ".weight", np_of(sd[base + ".weight"]))
+        if base + ".bias" in sd:
+            wt(name + ".bias", np_of(sd[base + ".bias"]), GGML_F32)
+
+    if mt == "gptj":
+        e, h, nl = hf_cfg["n_embd"], hf_cfg["n_head"], hf_cfg["n_layer"]
+        meta("embedding_length", e)
+        meta("block_count", nl)
+        meta("attention.head_count", h)
+        meta("attention.head_count_kv", h)
+        meta("feed_forward_length", hf_cfg.get("n_inner") or 4 * e)
+        meta("context_length", hf_cfg.get("n_positions", 2048))
+        meta("rope.dimension_count", hf_cfg.get("rotary_dim") or e // h)
+        meta("attention.layer_norm_epsilon",
+             float(hf_cfg.get("layer_norm_epsilon", 1e-5)))
+        wt("token_embd.weight", np_of(sd["transformer.wte.weight"]),
+           GGML_F16)
+        wnorm("output_norm", "transformer.ln_f")
+        wlin("output", "lm_head")
+        for i in range(nl):
+            hfp = f"transformer.h.{i}."
+            b = f"blk.{i}."
+            wnorm(b + "attn_norm", hfp + "ln_1")
+            wlin(b + "attn_q", hfp + "attn.q_proj")
+            wlin(b + "attn_k", hfp + "attn.k_proj")
+            wlin(b + "attn_v", hfp + "attn.v_proj")
+            wlin(b + "attn_output", hfp + "attn.out_proj")
+            wlin(b + "ffn_up", hfp + "mlp.fc_in")
+            wlin(b + "ffn_down", hfp + "mlp.fc_out")
+    elif mt in ("gpt_neox", "gptneox"):
+        e = hf_cfg["hidden_size"]
+        h = hf_cfg["num_attention_heads"]
+        nl = hf_cfg["num_hidden_layers"]
+        d = e // h
+        meta("embedding_length", e)
+        meta("block_count", nl)
+        meta("attention.head_count", h)
+        meta("attention.head_count_kv", h)
+        meta("feed_forward_length", hf_cfg["intermediate_size"])
+        meta("context_length", hf_cfg.get("max_position_embeddings", 2048))
+        meta("rope.dimension_count",
+             int(hf_cfg.get("rotary_pct", 0.25) * d))
+        meta("use_parallel_residual",
+             bool(hf_cfg.get("use_parallel_residual", True)))
+        meta("attention.layer_norm_epsilon",
+             float(hf_cfg.get("layer_norm_eps", 1e-5)))
+        meta("rope.freq_base", float(hf_cfg.get("rotary_emb_base", 10000.0)))
+        wt("token_embd.weight", np_of(sd["gpt_neox.embed_in.weight"]),
+           GGML_F16)
+        wnorm("output_norm", "gpt_neox.final_layer_norm")
+        wt("output.weight", np_of(sd["embed_out.weight"]))
+        for i in range(nl):
+            hfp = f"gpt_neox.layers.{i}."
+            b = f"blk.{i}."
+            wnorm(b + "attn_norm", hfp + "input_layernorm")
+            wnorm(b + "ffn_norm", hfp + "post_attention_layernorm")
+            # HF interleave [h, 3, d, :] -> separate q/k/v
+            qkv = np_of(sd[hfp + "attention.query_key_value.weight"])
+            w3 = qkv.reshape(h, 3, d, -1)
+            bqkv = np_of(sd[hfp + "attention.query_key_value.bias"])
+            b3 = bqkv.reshape(h, 3, d)
+            for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+                wt(f"{b}{nm}.weight", w3[:, j].reshape(h * d, -1))
+                wt(f"{b}{nm}.bias", b3[:, j].reshape(-1), GGML_F32)
+            wlin(b + "attn_output", hfp + "attention.dense")
+            wlin(b + "ffn_up", hfp + "mlp.dense_h_to_4h")
+            wlin(b + "ffn_down", hfp + "mlp.dense_4h_to_h")
+    elif mt in ("gpt_bigcode", "starcoder"):
+        e, h, nl = hf_cfg["n_embd"], hf_cfg["n_head"], hf_cfg["n_layer"]
+        d = e // h
+        hkv = 1 if hf_cfg.get("multi_query", True) else h
+        meta("embedding_length", e)
+        meta("block_count", nl)
+        meta("attention.head_count", h)
+        meta("attention.head_count_kv", hkv)
+        meta("feed_forward_length", hf_cfg.get("n_inner") or 4 * e)
+        meta("context_length", hf_cfg.get("n_positions", 8192))
+        meta("attention.layer_norm_epsilon",
+             float(hf_cfg.get("layer_norm_epsilon", 1e-5)))
+        wt("token_embd.weight", np_of(sd["transformer.wte.weight"]),
+           GGML_F16)
+        wt("position_embd.weight", np_of(sd["transformer.wpe.weight"]),
+           GGML_F16)
+        wnorm("output_norm", "transformer.ln_f")
+        qd, kvd = e, hkv * d
+        for i in range(nl):
+            hfp = f"transformer.h.{i}."
+            b = f"blk.{i}."
+            wnorm(b + "attn_norm", hfp + "ln_1")
+            wnorm(b + "ffn_norm", hfp + "ln_2")
+            # plain [q; k; v] concat rows
+            qkv = np_of(sd[hfp + "attn.c_attn.weight"])
+            bqkv = np_of(sd[hfp + "attn.c_attn.bias"])
+            ofs = [0, qd, qd + kvd, qd + 2 * kvd]
+            for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+                wt(f"{b}{nm}.weight", qkv[ofs[j]:ofs[j + 1]])
+                wt(f"{b}{nm}.bias", bqkv[ofs[j]:ofs[j + 1]], GGML_F32)
+            wlin(b + "attn_output", hfp + "attn.c_proj")
+            wlin(b + "ffn_up", hfp + "mlp.c_fc")
+            wlin(b + "ffn_down", hfp + "mlp.c_proj")
+    elif mt == "phi":
+        e = hf_cfg["hidden_size"]
+        h = hf_cfg["num_attention_heads"]
+        nl = hf_cfg["num_hidden_layers"]
+        d = e // h
+        meta("embedding_length", e)
+        meta("block_count", nl)
+        meta("attention.head_count", h)
+        meta("attention.head_count_kv",
+             hf_cfg.get("num_key_value_heads") or h)
+        meta("feed_forward_length", hf_cfg["intermediate_size"])
+        meta("context_length", hf_cfg.get("max_position_embeddings", 2048))
+        meta("rope.dimension_count",
+             int(hf_cfg.get("partial_rotary_factor", 0.5) * d))
+        meta("attention.layer_norm_epsilon",
+             float(hf_cfg.get("layer_norm_eps", 1e-5)))
+        meta("rope.freq_base", float(hf_cfg.get("rope_theta", 10000.0)))
+        wt("token_embd.weight", np_of(sd["model.embed_tokens.weight"]),
+           GGML_F16)
+        wnorm("output_norm", "model.final_layernorm")
+        wlin("output", "lm_head")
+        for i in range(nl):
+            hfp = f"model.layers.{i}."
+            b = f"blk.{i}."
+            wnorm(b + "attn_norm", hfp + "input_layernorm")
+            wlin(b + "attn_q", hfp + "self_attn.q_proj")
+            wlin(b + "attn_k", hfp + "self_attn.k_proj")
+            wlin(b + "attn_v", hfp + "self_attn.v_proj")
+            wlin(b + "attn_output", hfp + "self_attn.dense")
+            wlin(b + "ffn_up", hfp + "mlp.fc1")
+            wlin(b + "ffn_down", hfp + "mlp.fc2")
+    else:  # qwen (qwen-1)
+        e = hf_cfg["hidden_size"]
+        h = hf_cfg["num_attention_heads"]
+        nl = hf_cfg["num_hidden_layers"]
+        meta("embedding_length", e)
+        meta("block_count", nl)
+        meta("attention.head_count", h)
+        meta("attention.head_count_kv", h)
+        meta("feed_forward_length", hf_cfg["intermediate_size"])
+        meta("context_length", hf_cfg.get("seq_length", 8192))
+        meta("attention.layer_norm_rms_epsilon",
+             float(hf_cfg.get("layer_norm_epsilon", 1e-6)))
+        meta("rope.freq_base",
+             float(hf_cfg.get("rotary_emb_base", 10000.0)))
+        wt("token_embd.weight", np_of(sd["transformer.wte.weight"]),
+           GGML_F16)
+        wnorm("output_norm", "transformer.ln_f")
+        wlin("output", "lm_head")
+        for i in range(nl):
+            hfp = f"transformer.h.{i}."
+            b = f"blk.{i}."
+            wnorm(b + "attn_norm", hfp + "ln_1")
+            wnorm(b + "ffn_norm", hfp + "ln_2")
+            qkv = np_of(sd[hfp + "attn.c_attn.weight"])
+            bqkv = np_of(sd[hfp + "attn.c_attn.bias"])
+            for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+                wt(f"{b}{nm}.weight", qkv[j * e:(j + 1) * e])
+                wt(f"{b}{nm}.bias", bqkv[j * e:(j + 1) * e], GGML_F32)
+            wlin(b + "attn_output", hfp + "attn.c_proj")
+            # qwen-1 MLP: out = c_proj(w1(x) * silu(w2(x))): up=w1, gate=w2
+            wlin(b + "ffn_up", hfp + "mlp.w1")
+            wlin(b + "ffn_gate", hfp + "mlp.w2")
+            wlin(b + "ffn_down", hfp + "mlp.c_proj")
     w.write()
 
 

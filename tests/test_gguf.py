@@ -256,3 +256,136 @@ def test_bloom_gguf_carries_bpe_tokenizer(tmp_path):
     ids = tok.encode("hel lo")
     assert ids and all(0 <= t < 300 for t in ids)
     assert tok.decode(ids) == "hel lo"
+
+
+@pytest.mark.parametrize("family", ["gptj", "gptneox", "gptneox_seq",
+                                    "starcoder", "phi", "qwen2", "gemma"])
+def test_arch2_gguf_roundtrip(tmp_path, family):
+    """GGUF writer/reader breadth beyond the reference's validated set
+    (VERDICT r1 item 8; parity: convert-hf-to-gguf.py per-arch subclasses
+    :565+): tiny HF model -> our normalized GGUF (Q8_0) -> loader ->
+    greedy ids must equal HF transformers."""
+    torch.manual_seed(0)
+    if family == "gptj":
+        from transformers import GPTJConfig, GPTJForCausalLM
+
+        cfg = GPTJConfig(vocab_size=128, n_embd=64, n_layer=2, n_head=4,
+                         n_positions=128, rotary_dim=8)
+        with torch.no_grad():
+            m = GPTJForCausalLM(cfg)
+    elif family.startswith("gptneox"):
+        from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+        cfg = GPTNeoXConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            max_position_embeddings=128, rotary_pct=0.25,
+            use_parallel_residual=family == "gptneox")
+        with torch.no_grad():
+            m = GPTNeoXForCausalLM(cfg)
+    elif family == "starcoder":
+        from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+        cfg = GPTBigCodeConfig(
+            vocab_size=128, n_embd=64, n_layer=2, n_head=4, n_positions=128,
+            multi_query=True, activation_function="gelu_pytorch_tanh")
+        with torch.no_grad():
+            m = GPTBigCodeForCausalLM(cfg)
+    elif family == "phi":
+        from transformers import PhiConfig, PhiForCausalLM
+
+        cfg = PhiConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4,
+            intermediate_size=128, max_position_embeddings=128,
+            partial_rotary_factor=0.5)
+        with torch.no_grad():
+            m = PhiForCausalLM(cfg)
+    elif family == "qwen2":
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        cfg = Qwen2Config(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=128, max_position_embeddings=128)
+        with torch.no_grad():
+            m = Qwen2ForCausalLM(cfg)
+    else:  # gemma
+        from transformers import GemmaConfig, GemmaForCausalLM
+
+        cfg = GemmaConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            intermediate_size=128, max_position_embeddings=128,
+            hidden_act="gelu_pytorch_tanh")
+        with torch.no_grad():
+            m = GemmaForCausalLM(cfg)
+    m.eval()
+
+    path = str(tmp_path / f"{family}.gguf")
+    G.write_hf_to_gguf(dict(m.state_dict()), cfg.to_dict(), path,
+                       ggml_type=G.GGML_Q8_0)
+    params, acfg, tok = G.load_gguf_model(path)
+    if family == "gptj":
+        assert acfg.rot_dim == 8 and acfg.parallel_residual
+    if family == "gptneox_seq":
+        assert not acfg.parallel_residual
+    if family == "starcoder":
+        assert acfg.n_kv_heads == 1 and "pos_embed" in params
+    if family == "gemma":
+        assert acfg.head_dim == 16
+
+    from neural_speed_tpu.runtime.engine import Engine
+
+    eng = Engine(params, acfg, max_batch=1, max_len=64)
+    ids = [1, 5, 9, 17, 3]
+    ours = eng.generate_greedy(ids, 8)
+    with torch.no_grad():
+        ref = m.generate(torch.tensor([ids]), max_new_tokens=8,
+                         do_sample=False,
+                         pad_token_id=0)[0].tolist()[len(ids):]
+    assert ours == ref, (family, ours, ref)
+
+
+def test_qwen1_gguf_roundtrip(tmp_path):
+    """qwen-1 is trust_remote_code-only (no HF class), so the round trip
+    checks self-consistency: engine loaded from our qwen GGUF vs engine
+    built by the direct converter on the same synthetic state dict."""
+    from neural_speed_tpu.convert.hf import Converter, map_qwen
+    from neural_speed_tpu.models.configs import qwen_arch
+    from neural_speed_tpu.runtime.engine import Engine
+
+    HF = dict(vocab_size=96, hidden_size=64, num_hidden_layers=2,
+              num_attention_heads=4, intermediate_size=256,
+              seq_length=16, layer_norm_epsilon=1e-6, use_logn_attn=True)
+    acfg = qwen_arch(HF)
+    torch.manual_seed(3)
+    e, inter, v = (acfg.hidden_size, acfg.intermediate_size,
+                   acfg.vocab_size)
+    sd = {"transformer.wte.weight": torch.randn(v, e) * 0.02,
+          "transformer.ln_f.weight": torch.ones(e),
+          "lm_head.weight": torch.randn(v, e) * 0.02}
+    for i in range(acfg.n_layers):
+        pre = f"transformer.h.{i}."
+        sd[pre + "ln_1.weight"] = torch.ones(e)
+        sd[pre + "ln_2.weight"] = torch.ones(e)
+        sd[pre + "attn.c_attn.weight"] = torch.randn(3 * e, e) * 0.05
+        sd[pre + "attn.c_attn.bias"] = torch.randn(3 * e) * 0.02
+        sd[pre + "attn.c_proj.weight"] = torch.randn(e, e) * 0.05
+        sd[pre + "mlp.w1.weight"] = torch.randn(inter, e) * 0.05
+        sd[pre + "mlp.w2.weight"] = torch.randn(inter, e) * 0.05
+        sd[pre + "mlp.c_proj.weight"] = torch.randn(e, inter) * 0.05
+    hf_cfg = dict(HF, model_type="qwen")
+    path = str(tmp_path / "qwen1.gguf")
+    G.write_hf_to_gguf(sd, hf_cfg, path, ggml_type=G.GGML_Q8_0)
+    params, rcfg, _ = G.load_gguf_model(path)
+    assert rcfg.intermediate_size == acfg.intermediate_size
+    assert rcfg.logn_attn == acfg.logn_attn
+
+    direct = map_qwen(sd, acfg, Converter(acfg, None, jnp.float32))
+    ids = [1, 5, 9, 17, 3]
+    ours = Engine(params, rcfg, max_batch=1, max_len=64).generate_greedy(
+        ids, 8)
+    ref = Engine(direct, acfg, max_batch=1, max_len=64).generate_greedy(
+        ids, 8)
+    assert ours == ref, (ours, ref)
