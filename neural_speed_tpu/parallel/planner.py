@@ -33,7 +33,12 @@ def qtensor_bytes(k: int, n: int, spec: Optional[QSpec]) -> int:
         return 2 * k * n
     bits = spec.bits
     if bits in (3, 5, 6, 7):
-        bits = 8 if bits > 4 else 4  # odd widths widen at load (engine)
+        # multi-plane planar kernel keeps odd widths native when the
+        # group qualifies (ops/matmul._planar_supported: g >= 128 or one
+        # group); otherwise the engine widens at load
+        g_ok = spec.group_size >= 128 or spec.group_size == -1
+        if not g_ok:
+            bits = 8 if bits > 4 else 4
     data = k * n * bits // 8
     g = spec.group_size if spec.group_size > 0 else k
     groups = max(k // g, 1)
@@ -137,7 +142,13 @@ def plan_memory(cfg: ArchConfig, qspec: Optional[QSpec], p: Plan,
     # --- comm per generated token --------------------------------------
     comm = 0
     if p.tp > 1:
-        comm += 2 * cfg.n_layers * bpc * cfg.hidden_size * act_dtype_bytes
+        # TP psums ride the f32 matmul accumulators (transformer.linear
+        # psums before the astype) — 4 bytes/elt, validated against the
+        # compiled HLO's collective shapes (tests/test_planner.py)
+        comm += 2 * cfg.n_layers * bpc * cfg.hidden_size * 4
+        if not cfg.tie_word_embeddings:
+            # column-split lm_head gathers the full logits row per token
+            comm += bpc * cfg.vocab_size * 4
     if p.pp > 1:
         comm += (p.pp - 1) * bpc * cfg.hidden_size * act_dtype_bytes
     p.weight_bytes = weights

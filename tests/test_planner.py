@@ -178,3 +178,58 @@ def test_build_engine_from_plan():
     for plan in (Plan(dp=1, pp=1, tp=2), Plan(dp=1, pp=2, tp=2)):
         eng = build_engine(plan, params, cfg, max_batch=2, max_len=128)
         assert run(eng) == ref, plan
+
+
+def test_comm_estimate_matches_hlo_collectives():
+    """The planner's per-token ICI traffic model cross-checked against the
+    COMPILED step's collective instruction shapes (VERDICT r1 item 10):
+    sum the payload bytes of every all-reduce/all-gather/etc. in the
+    lowered decode-step HLO on the 8-virtual-device mesh and require the
+    estimate within 2x (it is exact for the current model)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops import kv_cache as kvc
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.parallel import tp as tpmod
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=512, hidden_size=256,
+                     n_layers=2, n_heads=8, n_kv_heads=8,
+                     intermediate_size=512, max_position_embeddings=128)
+    spec = QSpec(QType.INT, 4, 32, True)
+    params = synth_params(cfg, spec)
+    mesh = tpmod.make_mesh(tp=4, dp=2)
+    sharded, specs = tpmod.shard_params(params, cfg, mesh)
+    step = tpmod.make_tp_step(cfg, mesh, specs)
+    b = 2
+    cache = kvc.init_cache(cfg.n_layers, b, 32, cfg.n_kv_heads,
+                           cfg.head_dim, jnp.bfloat16)
+    ids = jnp.zeros((b, 1), jnp.int32)
+    pos = jnp.full((b, 1), 3, jnp.int32)
+    lens = jnp.full((b,), 4, jnp.int32)
+    txt = step.lower(sharded, cache, ids, pos, lens).compile().as_text()
+
+    dt_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8}
+    hlo_bytes = 0
+    n_coll = 0
+    for m in re.finditer(
+            r"= ?\(?([a-z0-9]+)\[([0-9,]*)\][^=]*? (all-reduce|all-gather|"
+            r"reduce-scatter|collective-permute|all-to-all)(-start)?\(",
+            txt):
+        n = 1
+        for d in m.group(2).split(","):
+            if d:
+                n *= int(d)
+        hlo_bytes += n * dt_bytes.get(m.group(1), 4)
+        n_coll += 1
+    assert n_coll >= 2 * cfg.n_layers, f"expected TP psums, saw {n_coll}"
+
+    p = pl.plan_memory(cfg, spec, pl.Plan(dp=2, tp=4), batch=b, ctx=32)
+    est = p.comm_bytes_per_token
+    assert hlo_bytes > 0 and 0.5 <= est / hlo_bytes <= 2.0, (
+        f"estimate {est} vs HLO {hlo_bytes}")
