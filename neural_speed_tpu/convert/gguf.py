@@ -791,6 +791,82 @@ def _arch_from_gguf(kv: Dict[str, Any], tensors=None) -> ArchConfig:
             "rms_norm_eps": g("attention.layer_norm_rms_epsilon", 1e-6),
             "rope_theta": g("rope.freq_base", 10000.0),
         })
+    if arch == "stablelm":
+        from ..models.configs import stablelm_arch
+
+        return stablelm_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": e,
+            "num_hidden_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "num_key_value_heads": g("attention.head_count_kv", n_heads),
+            "intermediate_size": g("feed_forward_length"),
+            "max_position_embeddings": g("context_length", 4096),
+            "layer_norm_eps": g("attention.layer_norm_epsilon", 1e-5),
+            "rope_theta": g("rope.freq_base", 10000.0),
+            "partial_rotary_factor": g("rope.dimension_count", d) / d,
+            "use_qkv_bias": bool(tensors)
+            and "blk.0.attn_q.bias" in tensors,
+        })
+    if arch == "opt":
+        from ..models.configs import opt_arch
+
+        return opt_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": e,
+            "num_hidden_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "ffn_dim": g("feed_forward_length"),
+            "max_position_embeddings": g("context_length", 2048),
+            "activation_function": g("activation", "relu"),
+            "do_layer_norm_before": True,
+            "word_embed_proj_dim": e,
+        })
+    if arch == "baichuan":
+        from ..models.configs import baichuan_arch
+
+        return baichuan_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": e,
+            "num_hidden_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "intermediate_size": g("feed_forward_length"),
+            "max_position_embeddings": g("context_length", 4096),
+            "rms_norm_eps": g("attention.layer_norm_rms_epsilon", 1e-6),
+        })
+    if arch in ("chatglm2", "chatglm3"):
+        from ..models.configs import chatglm2_arch
+
+        hkv = g("attention.head_count_kv", n_heads)
+        return chatglm2_arch({
+            "padded_vocab_size": vocab_size,
+            "hidden_size": e,
+            "num_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "multi_query_attention": hkv != n_heads,
+            "multi_query_group_num": hkv,
+            "ffn_hidden_size": g("feed_forward_length"),
+            "seq_length": g("context_length", 8192),
+            "layernorm_epsilon": g("attention.layer_norm_rms_epsilon",
+                                   1e-5),
+            "rope_ratio": g("rope.ratio", 1.0),
+        })
+    if arch == "mixtral":
+        from ..models.configs import mixtral_arch
+
+        return mixtral_arch({
+            "vocab_size": vocab_size,
+            "hidden_size": e,
+            "num_hidden_layers": g("block_count"),
+            "num_attention_heads": n_heads,
+            "num_key_value_heads": g("attention.head_count_kv", n_heads),
+            "intermediate_size": g("feed_forward_length"),
+            "max_position_embeddings": g("context_length", 4096),
+            "rms_norm_eps": g("attention.layer_norm_rms_epsilon", 1e-5),
+            "rope_theta": g("rope.freq_base", 10000.0),
+            "num_local_experts": g("expert_count", 8),
+            "num_experts_per_tok": g("expert_used_count", 2),
+        })
     return ArchConfig(
         name=name,
         vocab_size=vocab_size,
@@ -891,6 +967,23 @@ def load_gguf_model(path: str):
             lp["k"] = lin_b(b + "attn_k")
             lp["v"] = lin_b(b + "attn_v")
         lp["o"] = lin_b(b + "attn_output")
+        if b + "ffn_gate_inp.weight" in r.tensors:  # mixtral MoE
+            moe: Dict[str, Any] = {
+                "router": {"w": gguf_tensor_to_array(
+                    r, r.tensors[b + "ffn_gate_inp.weight"],
+                    jnp.float32).T},
+                "experts": [],
+            }
+            n_exp = cfg.moe.num_experts
+            for ei in range(n_exp):
+                moe["experts"].append({
+                    "gate": lin(f"{b}ffn_gate.{ei}.weight"),
+                    "up": lin(f"{b}ffn_up.{ei}.weight"),
+                    "down": lin(f"{b}ffn_down.{ei}.weight"),
+                })
+            lp["moe"] = moe
+            params["layers"].append(lp)
+            continue
         ffn = {
             "up": lin_b(b + "ffn_up"),
             "down": lin_b(b + "ffn_down"),
@@ -944,7 +1037,7 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
         return _write_gguf_nonllama(state_dict, hf_cfg, out_path, ggml_type,
                                     np_of, tokens=tokens, merges=merges)
     if arch in ("gptj", "gpt_neox", "gptneox", "gpt_bigcode", "starcoder",
-                "phi", "qwen"):
+                "phi", "qwen", "opt", "chatglm", "chatglm2", "chatglm3"):
         return _write_gguf_arch2(state_dict, hf_cfg, out_path, ggml_type,
                                  np_of, tokens=tokens, merges=merges)
 
@@ -968,6 +1061,16 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
         w.add("gemma.attention.key_length",
               hf_cfg.get("head_dim",
                          hf_cfg["hidden_size"] // n_heads))
+    if arch == "stablelm":  # partial rotary + LN norms
+        hd = hf_cfg["hidden_size"] // n_heads
+        w.add("stablelm.rope.dimension_count",
+              int(hf_cfg.get("partial_rotary_factor", 0.25) * hd))
+        w.add("stablelm.attention.layer_norm_epsilon",
+              float(hf_cfg.get("layer_norm_eps", 1e-5)))
+    if arch == "mixtral":
+        w.add("mixtral.expert_count", hf_cfg.get("num_local_experts", 8))
+        w.add("mixtral.expert_used_count",
+              hf_cfg.get("num_experts_per_tok", 2))
     if tokens:
         w.add("tokenizer.ggml.model", "llama")
         w.add("tokenizer.ggml.tokens", tokens)
@@ -984,23 +1087,44 @@ def write_hf_to_gguf(state_dict, hf_cfg: Dict[str, Any], out_path: str,
         if key + ".bias" in state_dict:
             put(name + ".bias", key + ".bias", GGML_F32)
 
+    def put_norm(name, key):
+        put(name + ".weight", key + ".weight", GGML_F32)
+        if key + ".bias" in state_dict:  # stablelm-class LN biases
+            put(name + ".bias", key + ".bias", GGML_F32)
+
     put("token_embd.weight", "model.embed_tokens.weight", GGML_F16)
-    put("output_norm.weight", "model.norm.weight", GGML_F32)
+    put_norm("output_norm", "model.norm")
     if "lm_head.weight" in state_dict:
         put("output.weight", "lm_head.weight", ggml_type)
+    moe = "num_local_experts" in hf_cfg and arch == "mixtral"
     for i in range(hf_cfg["num_hidden_layers"]):
         hf = f"model.layers.{i}."
         b = f"blk.{i}."
-        put(b + "attn_norm.weight", hf + "input_layernorm.weight", GGML_F32)
-        put(b + "ffn_norm.weight", hf + "post_attention_layernorm.weight",
-            GGML_F32)
-        put_lin(b + "attn_q", hf + "self_attn.q_proj")
-        put_lin(b + "attn_k", hf + "self_attn.k_proj")
-        put_lin(b + "attn_v", hf + "self_attn.v_proj")
+        put_norm(b + "attn_norm", hf + "input_layernorm")
+        put_norm(b + "ffn_norm", hf + "post_attention_layernorm")
+        if hf + "self_attn.W_pack.weight" in state_dict:  # baichuan fused
+            wqkv = np_of(state_dict[hf + "self_attn.W_pack.weight"])
+            qd = wqkv.shape[0] // 3
+            for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+                w.add_tensor(f"{b}{nm}.weight",
+                             wqkv[j * qd:(j + 1) * qd], ggml_type)
+        else:
+            put_lin(b + "attn_q", hf + "self_attn.q_proj")
+            put_lin(b + "attn_k", hf + "self_attn.k_proj")
+            put_lin(b + "attn_v", hf + "self_attn.v_proj")
         put_lin(b + "attn_output", hf + "self_attn.o_proj")
-        put(b + "ffn_gate.weight", hf + "mlp.gate_proj.weight")
-        put(b + "ffn_up.weight", hf + "mlp.up_proj.weight")
-        put(b + "ffn_down.weight", hf + "mlp.down_proj.weight")
+        if moe:
+            put(b + "ffn_gate_inp.weight",
+                hf + "block_sparse_moe.gate.weight", GGML_F32)
+            for e in range(hf_cfg["num_local_experts"]):
+                ep = hf + f"block_sparse_moe.experts.{e}."
+                put(f"{b}ffn_gate.{e}.weight", ep + "w1.weight")
+                put(f"{b}ffn_down.{e}.weight", ep + "w2.weight")
+                put(f"{b}ffn_up.{e}.weight", ep + "w3.weight")
+        else:
+            put(b + "ffn_gate.weight", hf + "mlp.gate_proj.weight")
+            put(b + "ffn_up.weight", hf + "mlp.up_proj.weight")
+            put(b + "ffn_down.weight", hf + "mlp.down_proj.weight")
     w.write()
 
 
@@ -1015,11 +1139,13 @@ def _write_gguf_arch2(sd, hf_cfg, out_path, ggml_type, np_of, tokens=None,
     import numpy as _np
 
     mt = hf_cfg["model_type"]
-    arch = {"gpt_neox": "gptneox", "gpt_bigcode": "starcoder"}.get(mt, mt)
+    arch = {"gpt_neox": "gptneox", "gpt_bigcode": "starcoder",
+            "chatglm": "chatglm2", "chatglm3": "chatglm2"}.get(mt, mt)
     w = GGUFWriter(out_path)
     w.add("general.architecture", arch)
     w.add("general.name", "neural_speed_tpu export")
-    w.add("general.vocab_size", hf_cfg["vocab_size"])
+    w.add("general.vocab_size",
+          hf_cfg.get("vocab_size") or hf_cfg["padded_vocab_size"])
     if tokens:
         w.add("tokenizer.ggml.model", "gpt2")
         w.add("tokenizer.ggml.tokens", tokens)
@@ -1174,6 +1300,83 @@ def _write_gguf_arch2(sd, hf_cfg, out_path, ggml_type, np_of, tokens=None,
             wlin(b + "attn_output", hfp + "self_attn.dense")
             wlin(b + "ffn_up", hfp + "mlp.fc1")
             wlin(b + "ffn_down", hfp + "mlp.fc2")
+    elif mt == "opt":
+        e = hf_cfg["hidden_size"]
+        h = hf_cfg["num_attention_heads"]
+        nl = hf_cfg["num_hidden_layers"]
+        if hf_cfg.get("word_embed_proj_dim", e) != e or not hf_cfg.get(
+                "do_layer_norm_before", True):
+            raise NotImplementedError(
+                "opt variants with word_embed_proj_dim != hidden or "
+                "post-norm (350m) are not exportable")
+        meta("embedding_length", e)
+        meta("block_count", nl)
+        meta("attention.head_count", h)
+        meta("attention.head_count_kv", h)
+        meta("feed_forward_length", hf_cfg["ffn_dim"])
+        meta("context_length", hf_cfg.get("max_position_embeddings", 2048))
+        meta("attention.layer_norm_epsilon", 1e-5)
+        meta("activation", hf_cfg.get("activation_function", "relu"))
+        dec = "model.decoder."
+        wt("token_embd.weight", np_of(sd[dec + "embed_tokens.weight"]),
+           GGML_F16)
+        wt("position_embd.weight", np_of(sd[dec + "embed_positions.weight"]),
+           GGML_F16)
+        wnorm("output_norm", dec + "final_layer_norm")
+        for i in range(nl):
+            hfp = f"{dec}layers.{i}."
+            b = f"blk.{i}."
+            wnorm(b + "attn_norm", hfp + "self_attn_layer_norm")
+            wnorm(b + "ffn_norm", hfp + "final_layer_norm")
+            wlin(b + "attn_q", hfp + "self_attn.q_proj")
+            wlin(b + "attn_k", hfp + "self_attn.k_proj")
+            wlin(b + "attn_v", hfp + "self_attn.v_proj")
+            wlin(b + "attn_output", hfp + "self_attn.out_proj")
+            wlin(b + "ffn_up", hfp + "fc1")
+            wlin(b + "ffn_down", hfp + "fc2")
+    elif mt in ("chatglm", "chatglm2", "chatglm3"):
+        e = hf_cfg["hidden_size"]
+        h = hf_cfg["num_attention_heads"]
+        nl = hf_cfg["num_layers"]
+        d = hf_cfg.get("kv_channels", e // h)
+        hkv = (hf_cfg.get("multi_query_group_num", h)
+               if hf_cfg.get("multi_query_attention", False) else h)
+        inter = hf_cfg["ffn_hidden_size"]
+        meta("embedding_length", e)
+        meta("block_count", nl)
+        meta("attention.head_count", h)
+        meta("attention.head_count_kv", hkv)
+        meta("feed_forward_length", inter)
+        meta("context_length", hf_cfg.get("seq_length", 8192))
+        meta("attention.layer_norm_rms_epsilon",
+             float(hf_cfg.get("layernorm_epsilon", 1e-5)))
+        meta("rope.ratio", float(hf_cfg.get("rope_ratio", 1.0)))
+        enc = "transformer.encoder."
+        wt("token_embd.weight",
+           np_of(sd["transformer.embedding.word_embeddings.weight"]),
+           GGML_F16)
+        wnorm("output_norm", enc + "final_layernorm")
+        wt("output.weight", np_of(sd["transformer.output_layer.weight"]))
+        qd, kvd = h * d, hkv * d
+        for i in range(nl):
+            hfp = f"{enc}layers.{i}."
+            b = f"blk.{i}."
+            wnorm(b + "attn_norm", hfp + "input_layernorm")
+            wnorm(b + "ffn_norm", hfp + "post_attention_layernorm")
+            qkv = np_of(sd[hfp + "self_attention.query_key_value.weight"])
+            bqkv = sd.get(hfp + "self_attention.query_key_value.bias")
+            ofs = [0, qd, qd + kvd, qd + 2 * kvd]
+            for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+                wt(f"{b}{nm}.weight", qkv[ofs[j]:ofs[j + 1]])
+                if bqkv is not None:
+                    wt(f"{b}{nm}.bias", np_of(bqkv)[ofs[j]:ofs[j + 1]],
+                       GGML_F32)
+            wlin(b + "attn_output", hfp + "self_attention.dense")
+            # swiglu fused dense_h_to_4h = [gate; up] halves
+            w4h = np_of(sd[hfp + "mlp.dense_h_to_4h.weight"])
+            wt(b + "ffn_gate.weight", w4h[:inter])
+            wt(b + "ffn_up.weight", w4h[inter:])
+            wlin(b + "ffn_down", hfp + "mlp.dense_4h_to_h")
     else:  # qwen (qwen-1)
         e = hf_cfg["hidden_size"]
         h = hf_cfg["num_attention_heads"]
