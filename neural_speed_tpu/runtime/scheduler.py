@@ -65,7 +65,7 @@ class ContinuousBatchingScheduler:
                  chunk_size: int = 8, speculative: bool = False,
                  spec_k: int = 7, spec_min_k: int = 3,
                  spec_max_ngram: int = 3, mixed_prefill: bool = False,
-                 mixed_chunk: int = 32):
+                 mixed_chunk: int = 32, adaptive_chunk: bool = True):
         from ..utils.profiler import Timings
 
         self.engine = engine
@@ -76,6 +76,11 @@ class ContinuousBatchingScheduler:
         # more than the model step itself); 1 restores per-token stepping
         # (needed when a stopping_criteria must run between tokens)
         self.chunk_size = max(1, chunk_size)
+        # deepen device-chained chunks when nothing is waiting: 4x fewer
+        # host syncs per token in steady-state decode, identical outputs
+        # (the device sampler/penalty stream advances per token, not per
+        # chunk).  Costs one extra jit variant.
+        self.adaptive_chunk = adaptive_chunk
         self.sp = params or smp.SamplingParams(do_sample=False)
         # -- batched speculative decoding (EXTENSION) ----------------------
         # Each step every slot proposes its own prompt-lookup draft and one
@@ -288,10 +293,21 @@ class ContinuousBatchingScheduler:
                 active_np[slot] = True
         if not active_np.any():
             return
-        # chunk is CONSTANT so exactly one jit variant exists; sequences
-        # finishing mid-chunk simply discard their tail tokens (the slot's
-        # KV overshoot is reset when the slot is reused)
+        # chunk comes from a TWO-STEP ladder so at most two jit variants
+        # exist; sequences finishing mid-chunk simply discard their tail
+        # tokens (the slot's KV overshoot is reset when the slot is reused)
         chunk = self.chunk_size
+        if self.adaptive_chunk and not self.waiting:
+            big = 4 * self.chunk_size
+            remaining = min(
+                seq.max_new_tokens - len(seq.generated)
+                for slot, seq in self.running.items() if active_np[slot])
+            headroom = self.engine.max_len - int(
+                self._slot_len[active_np].max())
+            # stay on the base chunk near the context window so eviction
+            # fires at exactly the same points as the fixed-chunk schedule
+            if remaining >= big and headroom >= big:
+                chunk = big
         self._maybe_evict(active_np, chunk)
         eng.prepare_decode(active_np, chunk)
         with self.timings.timer("decode", int(active_np.sum()) * chunk):

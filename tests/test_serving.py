@@ -749,3 +749,31 @@ def test_model_server_live_checkpoint(our_model, tmp_path):
         for q in sched.pop_finished():
             got[q.request_id] = q.generated
     assert got == ref
+
+
+def test_adaptive_chunk_identical_deliveries():
+    """The adaptive chunk ladder (4x device-chained decode when nothing is
+    waiting) must not change ANY delivered token — greedy w/ penalties and
+    sampled — vs the fixed-chunk schedule."""
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=128, hidden_size=64,
+                     n_layers=2, n_heads=4, n_kv_heads=4,
+                     intermediate_size=128, max_position_embeddings=128)
+    params = synth_params(cfg, QSpec(QType.INT, 4, 32, True))
+    for sp in (SamplingParams(do_sample=False, repetition_penalty=1.1),
+               SamplingParams(do_sample=True, temperature=0.8,
+                              top_k=20)):
+        outs = []
+        for adaptive in (False, True):
+            eng = Engine(params, cfg, max_batch=2, max_len=128)
+            sched = ContinuousBatchingScheduler(
+                eng, sp, chunk_size=4, adaptive_chunk=adaptive)
+            rids = [sched.add_request([1, 17, 9, 33], 40),
+                    sched.add_request([2, 5, 8], 25)]
+            done = {s.request_id: s.generated
+                    for s in sched.run_to_completion()}
+            outs.append([done[r] for r in rids])
+        assert outs[0] == outs[1]
