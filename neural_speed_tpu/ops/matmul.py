@@ -873,6 +873,16 @@ def qmatmul_int8(x: jax.Array, qt: QTensor, out_dtype=None,
     quantization math.  `per_token=True` uses one activation scale per
     row (applied outside the kernel) instead of one per group — cheaper
     epilogue, slightly coarser activation quant.
+
+    Pallas eligibility (`_int8_pallas_ok`; narrower than the reference's
+    int8 compute, which covers all KBlock widths with asym correction —
+    bestla_epilogue.h:278-311): INT bits in {4, 8}, single-slab pack, no
+    double-quant, M a multiple of 32 (int8 sublane tile), group size a
+    multiple of 128 dividing K (whole-lane MXU contractions), and either
+    symmetric or int4-asym (8-bit codes - zp overflows int8).  Everything
+    else silently uses the XLA program or `qmatmul`'s bf16 group-dot —
+    which measured FASTER than int8 compute on v5e for most shapes
+    (BENCH_NOTES.md), so the narrow gate costs little.
     """
     spec = qt.spec
     qt = qt.local_view()
