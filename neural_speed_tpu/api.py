@@ -294,6 +294,8 @@ class Model:
                  else 8 if streamer is not None else 16)
         sched = ContinuousBatchingScheduler(
             self.engine, sp, eos_id=self.eos_id, seed=seed, chunk_size=chunk,
+            # the ladder would widen the granularity these callbacks rely on
+            adaptive_chunk=stopping_criteria is None and streamer is None,
         )
         seqs = {}
         for p in ids:

@@ -24,6 +24,7 @@ like every serving stack's block manager.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -107,10 +108,16 @@ def init_paged_cache(layers: int, batch: int, max_len: int, kv_heads: int,
 
 
 class PageAllocator:
-    """Host-side physical page manager (the serving block manager)."""
+    """Host-side physical page manager (the serving block manager).
+
+    Pages are REFCOUNTED so beam search can alias full blocks across
+    beams (copy-on-write fork, `PagedEngine.reorder_slots`): `share_pages`
+    adds a reference, `free_pages` drops one and only returns the page to
+    the pool at zero."""
 
     def __init__(self, n_pages: int):
         self.free: List[int] = list(range(n_pages))
+        self.refs = {}  # page -> refcount (absent == in the free list)
 
     @property
     def available(self) -> int:
@@ -129,15 +136,35 @@ class PageAllocator:
                     start_idx = i - run
                     first = self.free[start_idx]
                     del self.free[start_idx:start_idx + n]
+                    for p in range(first, first + n):
+                        self.refs[p] = 1
                     return first
                 run = 1
         return None
 
     def alloc_page(self) -> Optional[int]:
-        return self.free.pop() if self.free else None
+        if not self.free:
+            return None
+        p = self.free.pop()
+        self.refs[p] = 1
+        return p
+
+    def share_pages(self, pages: List[int]) -> None:
+        for p in pages:
+            self.refs[int(p)] = self.refs.get(int(p), 0) + 1
 
     def free_pages(self, pages: List[int]) -> None:
-        self.free.extend(int(p) for p in pages)
+        for p in pages:
+            p = int(p)
+            if p not in self.refs:
+                raise RuntimeError(
+                    f"double free of page {p} (not allocated)")
+            rc = self.refs[p] - 1
+            if rc <= 0:
+                self.refs.pop(p)
+                self.free.append(p)
+            else:
+                self.refs[p] = rc
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +391,42 @@ def append_decode(cache: PagedKVCache, layer: int, k_new: jax.Array,
         k_pages=k.reshape(cache.k_pages.shape),
         v_pages=v.reshape(cache.v_pages.shape),
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _copy_pages_jit(k, v, ks, vs, dst, src):
+    """Whole-page copies (all layers, K+V+scales) in ONE gather-then-
+    scatter each — every copy reads pre-state, so aliased dst/src page
+    sets within one call resolve consistently."""
+    k = k.at[:, :, dst].set(k[:, :, src])
+    v = v.at[:, :, dst].set(v[:, :, src])
+    if ks is not None:
+        ks = ks.at[:, :, dst].set(ks[:, :, src])
+        vs = vs.at[:, :, dst].set(vs[:, :, src])
+    return k, v, ks, vs
+
+
+def copy_pages(cache: PagedKVCache, dst_pages, src_pages,
+               pad_to: Optional[int] = None) -> PagedKVCache:
+    """Copy physical pages dst[i] <- src[i] (the copy-on-write tail-page
+    copy of a beam fork).  `pad_to` pads the index vectors with self-
+    copies of the trash page so the jitted copy has a fixed shape."""
+    import numpy as np
+
+    dst = list(int(p) for p in dst_pages)
+    src = list(int(p) for p in src_pages)
+    if not dst:
+        return cache
+    if pad_to is not None and len(dst) < pad_to:
+        trash = cache.n_pages - 1
+        dst = dst + [trash] * (pad_to - len(dst))
+        src = src + [trash] * (pad_to - len(src))
+    k, v, ks, vs = _copy_pages_jit(
+        cache.k_pages, cache.v_pages, cache.k_scale, cache.v_scale,
+        jnp.asarray(np.asarray(dst, np.int32)),
+        jnp.asarray(np.asarray(src, np.int32)))
+    return dataclasses.replace(cache, k_pages=k, v_pages=v, k_scale=ks,
+                               v_scale=vs)
 
 
 def gathered_layer(cache: PagedKVCache, layer: int,

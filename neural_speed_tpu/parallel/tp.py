@@ -486,7 +486,7 @@ def _bind_paged_hooks():
 
     for name in ("new_cache", "_sync_tables", "_ensure_pages",
                  "prepare_prefill", "prepare_decode", "prepare_rows",
-                 "commit_lens", "release_slot"):
+                 "commit_lens", "release_slot", "reorder_slots"):
         setattr(PagedTPEngine, name, getattr(PagedEngine, name))
 
 

@@ -222,6 +222,8 @@ class BeamContinuousScheduler:
         req.finalize()
         self.running.pop(req.rid, None)
         self._fresh.pop(req.rid, None)
+        for s in req.slots:
+            self.engine.release_slot(s)  # paged: drop page references
         self.free_slots.extend(req.slots)
         self.finished.append(req)
 
@@ -250,6 +252,8 @@ class BeamContinuousScheduler:
             if eng.glm_lens is not None:  # chatglm-1: all beam slots share
                 for s in r.slots:         # the request's prompt length
                     eng.glm_lens[s] = len(p)
+        eng.prepare_prefill([r.slots[0] for r in batch],
+                            [lens[r.slots[0]] for r in batch])
         logits = eng.run_prefill(
             jnp.asarray(ids), jnp.asarray(lens),
             jnp.zeros((eng.max_batch,), jnp.int32),
@@ -284,7 +288,7 @@ class BeamContinuousScheduler:
                 toks[slot] = r.pending_tok[b]
                 active[slot] = True
         if not (src == np.arange(eng.max_batch)).all():
-            eng.cache = kvc.reorder(eng.cache, jnp.asarray(src))
+            eng.reorder_slots(src)
         logits = eng.decode(jnp.asarray(toks), jnp.asarray(active))
         lp = np.asarray(
             jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -259,6 +259,14 @@ class Engine:
         )
         return logits
 
+    def reorder_slots(self, src) -> None:
+        """Beam-search KV reorder: slot b takes slot src[b]'s KV — a
+        batch-axis gather on the contiguous cache (parity:
+        beam_search_kv_cache_reorder, model_utils.cpp:2239-2310, without
+        the memcpys); PagedEngine overrides with a copy-on-write
+        page-table fork."""
+        self.cache = kvc.reorder(self.cache, jnp.asarray(src))
+
     def generate_greedy(self, prompt: List[int], max_new_tokens: int,
                         eos_id: Optional[int] = None) -> List[int]:
         """Single-sequence greedy decode (tests / simple API)."""
@@ -464,6 +472,59 @@ class PagedEngine(Engine):
         self._tables[slot, :n_blocks] = 0
         self._lens[slot] = 0
         self._mapped[slot] = 0
+
+    def reorder_slots(self, src) -> None:
+        """Beam KV reorder on the page pool — copy-on-write fork: slot b
+        takes slot src[b]'s KV by ALIASING its full blocks (refcounted
+        page-table copy: the prompt's KV is stored ONCE for all beams —
+        beyond both the contiguous gather and the reference's block
+        memcpys, model_utils.cpp:2239-2310) and copying only the partial
+        tail page into a private fresh page (appends write there)."""
+        import numpy as np
+        from ..ops import kv_cache as kvc
+        from ..ops import paged_kv as pkv
+
+        src = np.asarray(src)
+        b = src.shape[0]
+        ps = self.page_size
+        old_tables = self._tables.copy()
+        old_lens = self._lens.copy()
+        # Three phases so a slot that is BOTH a fork source and a fork
+        # destination stays consistent: (1) sharers take their references
+        # on every source's full blocks FIRST, (2) destinations drop their
+        # old references (shared pages survive via refcount), (3) fresh
+        # tail pages allocate (reusing just-freed pages is safe: the
+        # device copy gathers all sources before scattering).
+        plans = []
+        for dst in range(b):
+            s = int(src[dst])
+            if s == dst:
+                continue
+            ln = int(old_lens[s])
+            full = ln // ps
+            tail = ln % ps
+            self._alloc.share_pages(old_tables[s, :full].tolist())
+            plans.append((dst, s, ln, full, tail))
+        for dst, *_ in plans:
+            self.release_slot(dst)
+        dst_pages: list = []
+        src_pages: list = []
+        for dst, s, ln, full, tail in plans:
+            self._tables[dst, :full] = old_tables[s, :full]
+            if tail:
+                fresh = self._alloc.alloc_page()
+                if fresh is None:
+                    raise RuntimeError("paged KV pool exhausted (fork)")
+                self._tables[dst, full] = fresh
+                dst_pages.append(fresh)
+                src_pages.append(int(old_tables[s, full]))
+            self._lens[dst] = ln
+            self._mapped[dst] = full + (1 if tail else 0)
+        self.cache = pkv.copy_pages(self.cache, dst_pages, src_pages,
+                                    pad_to=self.max_batch)
+        self._sync_tables()
+        self.cache = kvc.set_lengths(
+            self.cache, jnp.asarray(self._lens.astype(np.int32)))
 
 
 # -- scheduler hooks (paged-aware) ---------------------------------------

@@ -830,13 +830,16 @@ class ContinuousBatchingScheduler:
             engine._tables = np.asarray(z["pg_tables"], np.int32).copy()
             engine._lens = np.asarray(z["pg_lens"], np.int64).copy()
             engine._mapped = np.asarray(z["pg_mapped"], np.int64).copy()
-            used = set()
+            # rebuild the refcounted allocator: one reference per table
+            # entry (beam-shared pages would count once per sharer)
+            refs: dict = {}
             for slot in range(engine.max_batch):
-                used.update(
-                    engine._tables[slot, : int(engine._mapped[slot])]
-                    .tolist())
+                for p in engine._tables[
+                        slot, : int(engine._mapped[slot])].tolist():
+                    refs[int(p)] = refs.get(int(p), 0) + 1
+            engine._alloc.refs = refs
             engine._alloc.free = [p for p in range(engine.n_pages - 1)
-                                  if p not in used]
+                                  if p not in refs]
             engine._sync_tables()
         if engine.glm_lens is not None and "glm_lens" in z:
             engine.glm_lens = np.asarray(z["glm_lens"], np.int32).copy()

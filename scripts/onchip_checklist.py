@@ -190,12 +190,16 @@ LEGS = {
     "flash80": (FLASH80, 600),
     "bench": ("import subprocess,sys; sys.exit(subprocess.call("
               "[sys.executable,'bench.py']))", 900),
-    "bench16": ("import subprocess,sys;\n"
-                "sys.exit(subprocess.call([sys.executable,'bench.py',"
-                "'--batch','16','--ctx','1024','--prompt','512'])"
-                " or subprocess.call([sys.executable,'bench.py',"
-                "'--batch','16','--ctx','1024','--prompt','512',"
-                "'--kv','bf16']))", 1800),
+    "bench16": ("import os, subprocess, sys\n"
+                "base = [sys.executable, 'bench.py', '--batch', '16',"
+                " '--ctx', '1024', '--prompt', '512']\n"
+                "for label, env, extra in ("
+                "('int8kv-loop', {}, []),"
+                "('int8kv-batched', {'NST_KV_APPEND': 'batched'}, []),"
+                "('bf16kv', {}, ['--kv', 'bf16'])):\n"
+                "    print('---', label, flush=True)\n"
+                "    subprocess.call(base + extra,"
+                " env={**os.environ, **env})", 2700),
     "paged32": (PAGED32, 1200),
     "serving": (SERVING, 1500),
 }

@@ -428,3 +428,64 @@ def test_paged_prefill_bucket_padding_does_not_trample(monkeypatch):
     got = run(PagedEngine(params, cfg, max_batch=4, max_len=128,
                           page_size=16, fuse=False))
     assert got == ref
+
+
+def test_beam_search_paged_matches_contiguous(monkeypatch):
+    """Beam search over the paged cache (copy-on-write page-table fork:
+    full blocks refcount-shared across beams, only tail pages copied)
+    must produce exactly the contiguous engine's hypotheses, and the
+    allocator must be fully drained after the requests retire."""
+    monkeypatch.setenv("NST_FLASH", "off")  # identical reduction order on
+    # both engines (the flash kernels tile by page vs context block)
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.runtime.beam import BeamConfig, beam_search
+    from neural_speed_tpu.runtime.engine import Engine, PagedEngine
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=128, hidden_size=64,
+                     n_layers=2, n_heads=4, n_kv_heads=4,
+                     intermediate_size=128, max_position_embeddings=512)
+    params = synth_params(cfg, QSpec(QType.INT, 4, 32, True))
+    prompts = [[1, 17, 9, 33], [2, 5, 8, 13, 21, 34], [7, 7, 7]]
+    bc = BeamConfig(num_beams=2, max_new_tokens=8)
+
+    ref_eng = Engine(params, cfg, max_batch=4, max_len=256)
+    ref = beam_search(ref_eng, prompts, bc)
+
+    # page_size 128 < prompt+gen: beams share the prompt block via
+    # refcounts once a sequence crosses a page boundary
+    for page_size in (128, 256):
+        eng = PagedEngine(params, cfg, max_batch=4, max_len=256,
+                          fuse=True, page_size=page_size)
+        got = beam_search(eng, prompts, bc)
+        assert got == ref, (page_size, got, ref)
+        assert eng._alloc.available == eng.n_pages - 1  # all pages freed
+        assert not eng._alloc.refs
+
+
+def test_beam_paged_long_crosses_pages(monkeypatch):
+    """Long generation crossing several page boundaries under beam fork:
+    shared full pages stay immutable, growth pages allocate privately."""
+    monkeypatch.setenv("NST_FLASH", "off")
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.runtime.beam import BeamConfig, beam_search
+    from neural_speed_tpu.runtime.engine import Engine, PagedEngine
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=64, hidden_size=64,
+                     n_layers=2, n_heads=4, n_kv_heads=2,
+                     intermediate_size=128, max_position_embeddings=2048)
+    params = synth_params(cfg, QSpec(QType.INT, 4, 32, True), seed=3)
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8] * 20]   # 160-token prompt
+    bc = BeamConfig(num_beams=3, max_new_tokens=280)  # crosses 2+ pages
+
+    ref = beam_search(Engine(params, cfg, max_batch=3, max_len=512),
+                      prompts, bc)
+    eng = PagedEngine(params, cfg, max_batch=3, max_len=512, fuse=True,
+                      page_size=128)
+    got = beam_search(eng, prompts, bc)
+    assert got == ref
+    assert eng._alloc.available == eng.n_pages - 1
+    assert not eng._alloc.refs

@@ -264,3 +264,35 @@ def test_softcap_bounds_logits():
     lens = jnp.full((B,), S)
     out = attention_ref(q, k, v, qpos, lens, logit_softcap=30.0)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batched_decode_append_matches_loop(monkeypatch):
+    """NST_KV_APPEND=batched (one gather+blend+scatter) must write the
+    exact same cache state as the per-slot RMW loop — bf16 and int8."""
+    import os
+
+    import numpy as np
+
+    from neural_speed_tpu.ops import kv_cache as kvc
+
+    for quantized in (False, True):
+        caches = []
+        for mode in ("loop", "batched"):
+            rng = np.random.default_rng(4)  # identical data per mode
+            monkeypatch.setenv("NST_KV_APPEND", mode)
+            c = kvc.init_cache(2, 4, 64, 2, 16, quantized=quantized)
+            for step in range(3):
+                pos = jnp.asarray(
+                    [[5 + step], [0 + step], [63], [17 + step]])
+                k_new = jnp.asarray(
+                    rng.standard_normal((4, 1, 2, 16)), jnp.float32)
+                v_new = jnp.asarray(
+                    rng.standard_normal((4, 1, 2, 16)), jnp.float32)
+                active = jnp.asarray([True, True, False, True])
+                for layer in range(2):
+                    c = kvc.append_layer(c, layer, k_new, v_new, pos,
+                                         active)
+            caches.append(c)
+        for a, b in zip(jax.tree_util.tree_leaves(caches[0]),
+                        jax.tree_util.tree_leaves(caches[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
