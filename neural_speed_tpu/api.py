@@ -50,6 +50,9 @@ class Model:
         lora_path: Optional[str] = None,
         lora_scale: Optional[float] = None,
         tp: int = 1,
+        paged: bool = False,
+        page_size: int = 128,
+        n_pages: Optional[int] = None,
     ):
         """Convert + quantize an HF checkpoint (parity: Model.init,
         __init__.py:142-225).  `use_cache` reuses the packed .npz;
@@ -99,7 +102,8 @@ class Model:
                 lcfg = dict(lcfg, lora_alpha=lora_scale * lcfg.get("r", 1.0))
             params = lora_mod.apply_lora_to_params(params, self.cfg, lsd,
                                                    lcfg)
-        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp)
+        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
+                          paged=paged, page_size=page_size, n_pages=n_pages)
         return self
 
     def _convert(self, model_name: str, qspec: Optional[QSpec]):
@@ -112,17 +116,20 @@ class Model:
     def init_from_bin(self, arch_cfg: ArchConfig, bin_path: str,
                       max_batch: int = 1, ctx_size: int = 2048,
                       kv_quantized: bool = False, tokenizer=None,
-                      tp: int = 1):
+                      tp: int = 1, paged: bool = False,
+                      page_size: int = 128, n_pages: Optional[int] = None):
         """Load a previously saved packed model (parity: init_from_bin)."""
         self.cfg = arch_cfg
         self.tokenizer = tokenizer
         params = serialization.load_params(bin_path)
-        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp)
+        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
+                          paged=paged, page_size=page_size, n_pages=n_pages)
         return self
 
     def init_from_gguf(self, gguf_path: str, max_batch: int = 1,
                        ctx_size: int = 2048, kv_quantized: bool = False,
-                       tp: int = 1):
+                       tp: int = 1, paged: bool = False,
+                       page_size: int = 128, n_pages: Optional[int] = None):
         from .convert import gguf as gguf_mod
 
         params, cfg, tok = gguf_mod.load_gguf_model(gguf_path)
@@ -130,19 +137,38 @@ class Model:
         self.tokenizer = tok
         if tok is not None:
             self.eos_id = tok.eos_token_id
-        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp)
+        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
+                          paged=paged, page_size=page_size, n_pages=n_pages)
         return self
 
     def _make_engine(self, params, max_batch, ctx_size, kv_quantized,
-                     tp: int = 1):
+                     tp: int = 1, paged: bool = False, page_size: int = 128,
+                     n_pages: Optional[int] = None):
         if tp > 1:
             # multi-chip serving: shard per the Megatron split table and
             # drive the whole mesh from this process (parallel/tp.TPEngine)
-            from .parallel.tp import TPEngine, make_mesh
+            from .parallel.tp import PagedTPEngine, TPEngine, make_mesh
 
+            if paged:
+                self.engine = PagedTPEngine(
+                    params, self.cfg, make_mesh(tp=tp),
+                    max_batch=max_batch, max_len=ctx_size,
+                    kv_quantized=kv_quantized, page_size=page_size,
+                    n_pages=n_pages,
+                )
+                return
             self.engine = TPEngine(
                 params, self.cfg, make_mesh(tp=tp), max_batch=max_batch,
                 max_len=ctx_size, kv_quantized=kv_quantized,
+            )
+            return
+        if paged:
+            from .runtime.engine import PagedEngine
+
+            self.engine = PagedEngine(
+                params, self.cfg, max_batch=max_batch, max_len=ctx_size,
+                kv_quantized=kv_quantized, page_size=page_size,
+                n_pages=n_pages,
             )
             return
         self.engine = Engine(

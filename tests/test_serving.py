@@ -777,3 +777,30 @@ def test_adaptive_chunk_identical_deliveries():
                     for s in sched.run_to_completion()}
             outs.append([done[r] for r in rids])
         assert outs[0] == outs[1]
+
+
+def test_model_api_paged(tmp_path, our_model, hf_model):
+    """`Model.init(..., paged=True)` serves through PagedEngine with
+    identical greedy output (and beam via num_beams) to the default
+    contiguous engine."""
+    sd = dict(hf_model.state_dict())
+    cfg = CFG
+    ref = our_model.generate([PROMPTS[0]], max_new_tokens=8,
+                             do_sample=False, repetition_penalty=1.0,
+                             ignore_prompt=True)[0]
+
+    paged = Model()
+    paged.cfg = arch_from_hf_config(cfg.to_dict())
+    params = params_from_state_dict(sd, paged.cfg, None)
+    paged._make_engine(params, max_batch=2, ctx_size=128,
+                       kv_quantized=False, paged=True, page_size=128)
+    assert hasattr(paged.engine, "page_size")
+    got = paged.generate([PROMPTS[0]], max_new_tokens=8, do_sample=False,
+                         repetition_penalty=1.0, ignore_prompt=True)[0]
+    assert got == ref
+
+    beam_ref = our_model.generate([PROMPTS[0]], max_new_tokens=6,
+                                  num_beams=2, ignore_prompt=True)[0]
+    beam_got = paged.generate([PROMPTS[0]], max_new_tokens=6, num_beams=2,
+                              ignore_prompt=True)[0]
+    assert beam_got == beam_ref
