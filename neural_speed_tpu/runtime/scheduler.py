@@ -65,7 +65,8 @@ class ContinuousBatchingScheduler:
                  chunk_size: int = 8, speculative: bool = False,
                  spec_k: int = 7, spec_min_k: int = 3,
                  spec_max_ngram: int = 3, mixed_prefill: bool = False,
-                 mixed_chunk: int = 32, adaptive_chunk: bool = True):
+                 mixed_chunk: int = 32, adaptive_chunk: bool = True,
+                 pipeline_decode: bool = True):
         from ..utils.profiler import Timings
 
         self.engine = engine
@@ -81,6 +82,13 @@ class ContinuousBatchingScheduler:
         # (the device sampler/penalty stream advances per token, not per
         # chunk).  Costs one extra jit variant.
         self.adaptive_chunk = adaptive_chunk
+        # one-chunk decode pipelining: dispatch chunk N+1 from the DEVICE
+        # carry of chunk N (no host round-trip on the token), then process
+        # chunk N's results while N+1 computes — host bookkeeping overlaps
+        # device time.  Only in steady-state decode with guaranteed-stable
+        # active set (budget/headroom pessimism); identical deliveries.
+        self.pipeline_decode = pipeline_decode
+        self._pending = None  # (device toks [B, chunk], active_np, chunk)
         self.sp = params or smp.SamplingParams(do_sample=False)
         # -- batched speculative decoding (EXTENSION) ----------------------
         # Each step every slot proposes its own prompt-lookup draft and one
@@ -191,6 +199,11 @@ class ContinuousBatchingScheduler:
         """One scheduler iteration: admit+prefill a batch of new requests,
         or decode one token for all running slots — or, with
         mixed_prefill, do both in one combined forward."""
+        if self.waiting:
+            # a pending chunk may finish sequences and free slots; the
+            # admission decision must see the post-flush state (identical
+            # scheduling order to the unpipelined path)
+            self._flush_pending()
         admit = bool(self.waiting and self.free_slots)
         if self.mixed_prefill:
             mid = any(q.status == SeqStatus.PREFILL
@@ -198,6 +211,7 @@ class ContinuousBatchingScheduler:
             decoding = any(q.status == SeqStatus.DECODING
                            for q in self.running.values())
             if mid or (admit and decoding):
+                self._flush_pending()
                 if admit:
                     self._admit_mixed()
                 self._joint_step(include_prefill=True)
@@ -206,6 +220,7 @@ class ContinuousBatchingScheduler:
             self._prefill_batch()
         elif self.running:
             if self.speculative and self._spec_backoff == 0:
+                self._flush_pending()
                 self._joint_step(include_prefill=False)
             else:
                 if self._spec_backoff > 0:
@@ -282,7 +297,88 @@ class ContinuousBatchingScheduler:
                 self._slot_len[s.slot] = int(lens[s.slot]) + s.cached
                 s.status = SeqStatus.DECODING
 
+    def _can_pipeline(self, active_prev: np.ndarray, chunk: int) -> bool:
+        """True iff a next chunk may be dispatched from the pending
+        chunk's device carry with the SAME active set: no admission
+        possible, pure decode, and — pessimistically, as if every pending
+        token is consumed — no slot can finish on budget or run out of
+        context headroom (EOS mid-chunk is fine: the extra chunk's tokens
+        for that slot are discarded exactly like mid-chunk tails)."""
+        if (not self.pipeline_decode or self.waiting
+                or self._dev_lens_dirty or self.speculative
+                or self.mixed_prefill):
+            return False
+        for slot, seq in self.running.items():
+            on = bool(active_prev[slot])
+            if seq.status == SeqStatus.DECODING and not on:
+                return False  # active set changed
+            if on:
+                if seq.status != SeqStatus.DECODING:
+                    return False
+                if seq.max_new_tokens - len(seq.generated) <= chunk:
+                    return False
+        # _slot_len already includes the pending chunk (advanced at
+        # dispatch); staying clear of the window keeps eviction points
+        # identical to the unpipelined schedule
+        if int(self._slot_len[active_prev].max()) + chunk > \
+                self.engine.max_len:
+            return False
+        return True
+
+    def _dispatch_decode(self, tokens, active_np: np.ndarray,
+                         chunk: int) -> None:
+        eng = self.engine
+        eng.prepare_decode(active_np, chunk)
+        with self.timings.timer("decode", int(active_np.sum()) * chunk):
+            toks, self.sampler = eng.run_decode_chunk(
+                self.sampler, tokens, jnp.asarray(active_np), chunk,
+                self.sp,
+            )
+        self._slot_len[active_np] += chunk
+        self._pending = (toks, active_np, chunk)
+
+    def _flush_pending(self) -> None:
+        if self._pending is None:
+            return
+        toks, active_np, chunk = self._pending
+        self._pending = None
+        toks_np = np.asarray(toks)  # [B, chunk] — the one host sync
+        self._commit_decode(toks_np, active_np, chunk)
+
+    def _commit_decode(self, toks_np: np.ndarray, active_np: np.ndarray,
+                       chunk: int) -> None:
+        active_np = active_np.copy()
+        for step in range(chunk):
+            for slot, seq in list(self.running.items()):
+                if not active_np[slot]:
+                    continue
+                tok = int(toks_np[slot, step])
+                seq.generated.append(tok)
+                self._last_tokens[slot] = tok
+                pen = self._pens.get(slot)
+                if pen is not None:
+                    pen.observe([tok])  # keep host greedy state resumable
+                if seq.streamer is not None:
+                    seq.streamer(tok)
+                if (self.eos_id is not None and tok == self.eos_id) or len(
+                    seq.generated
+                ) >= seq.max_new_tokens:
+                    active_np[slot] = False  # later chunk tokens discarded
+                    self._finish(slot, seq)
+
     def _decode_step(self) -> None:
+        if self._pending is not None:
+            toks_prev, active_prev, chunk_prev = self._pending
+            if self._can_pipeline(active_prev, chunk_prev):
+                # dispatch chunk N+1 from chunk N's device carry, THEN
+                # process N's tokens while N+1 computes on device
+                self._pending = None
+                self._dispatch_decode(toks_prev[:, -1], active_prev,
+                                      chunk_prev)
+                self._commit_decode(np.asarray(toks_prev), active_prev,
+                                    chunk_prev)
+                return
+            self._flush_pending()
         if self._dev_lens_dirty:
             self._sync_dev_lengths()
             self._sync_sampler_from_pens()
@@ -309,31 +405,10 @@ class ContinuousBatchingScheduler:
             if remaining >= big and headroom >= big:
                 chunk = big
         self._maybe_evict(active_np, chunk)
-        eng.prepare_decode(active_np, chunk)
-        with self.timings.timer("decode", int(active_np.sum()) * chunk):
-            toks, self.sampler = eng.run_decode_chunk(
-                self.sampler, jnp.asarray(self._last_tokens),
-                jnp.asarray(active_np), chunk, self.sp,
-            )
-            toks_np = np.asarray(toks)  # [B, chunk] — the one host sync
-        self._slot_len[active_np] += chunk
-        for step in range(chunk):
-            for slot, seq in list(self.running.items()):
-                if not active_np[slot]:
-                    continue
-                tok = int(toks_np[slot, step])
-                seq.generated.append(tok)
-                self._last_tokens[slot] = tok
-                pen = self._pens.get(slot)
-                if pen is not None:
-                    pen.observe([tok])  # keep host greedy state resumable
-                if seq.streamer is not None:
-                    seq.streamer(tok)
-                if (self.eos_id is not None and tok == self.eos_id) or len(
-                    seq.generated
-                ) >= seq.max_new_tokens:
-                    active_np[slot] = False  # later chunk tokens discarded
-                    self._finish(slot, seq)
+        self._dispatch_decode(jnp.asarray(self._last_tokens), active_np,
+                              chunk)
+        if not self._can_pipeline(active_np, chunk):
+            self._flush_pending()
 
     # -- mixed admission (chunked prefill) ------------------------------
     def _admit_mixed(self) -> None:
@@ -735,6 +810,7 @@ class ContinuousBatchingScheduler:
         import json
 
         eng = self.engine
+        self._flush_pending()  # no dispatch in flight at a snapshot point
         if self._dev_lens_dirty:
             self._sync_dev_lengths()
 

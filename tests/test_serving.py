@@ -751,10 +751,11 @@ def test_model_server_live_checkpoint(our_model, tmp_path):
     assert got == ref
 
 
-def test_adaptive_chunk_identical_deliveries():
-    """The adaptive chunk ladder (4x device-chained decode when nothing is
-    waiting) must not change ANY delivered token — greedy w/ penalties and
-    sampled — vs the fixed-chunk schedule."""
+def test_adaptive_pipeline_identical_deliveries():
+    """Neither the adaptive chunk ladder nor one-chunk decode pipelining
+    (nor their combination) may change ANY delivered token — greedy w/
+    penalties and sampled, staggered admission, early EOS — vs the plain
+    fixed-chunk sequential schedule."""
     from neural_speed_tpu.models.arch import ArchConfig
     from neural_speed_tpu.ops.qtypes import QSpec, QType
     from neural_speed_tpu.utils.synthetic import synth_params
@@ -766,17 +767,32 @@ def test_adaptive_chunk_identical_deliveries():
     for sp in (SamplingParams(do_sample=False, repetition_penalty=1.1),
                SamplingParams(do_sample=True, temperature=0.8,
                               top_k=20)):
+        # sampled streams share one device PRNG whose order depends on
+        # global call count, so admission TIMING shifts them (true of the
+        # baseline too); stagger only the deterministic greedy case
+        stagger = not sp.do_sample
         outs = []
-        for adaptive in (False, True):
+        for adaptive, pipeline in ((False, False), (True, False),
+                                   (False, True), (True, True)):
             eng = Engine(params, cfg, max_batch=2, max_len=128)
             sched = ContinuousBatchingScheduler(
-                eng, sp, chunk_size=4, adaptive_chunk=adaptive)
+                eng, sp, chunk_size=4, adaptive_chunk=adaptive,
+                pipeline_decode=pipeline, eos_id=3)
             rids = [sched.add_request([1, 17, 9, 33], 40),
                     sched.add_request([2, 5, 8], 25)]
-            done = {s.request_id: s.generated
-                    for s in sched.run_to_completion()}
-            outs.append([done[r] for r in rids])
-        assert outs[0] == outs[1]
+            rid3 = None if stagger else sched.add_request([7, 7, 9, 2], 30)
+            done = {}
+            steps = 0
+            while sched.has_work:
+                sched.step()
+                steps += 1
+                if stagger and steps == 3 and rid3 is None:
+                    # mid-decode admission (forces a pending flush)
+                    rid3 = sched.add_request([7, 7, 9, 2], 30)
+                for s in sched.pop_finished():
+                    done[s.request_id] = s.generated
+            outs.append([done[r] for r in rids + [rid3]])
+        assert outs[0] == outs[1] == outs[2] == outs[3]
 
 
 def test_model_api_paged(tmp_path, our_model, hf_model):
