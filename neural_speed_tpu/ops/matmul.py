@@ -96,6 +96,9 @@ def _band_scales(s_all, band: int, gb: int, bkw: int, g: int, k: int, cdt):
     per-row: -> [bkw, BN].  `s_all` is the kernel's [e*gb, BN] view of the
     pre-permuted per-block scale rows (all indices static — Mosaic needs
     statically aligned sublane slices)."""
+    if jnp.issubdtype(s_all.dtype, jnp.unsignedinteger):
+        # uint8 zero-points: Mosaic has no unsigned -> float cast
+        s_all = s_all.astype(jnp.int32)
     if g >= k:
         sblk = s_all[:1, :]
         return jnp.broadcast_to(sblk, (bkw, sblk.shape[-1])).astype(cdt)
@@ -151,7 +154,9 @@ def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     s_all = _squeeze_lead(s_ref)
-    z_all = _squeeze_lead(z_ref) if z_ref is not None else None
+    # uint8 zero-points via int32 (Mosaic has no unsigned -> float cast)
+    z_all = (_squeeze_lead(z_ref).astype(jnp.int32)
+             if z_ref is not None else None)
     acc = jnp.zeros_like(acc_ref)
     group_dot = (g >= 128 and g < k and width != 1
                  and (n_kb == 1 or g % 128 == 0))
@@ -369,9 +374,12 @@ def _gemm_kernel_planar(x_ref, w_refs, s_ref, z_ref, o_ref, *, spec: QSpec,
             if spec.is_fp8:
                 codes = w_blk.astype(cdt)
             elif width == 8:
-                codes = w_blk.astype(cdt)
+                # uint8 rows via int32: Mosaic has no uint -> float cast
+                codes = w_blk.astype(jnp.int32).astype(cdt)
             else:
-                codes = _unpack_band(w_blk, width, band).astype(cdt)
+                # via int32: Mosaic has no uint32 -> float cast
+                codes = _unpack_band(w_blk, width, band).astype(
+                    jnp.int32).astype(cdt)
             for gg in range(n_sub):
                 grow = (band * kw + gg * g_eff) // g if g < k else 0
                 wsub = codes[gg * g_eff:(gg + 1) * g_eff]
@@ -387,7 +395,8 @@ def _gemm_kernel_planar(x_ref, w_refs, s_ref, z_ref, o_ref, *, spec: QSpec,
                     if zmode == "sym":
                         acc = acc - xsum * (spec.code_offset * srow)
                     elif zmode == "int":
-                        zrow = z_all[grow][None, :].astype(jnp.float32)
+                        zrow = z_all[grow][None, :].astype(
+                            jnp.int32).astype(jnp.float32)
                         acc = acc - xsum * (zrow * srow)
                     else:  # float offset: w = s*code + m
                         mrow = z_all[grow][None, :].astype(jnp.float32)

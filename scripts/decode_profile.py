@@ -1,0 +1,80 @@
+"""Per-op decomposition of the B=1 decode step on chip.
+
+Builds the 7B int4-g128 engine (int8 KV), prefills near the bench context,
+then captures a device trace of a 64-step device-chained decode and prints
+the per-op self-time table (utils/profiler.per_op_table).  This is the
+evidence base for the round-2 decode optimization work (VERDICT r1 item 1:
+attack the non-GEMM ~5 ms/step).
+
+Usage: python scripts/decode_profile.py [--layers 32] [--ctx 2048]
+       [--prompt 1900] [--steps 64] [--kv int8] [--top 40]
+"""
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--prompt", type=int, default=1900)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--kv", default="int8", choices=["bf16", "int8"])
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from neural_speed_tpu.ops import kv_cache as kvc
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.runtime.engine import decode_n_steps, prefill_step
+    from neural_speed_tpu.utils.profiler import op_profile
+    from neural_speed_tpu.utils.synthetic import llama2_7b_arch, synth_params
+
+    cfg = llama2_7b_arch()
+    if args.layers != 32:
+        cfg = dataclasses.replace(cfg, n_layers=args.layers)
+    spec = QSpec(QType.INT, 4, 128, True)
+    print(f"backend={jax.default_backend()}", file=sys.stderr)
+    params = synth_params(cfg, spec)
+    jax.block_until_ready(params)
+
+    b = args.batch
+    cache = kvc.init_cache(cfg.n_layers, b, args.ctx, cfg.n_kv_heads,
+                           cfg.head_dim, jnp.bfloat16,
+                           quantized=args.kv == "int8")
+    ids = jnp.zeros((b, args.prompt), jnp.int32)
+    lens = jnp.full((b,), args.prompt, jnp.int32)
+    start = jnp.zeros((b,), jnp.int32)
+    logits, cache = prefill_step(params, cfg, cache, ids, lens, start)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    if tok.ndim > 1:
+        tok = tok[:, 0]
+    active = jnp.ones((b,), bool)
+
+    # compile + warm outside the trace
+    toks, cache = decode_n_steps(params, cfg, cache, tok, active, args.steps)
+    int(toks[0, -1])
+    import time
+    tic = time.time()
+    toks, cache = decode_n_steps(params, cfg, cache, toks[:, -1], active,
+                                 args.steps)
+    int(toks[0, -1])
+    wall = time.time() - tic
+    print(f"warm decode {args.steps} steps: {wall*1e3:.1f} ms "
+          f"({wall/args.steps*1e3:.2f} ms/step)", file=sys.stderr)
+
+    with op_profile(top=args.top):
+        toks, cache = decode_n_steps(params, cfg, cache, toks[:, -1], active,
+                                     args.steps)
+        int(toks[0, -1])
+    print("done", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

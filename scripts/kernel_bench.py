@@ -49,9 +49,11 @@ def main():
     ap.add_argument("--n", type=int, default=22016)
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--group", type=int, default=128)
-    ap.add_argument("--short", type=int, default=4)
-    ap.add_argument("--long", type=int, default=20)
-    ap.add_argument("--reps", type=int, default=3)
+    # chain lengths sized so the marginal signal (~(long-short)*op_us)
+    # clears the tunnel's per-fetch RTT noise (+-5 ms on bad days)
+    ap.add_argument("--short", type=int, default=32)
+    ap.add_argument("--long", type=int, default=160)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sym", action="store_true", default=True)
     args = ap.parse_args()
 

@@ -68,7 +68,8 @@ K, N = 4096, 11008
 rng = np.random.default_rng(0)
 w = jnp.asarray(rng.standard_normal((K, N), np.float32) * 0.05)
 x = jnp.asarray(rng.standard_normal((1, K), np.float32))
-def chain_time(qt, n):
+SHORT, LONG, REPS = 32, 160, 5
+def chain_fn(qt, n):
     @jax.jit
     def run(x):
         def body(c, _):
@@ -76,9 +77,7 @@ def chain_time(qt, n):
             return c + y[:, :K].astype(c.dtype) * 1e-6, ()
         out, _ = jax.lax.scan(body, x, None, length=n)
         return out
-    run(x).block_until_ready()          # compile
-    t0 = time.time(); run(x).block_until_ready(); t1 = time.time()
-    return t1 - t0
+    return run
 for name, spec in [("int4", QSpec(QType.INT, 4, 128, True)),
                    ("int3", QSpec(QType.INT, 3, 128, True)),
                    ("int5", QSpec(QType.INT, 5, 128, True)),
@@ -87,11 +86,20 @@ for name, spec in [("int4", QSpec(QType.INT, 4, 128, True)),
     qt = quantize(w, spec)
     kind = ("pallas" if _pallas_supported(qt)
             else "planar" if _planar_supported(qt) else "XLA")
-    t4, t20 = chain_time(qt, 4), chain_time(qt, 20)
-    dt = (t20 - t4) / 16
+    fs, fl = chain_fn(qt, SHORT), chain_fn(qt, LONG)
+    # distinct input per call + scalar fetch: the tunnel dedups identical
+    # dispatches and lazily skips un-fetched chains (BENCH_NOTES.md)
+    seq = [0]
+    def t(f):
+        seq[0] += 1
+        xi = x + seq[0] * 1e-3
+        t0 = time.time(); float(jnp.sum(f(xi)[0, :8])); return time.time() - t0
+    t(fs); t(fl); t(fs); t(fl)          # compile + warm
+    ms = sorted(((t(fl) - t(fs)) / (LONG - SHORT)) for _ in range(REPS))
+    dt = ms[REPS // 2]
     gb = qt.nbytes() / dt / 1e9
     print(f"{name:5s} [{kind}] marginal {dt*1e6:.0f} us/op, "
-          f"{gb:.0f} GB/s effective")
+          f"{gb:.0f} GB/s effective", flush=True)
 """
 
 FLASH80 = r"""
