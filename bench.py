@@ -112,6 +112,11 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     t0 = time.time()
     params = synth_params(cfg, spec)
+    # fused QKV / gate-up, exactly like the serving Engine (4 fused-GEMM
+    # launches per layer instead of 7; wider N runs closer to HBM peak)
+    from neural_speed_tpu.models.transformer import fuse_params
+
+    params = fuse_params(params, cfg)
     jax.block_until_ready(params)
     log(f"params materialized in {time.time()-t0:.1f}s")
 

@@ -334,6 +334,32 @@ def _planar_supported(qt: QTensor) -> bool:
     return all(_plane_ok(w) for w in plane_widths(spec.bits))
 
 
+def _fp8_decode(w_blk, spec: QSpec):
+    """Exact fp8 -> f32 via integer bit-remap (Mosaic's native fp8 cast
+    lowering measured 13x slower than the int planes on v5e).
+
+    Normals: rebuild the f32 bit pattern with the exponent re-biased in
+    the INTEGER domain (e4m3 bias 7 -> f32 bias 127: e+120; e5m2: e+112)
+    and the mantissa top-aligned — one 32-bit bitcast, no subnormal
+    intermediates (a float-side 2^k bias fix gets FTZ'ed on the VPU).
+    Subnormals (e==0): value = m * 2^(1-bias-mbits), computed directly
+    from the integer mantissa.  fp8 NaN/inf map to finite values, which
+    the weight quantizer never emits."""
+    if spec.qtype == QType.FP8_E4M3:
+        mbits, ebias = 3, 7
+    else:
+        mbits, ebias = 2, 15
+    b = jax.lax.bitcast_convert_type(w_blk, jnp.uint8).astype(jnp.int32)
+    sign = b >> 7
+    e = (b >> mbits) & ((1 << (7 - mbits)) - 1)
+    m = b & ((1 << mbits) - 1)
+    bits = (sign << 31) | ((e + (127 - ebias)) << 23) | (m << (23 - mbits))
+    norm = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    sub = m.astype(jnp.float32) * float(2.0 ** (1 - ebias - mbits))
+    sub = jnp.where(sign == 1, -sub, sub)
+    return jnp.where(e == 0, sub, norm)
+
+
 def _gemm_kernel_planar(x_ref, w_refs, s_ref, z_ref, o_ref, *, spec: QSpec,
                         k: int, g: int, cdt, zmode: str):
     """Monolithic-K fused dequant-GEMM over multi-plane packs.
@@ -372,7 +398,7 @@ def _gemm_kernel_planar(x_ref, w_refs, s_ref, z_ref, o_ref, *, spec: QSpec,
         n_sub = kw // g_eff
         for band in range(e):
             if spec.is_fp8:
-                codes = w_blk.astype(cdt)
+                codes = _fp8_decode(w_blk, spec).astype(cdt)
             elif width == 8:
                 # uint8 rows via int32: Mosaic has no uint -> float cast
                 codes = w_blk.astype(jnp.int32).astype(cdt)
@@ -536,7 +562,11 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     bm, bn = _choose_bm(m, k), _choose_bn(n)
 
     wq = qt.data[0]
-    scales = qt.effective_scales(cdt)
+    # keep the STORED scale dtype (kernels cast rows on the fly): a
+    # pre-cast here re-ran an [K/g, N] convert inside the decode loop
+    # every step; double-quant still decodes to f32 once per call
+    scales = qt.effective_scales(
+        qt.scales.dtype if qt.sscale is None else jnp.float32)
     zeros = qt.zeros
     g_eff = _kernel_group(qt)
     if g_eff != g:
@@ -555,17 +585,22 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     # permute scale/zero rows into per-K-block layout [n_kb, e*gb, N]:
     # block kb, sub-band b needs scale rows [(b*kw + kb*bkw)//g : +gb] —
     # a pure permutation of the rows, done once per call so every kernel
-    # slice is static (Mosaic requires aligned sublane indexing)
-    if g < k:
+    # slice is static (Mosaic requires aligned sublane indexing).
+    # Monolithic K (n_kb==1, the decode path): the permutation is the
+    # identity and the leading block dim is 1 — pass the stored [G, N]
+    # rows STRAIGHT through as a 2-D block (the reshape/broadcast below,
+    # re-run inside the decode while-loop, profiled ~0.4 ms/step at 7B).
+    flat_scales = False
+    if n_kb == 1 and g < k:
+        gb = bkw // g
+        flat_scales = True
+    elif g < k:
         gb = bkw // g
         # per-band K rows == kw_words for every single-plane width
         idx = np.asarray(
             [(band * kw_words + kb_i * bkw) // g + t
              for kb_i in range(n_kb) for band in range(e)
              for t in range(gb)], np.int32)
-        # monolithic K (n_kb==1) makes idx the identity permutation; skip
-        # the gather — XLA re-ran it every decode step inside the while
-        # loop (~1.45 ms/step of take/select_n glue at 7B, profiler)
         if not np.array_equal(idx, np.arange(idx.size, dtype=np.int32)):
             scales = jnp.take(scales, idx, axis=0)
             if zeros is not None:
@@ -573,6 +608,9 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
         scales = scales.reshape(n_kb, e * gb, n)
         if zeros is not None:
             zeros = zeros.reshape(n_kb, e * gb, n)
+    elif n_kb == 1:
+        gb = 1
+        flat_scales = True
     else:
         gb = 1
         scales = jnp.broadcast_to(scales[None], (n_kb, 1, n))
@@ -583,8 +621,12 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
                           memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((bkw, bn), lambda i, j, kb: (kb, j),
                           memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, e * gb, bn), lambda i, j, kb: (kb, 0, j),
-                          memory_space=pltpu.VMEM)
+    if flat_scales:
+        s_spec = pl.BlockSpec((e * gb, bn), lambda i, j, kb: (0, j),
+                              memory_space=pltpu.VMEM)
+    else:
+        s_spec = pl.BlockSpec((1, e * gb, bn), lambda i, j, kb: (kb, 0, j),
+                              memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j),
                           memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
@@ -606,8 +648,7 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
         in_specs = [x_spec, w_spec, s_spec]
         args = (xt, wq, scales)
     elif zeros is not None:
-        z_spec = pl.BlockSpec((1, e * gb, bn), lambda i, j, kb: (kb, 0, j),
-                              memory_space=pltpu.VMEM)
+        z_spec = s_spec
         kern = functools.partial(_gemm_kernel_int, spec=spec, k=k, g=g,
                                  cdt=cdt, n_kb=n_kb)
         in_specs = [x_spec, w_spec, s_spec, z_spec]

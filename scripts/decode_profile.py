@@ -42,6 +42,9 @@ def main():
     spec = QSpec(QType.INT, 4, 128, True)
     print(f"backend={jax.default_backend()}", file=sys.stderr)
     params = synth_params(cfg, spec)
+    from neural_speed_tpu.models.transformer import fuse_params
+
+    params = fuse_params(params, cfg)
     jax.block_until_ready(params)
 
     b = args.batch
@@ -69,10 +72,39 @@ def main():
     print(f"warm decode {args.steps} steps: {wall*1e3:.1f} ms "
           f"({wall/args.steps*1e3:.2f} ms/step)", file=sys.stderr)
 
-    with op_profile(top=args.top):
+    import collections
+    import tempfile
+
+    from neural_speed_tpu.utils.profiler import per_op_table
+
+    d = tempfile.mkdtemp(prefix="nst_decode_prof_")
+    with jax.profiler.trace(d):
         toks, cache = decode_n_steps(params, cfg, cache, toks[:, -1], active,
                                      args.steps)
         int(toks[0, -1])
+    rows = per_op_table(d, top=100000)
+    total = sum(r["self_us"] for r in rows)
+    print(f"\ntotal device self-time: {total/1e3:.1f} ms "
+          f"({total/args.steps/1e3:.3f} ms/step over {args.steps} steps)")
+    by_cat = collections.Counter()
+    for r in rows:
+        by_cat[r["category"]] += r["self_us"]
+    print("\nby HLO category (us/step):")
+    for cat, us in by_cat.most_common(20):
+        print(f"  {us/args.steps:>9.1f}us {100*us/total:5.1f}%  {cat}")
+    # aggregate identical framework ops across layers (strip layer index)
+    import re
+
+    by_op = collections.Counter()
+    n_by_op = collections.Counter()
+    for r in rows:
+        op = re.sub(r"\d+", "#", r["op"])
+        by_op[(r["category"], op)] += r["self_us"]
+        n_by_op[(r["category"], op)] += r["occurrences"]
+    print("\nby op (us/step, layer-aggregated):")
+    for (cat, op), us in by_op.most_common(args.top):
+        print(f"  {us/args.steps:>9.1f}us {100*us/total:5.1f}% "
+              f"x{n_by_op[(cat, op)]:<6} {cat:<18} {op[:90]}")
     print("done", file=sys.stderr)
 
 
