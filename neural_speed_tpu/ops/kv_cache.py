@@ -155,80 +155,18 @@ def _rmw_scale_row(dst: jax.Array, val: jax.Array, layer: int, bi: int,
     return jax.lax.dynamic_update_slice(dst, new, (layer, bi, 0, sbase))
 
 
-def _append_scatter_batched(cache: KVCache, layer: int, k_new: jax.Array,
-                            v_new: jax.Array, positions: jax.Array,
-                            active=None) -> KVCache:
-    """Batched variant of the decode append: ONE gather + blend + ONE
-    extent-8-window scatter per tensor instead of B chained per-slot
-    RMW op pairs (B x 4 dynamic-slice/update chains dominated dispatch
-    at B>=16 — the int8-KV short-ctx regression suspect, VERDICT r1
-    item 6).  Opt-in via NST_KV_APPEND=batched until the on-chip A/B
-    (scripts/onchip_checklist.py) picks the default."""
-    b, t = positions.shape
-    pos = jnp.clip(positions[:, 0], 0, cache.max_len - 1)
-    keep = active if active is not None else jnp.ones((b,), bool)
-    w = min(8, cache.max_len)
-    base = jnp.clip((pos // w) * w, 0, max(cache.max_len - w, 0))
-    off = pos - base
-    bidx = jnp.arange(b)
-    win = base[:, None] + jnp.arange(w)[None, :]            # [B, w]
-    kt = k_new.transpose(0, 2, 1, 3)                        # [B, H, 1, D]
-    vt = v_new.transpose(0, 2, 1, 3)
-
-    def rmw(dst, upd):
-        # dst [L, B, H, S, D]; upd [B, H, 1, D]
-        cur = dst[layer, bidx[:, None, None, None],
-                  jnp.arange(dst.shape[2])[None, :, None, None],
-                  win[:, None, :, None],
-                  jnp.arange(dst.shape[4])[None, None, None, :]]
-        sel = jnp.logical_and(
-            jnp.arange(w)[None, None, :, None] == off[:, None, None, None],
-            keep[:, None, None, None])
-        new = jnp.where(sel, upd.astype(dst.dtype), cur)
-        return dst.at[layer, bidx[:, None, None, None],
-                      jnp.arange(dst.shape[2])[None, :, None, None],
-                      win[:, None, :, None],
-                      jnp.arange(dst.shape[4])[None, None, None, :]].set(new)
-
-    ws = min(128, cache.max_len)
-    sbase = jnp.clip((pos // ws) * ws, 0, max(cache.max_len - ws, 0))
-    swin = sbase[:, None] + jnp.arange(ws)[None, :]         # [B, ws]
-
-    def rmw_scale(dst, val):
-        # dst [L, B, H, S]; val [B, H]
-        cur = dst[layer, bidx[:, None, None],
-                  jnp.arange(dst.shape[2])[None, :, None],
-                  swin[:, None, :]]
-        sel = jnp.logical_and(
-            jnp.arange(ws)[None, None, :] == (pos - sbase)[:, None, None],
-            keep[:, None, None])
-        new = jnp.where(sel, val[..., None].astype(dst.dtype), cur)
-        return dst.at[layer, bidx[:, None, None],
-                      jnp.arange(dst.shape[2])[None, :, None],
-                      swin[:, None, :]].set(new)
-
-    if cache.quantized:
-        kc, ks = quantize_kv(kt)
-        vc, vs = quantize_kv(vt)
-        return dataclasses.replace(
-            cache, k=rmw(cache.k, kc), v=rmw(cache.v, vc),
-            k_scale=rmw_scale(cache.k_scale, ks[:, :, 0, 0]),
-            v_scale=rmw_scale(cache.v_scale, vs[:, :, 0, 0]))
-    return dataclasses.replace(cache, k=rmw(cache.k, kt),
-                               v=rmw(cache.v, vt))
-
-
 def _append_scatter(cache: KVCache, layer: int, k_new: jax.Array,
                     v_new: jax.Array, positions: jax.Array,
                     active=None) -> KVCache:
     """Single-token decode append: per-slot aligned-window RMW writes
     (see _rmw_row).  Inactive slots write nothing (blend keeps the old
-    window)."""
-    import os
+    window).
 
-    if os.environ.get("NST_KV_APPEND", "loop") == "batched":
-        return _append_scatter_batched(cache, layer, k_new, v_new,
-                                       positions, active)
+    A batched one-gather/one-scatter variant (NST_KV_APPEND=batched) was
+    tried for the round-1 B=16 int8-KV regression and REMOVED after the
+    on-chip A/B (BENCH_NOTES 2026-08-19): it crashed the TPU worker at 7B
+    scale, and the loop path had already recovered the regression (959 vs
+    770 tok/s against bf16 KV at B=16 ctx1024)."""
     b, t = positions.shape
     pos = jnp.clip(positions[:, 0], 0, cache.max_len - 1)
     keep = active if active is not None else jnp.ones((b,), bool)

@@ -11,7 +11,10 @@ Usage: python scripts/decode_profile.py [--layers 32] [--ctx 2048]
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -203,8 +203,7 @@ LEGS = {
                 "base = [sys.executable, 'bench.py', '--batch', '16',"
                 " '--ctx', '1024', '--prompt', '512']\n"
                 "for label, env, extra in ("
-                "('int8kv-loop', {}, []),"
-                "('int8kv-batched', {'NST_KV_APPEND': 'batched'}, []),"
+                "('int8kv', {}, []),"
                 "('bf16kv', {}, ['--kv', 'bf16'])):\n"
                 "    print('---', label, flush=True)\n"
                 "    subprocess.call(base + extra,"
