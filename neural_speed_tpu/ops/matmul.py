@@ -439,7 +439,7 @@ def _qmatmul_planar_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     k, n = qt.shape
     m = x.shape[0]
     out_dtype = out_dtype or x.dtype
-    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    cdt = _compute_dtype(x.dtype, m)
     g = spec.effective_group(k)
     bm, bn = _choose_bm(m, k), _choose_bn(n)
     grid = (m // bm, n // bn)
@@ -502,6 +502,18 @@ def _qmatmul_planar_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     return out.astype(out_dtype)
 
 
+def _compute_dtype(x_dtype, m: int):
+    """In-kernel compute dtype.  Decode/GEMV (m <= 32) always computes in
+    f32 even for bf16 activations: the kernel is HBM-bandwidth bound there
+    and the int32 -> bf16 code cast + bf16 vreg repack is pure VPU overhead
+    — measured 473-567 GB/s (bf16) vs 561-684 GB/s (f32) across the 7B
+    decode shapes (BENCH_NOTES 2026-08-19 per-shape sweep).  Prefill keeps
+    bf16 (MXU throughput dominates at large M)."""
+    if m <= 32:
+        return jnp.float32
+    return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
+
+
 def _choose_bn(n: int) -> int:
     for bn in (512, 256, 128):
         if n % bn == 0:
@@ -557,7 +569,7 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     k, n = qt.shape
     m = x.shape[0]
     out_dtype = out_dtype or x.dtype
-    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    cdt = _compute_dtype(x.dtype, m)
     g = spec.effective_group(k)
     bm, bn = _choose_bm(m, k), _choose_bn(n)
 

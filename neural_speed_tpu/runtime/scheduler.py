@@ -163,6 +163,7 @@ class ContinuousBatchingScheduler:
         self.free_slots = list(range(engine.max_batch))[::-1]
         self._next_rid = 0
         vocab = engine.cfg.vocab_size
+        self._seed = seed
         self.sampler = smp.init_state(
             jax.random.PRNGKey(seed), engine.max_batch, vocab,
             window=self.sp.penalty_window, tau=self.sp.mirostat_tau,
@@ -193,6 +194,47 @@ class ContinuousBatchingScheduler:
         out = list(self.finished)
         self.finished.clear()
         return out
+
+    def warmup(self, prompt_len: int = 8) -> None:
+        """Compile the serving-path jit variants BEFORE real traffic by
+        running one throwaway request to completion, then resetting the
+        scheduler to its freshly-constructed state (deliveries after a
+        warmup are identical to a cold scheduler's, minus the compiles).
+
+        Covers the decode chunk ladder (chunk_size, and 4x under
+        adaptive_chunk, each with the pipelined dispatch) and — for
+        speculative/mixed modes — the small verify buckets.  Without this
+        the first request to reach steady-state decode pays each 7B-scale
+        compile inside its own latency: the on-chip serving leg measured
+        150 ms/tok on the arm that compiled chunk=64 mid-run vs 8.5 with
+        it prebuilt (BENCH_NOTES 2026-08-19).  The reference has no
+        analogue (C++ graphs need no compile); this is the XLA-native
+        equivalent of its model_init warm paths."""
+        assert not self.has_work, "warmup() must run before any request"
+        budget = self.chunk_size * (6 if self.adaptive_chunk else 2) + 2
+        if self.speculative or self.mixed_prefill:
+            budget = max(budget, 2 * self.mixed_chunk
+                         + 2 * (self.spec_k + 1) + 4)
+        self.add_request([1] * max(1, prompt_len), budget)
+        self.run_to_completion()
+        self.finished.clear()
+        # reset to constructed state: device sampler stream, host RNG,
+        # speculative adaptivity, per-slot mirrors
+        self.sampler = smp.init_state(
+            jax.random.PRNGKey(self._seed), self.engine.max_batch,
+            self.engine.cfg.vocab_size, window=self.sp.penalty_window,
+            tau=self.sp.mirostat_tau,
+        )
+        self._spec_rng = np.random.default_rng(np.uint64(self._seed)
+                                               ^ 0x5EED)
+        self._spec_gain_ema = float(self.spec_k) / 2
+        self._spec_backoff = 0
+        self._pens.clear()
+        self._pending = None
+        self._dev_lens_dirty = False
+        self._slot_len[:] = 0
+        self._last_tokens[:] = 0
+        self.timings = type(self.timings)()
 
     # ------------------------------------------------------------------
     def step(self) -> None:

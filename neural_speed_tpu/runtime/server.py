@@ -32,6 +32,7 @@ class ModelServer:
         beam_config=None,
         mixed_prefill: bool = False,
         mixed_chunk: int = 32,
+        warmup: bool = False,
     ):
         # beam requests run on the continuous beam scheduler (parity: the
         # reference server's do_early_stopping/num_beams query params,
@@ -57,6 +58,10 @@ class ModelServer:
                 spec_k=spec_k, mixed_prefill=mixed_prefill,
                 mixed_chunk=mixed_chunk,
             )
+            if warmup:
+                # prebuild the decode-chunk jit variants so the first real
+                # request doesn't pay them (scheduler.warmup docstring)
+                self.sched.warmup()
         self.response_fn = response_fn
         self.max_new_tokens = max_new_tokens
         self._queue: "queue.Queue" = queue.Queue()

@@ -820,3 +820,50 @@ def test_model_api_paged(tmp_path, our_model, hf_model):
     beam_got = paged.generate([PROMPTS[0]], max_new_tokens=6, num_beams=2,
                               ignore_prompt=True)[0]
     assert beam_got == beam_ref
+
+
+def test_warmup_leaves_deliveries_identical(our_model):
+    """scheduler.warmup() precompiles the chunk-ladder variants via a
+    throwaway request and must reset ALL scheduler state: greedy AND
+    sampled runs after a warmup deliver exactly what a cold scheduler
+    delivers (the on-chip serving leg showed a 7B chunk=64 compile
+    landing inside the first request's latency without it —
+    BENCH_NOTES 2026-08-19)."""
+    eng = our_model.engine
+    for sp in (SamplingParams(do_sample=False, repetition_penalty=1.1),
+               SamplingParams(do_sample=True, temperature=0.9, top_k=20)):
+        outs = []
+        for warm in (False, True):
+            sched = ContinuousBatchingScheduler(eng, sp, seed=3)
+            if warm:
+                sched.warmup()
+            rids = [sched.add_request(p, 7) for p in PROMPTS]
+            got = {}
+            while sched.has_work:
+                sched.step()
+                for s in sched.pop_finished():
+                    got[s.request_id] = s.generated
+            outs.append([got[r] for r in rids])
+        assert outs[0] == outs[1], f"warmup changed deliveries for {sp}"
+
+
+def test_warmup_speculative_and_mixed(our_model):
+    """warmup() must also cover the speculative / mixed-prefill joint-step
+    variants and leave those schedulers' deliveries unchanged."""
+    eng = our_model.engine
+    for kw in ({"speculative": True, "spec_k": 3},
+               {"mixed_prefill": True, "mixed_chunk": 4}):
+        outs = []
+        for warm in (False, True):
+            sched = ContinuousBatchingScheduler(
+                eng, SamplingParams(do_sample=False), seed=5, **kw)
+            if warm:
+                sched.warmup()
+            rids = [sched.add_request(p, 7) for p in PROMPTS]
+            got = {}
+            while sched.has_work:
+                sched.step()
+                for s in sched.pop_finished():
+                    got[s.request_id] = s.generated
+            outs.append([got[r] for r in rids])
+        assert outs[0] == outs[1], f"warmup changed deliveries for {kw}"
