@@ -201,6 +201,10 @@ class ContinuousBatchingScheduler:
         scheduler to its freshly-constructed state (deliveries after a
         warmup are identical to a cold scheduler's, minus the compiles).
 
+        `prompt_len` picks which PREFILL bucket gets precompiled (buckets
+        are powers of two — engine.buckets); pass your typical prompt
+        length.  Other buckets still compile on first use.
+
         Covers the decode chunk ladder (chunk_size, and 4x under
         adaptive_chunk, each with the pipelined dispatch) and — for
         speculative/mixed modes — the small verify buckets.  Without this

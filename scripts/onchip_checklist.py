@@ -171,22 +171,19 @@ cfg = llama2_7b_arch()
 params = synth_params(cfg, QSpec(QType.INT, 4, 128, True))
 eng = Engine(params, cfg, max_batch=1, max_len=2048, kv_quantized=True)
 NT = 256
-for adaptive in (False, True):
-    for pipeline in (False, True):
-        kw = dict(chunk_size=16, adaptive_chunk=adaptive,
-                  pipeline_decode=pipeline)
-        sched = ContinuousBatchingScheduler(
-            eng, SamplingParams(do_sample=False), **kw)
-        sched.add_request([1] * 128, 8)
-        sched.run_to_completion()        # warm compile the chunk variants
-        sched = ContinuousBatchingScheduler(
-            eng, SamplingParams(do_sample=False), **kw)
-        sched.add_request([1] * 128, NT)
-        t0 = time.time()
-        sched.run_to_completion()
-        dt = time.time() - t0
-        print(f"served B=1 adaptive={adaptive} pipeline={pipeline}: "
-              f"{NT/dt:.1f} tok/s ({dt/NT*1e3:.2f} ms/tok incl prefill)")
+for adaptive, pipeline in ((True, True), (False, False)):
+    kw = dict(chunk_size=16, adaptive_chunk=adaptive,
+              pipeline_decode=pipeline)
+    sched = ContinuousBatchingScheduler(
+        eng, SamplingParams(do_sample=False), **kw)
+    # compile the full chunk ladder AND the 128-token prefill bucket
+    sched.warmup(prompt_len=128)
+    sched.add_request([1] * 128, NT)
+    t0 = time.time()
+    sched.run_to_completion()
+    dt = time.time() - t0
+    print(f"served B=1 adaptive={adaptive} pipeline={pipeline}: "
+          f"{NT/dt:.1f} tok/s ({dt/NT*1e3:.2f} ms/tok incl prefill)")
 """
 
 
