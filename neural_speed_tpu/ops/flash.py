@@ -439,12 +439,22 @@ def _mha_packed(
         if hkv % cand == 0:
             h_blk = cand
             break
-    if rp <= 8 and h_blk > 1:
+    # decode head-block size: 8 measured best at B=32 (BENCH_NOTES head-
+    # blocked entry); NST_FLASH_HB sweeps 16/32 — fewer, larger DMAs per
+    # program, the remaining decode-MHA lever at B=1 (73% of the KV-read
+    # roofline).  Only the decode (rp <= 8) launcher is affected.
+    hb_max = int(os.environ.get("NST_FLASH_HB", "8"))
+    hb = 1
+    for cand in (32, 16, 8, 4, 2, 1):
+        if cand <= hb_max and hkv % cand == 0:
+            hb = cand
+            break
+    if rp <= 8 and hb > 1:
         return _mha_packed_hblk(
             q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows, kv_lens,
             use_alibi=use_alibi, quantized=quantized, scale=scale,
             causal=causal, softcap=softcap, out_dtype=out_dtype,
-            block_s=block_s, interpret=interpret, layer=layer, hb=h_blk,
+            block_s=block_s, interpret=interpret, layer=layer, hb=hb,
             rp=rp, n_s=n_s)
     if layer is None:
         kv_spec = pl.BlockSpec((1, 1, block_s, d),

@@ -441,7 +441,12 @@ def _qmatmul_planar_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     out_dtype = out_dtype or x.dtype
     cdt = _compute_dtype(x.dtype, m)
     g = spec.effective_group(k)
-    bm, bn = _choose_bm(m, k), _choose_bn(n)
+    bm = _choose_bm(m, k)
+    if _gemv_mono(m):
+        col_bytes = sum(wp.shape[0] * wp.dtype.itemsize for wp in qt.data)
+        bn = _gemv_bn(n, col_bytes)
+    else:
+        bn = _choose_bn(n)
     grid = (m // bm, n // bn)
 
     scales = qt.effective_scales(jnp.float32)
@@ -521,6 +526,30 @@ def _choose_bn(n: int) -> int:
     return n
 
 
+def _gemv_bn(n: int, col_bytes: int) -> int:
+    """N block for GEMV/decode (m <= 32, monolithic K): the kernel is
+    HBM-bound and the dominant loss is per-grid-program overhead
+    (~0.4-0.5 us each; measured 684 GB/s at 8 programs vs 572 at 125 on
+    the 7B decode shapes, BENCH_NOTES 2026-08-19) — so pick the LARGEST
+    bn that divides N, is 128-lane aligned, and keeps the packed weight
+    block under NST_GEMV_BN_BYTES (default 12MB; the pipeline double-
+    buffers it).  `col_bytes` = packed bytes per output column (all
+    planes).  NST_GEMV_BN_BYTES=0 restores the generic 512/256/128
+    blocks."""
+    import os
+
+    cap = int(os.environ.get("NST_GEMV_BN_BYTES", str(12 * 1024 * 1024)))
+    if cap <= 0:
+        return _choose_bn(n)
+    for progs in range(1, n // 128 + 1):
+        if n % progs:
+            continue
+        bn = n // progs
+        if bn % 128 == 0 and bn * col_bytes <= cap:
+            return bn
+    return _choose_bn(n)
+
+
 def _choose_bm(m: int, k: int) -> int:
     """M block: bounded so the resident [bm, K] x block stays ~2MB (VMEM
     scoped budget); qmatmul pads M to a 256-multiple beyond 256."""
@@ -531,6 +560,13 @@ def _choose_bm(m: int, k: int) -> int:
         if m % bm == 0 and bm <= cap:
             return bm
     return min(m, 8)
+
+
+def _gemv_mono(m: int) -> bool:
+    """True when the monolithic-K GEMV/decode regime applies at this M."""
+    import os
+
+    return 0 < m <= 32 and os.environ.get("NST_GEMV_MONO", "1") != "0"
 
 
 def _choose_bkw(kw: int, g_rows: int, bn: int, m: int = 0) -> int:
@@ -545,8 +581,7 @@ def _choose_bkw(kw: int, g_rows: int, bn: int, m: int = 0) -> int:
     import os
 
     target_bytes = int(os.environ.get("NST_BKW_TARGET", str(512 * 1024)))
-    if target_bytes <= 0 or (0 < m <= 32 and os.environ.get(
-            "NST_GEMV_MONO", "1") != "0"):
+    if target_bytes <= 0 or _gemv_mono(m):
         return kw  # monolithic K
     target = max(1, target_bytes // (bn * 4))
     if kw % 128:
@@ -571,9 +606,12 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
     out_dtype = out_dtype or x.dtype
     cdt = _compute_dtype(x.dtype, m)
     g = spec.effective_group(k)
-    bm, bn = _choose_bm(m, k), _choose_bn(n)
-
+    bm = _choose_bm(m, k)
     wq = qt.data[0]
+    if _gemv_mono(m):
+        bn = _gemv_bn(n, wq.shape[0] * wq.dtype.itemsize)
+    else:
+        bn = _choose_bn(n)
     # keep the STORED scale dtype (kernels cast rows on the fly): a
     # pre-cast here re-ran an [K/g, N] convert inside the decode loop
     # every step; double-quant still decodes to f32 once per call

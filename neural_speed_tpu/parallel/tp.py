@@ -316,6 +316,11 @@ class TPEngine(Engine):
     methods (and the single-prompt conveniences), which wrap ONE
     shard_map'ed full-logits step."""
 
+    # run_decode_window would run the plain-jit (unsharded) program —
+    # sharded engines serve through the chunk path until a shard_map'ed
+    # window step exists
+    supports_window = False
+
     def __init__(self, params: Dict[str, Any], cfg: ArchConfig, mesh: Mesh,
                  max_batch: int = 1, max_len: int = 2048,
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,

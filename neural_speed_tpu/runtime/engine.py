@@ -208,6 +208,25 @@ class Engine:
         )
         return toks, sampler
 
+    # EOS-aware device-side decode window (see decode_window): engines
+    # that serve through shard_map or a paged page table override the
+    # four step methods and opt out until they implement a window step
+    supports_window = True
+
+    def run_decode_window(self, sampler, tokens, active, budget, n_steps,
+                          cap: int, sp, eos_id):
+        """Up-to-`n_steps` decode+sample window with device-side EOS/
+        budget stops; returns (toks_buf [B, cap], emitted [B],
+        last_tokens [B], active [B], budget [B], sampler)."""
+        buf, em, toks, act, bud, self.cache, sampler = decode_window(
+            self.params, self.cfg, self.cache, sampler,
+            jnp.asarray(tokens), jnp.asarray(active), jnp.asarray(budget),
+            jnp.int32(n_steps), cap, sp,
+            jnp.int32(-1 if eos_id is None else eos_id),
+            glm_lens=self.glm_arg(),
+        )
+        return buf, em, toks, act, bud, sampler
+
     def run_verify_rows(self, ids, pos, kv_lens, row_idx) -> jax.Array:
         """Multi-token verify forward; returns the gathered logit rows
         [B, R, V]."""
@@ -328,6 +347,77 @@ def decode_sample_chunk(
     return toks.T, cache, sampler
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "cap", "sp"),
+    donate_argnames=("cache", "sampler"),
+)
+def decode_window(
+    params: Dict[str, Any],
+    cfg: ArchConfig,
+    cache: kvc.KVCache,
+    sampler,                   # ops.sampling.SamplerState
+    tokens: jax.Array,         # [B] last sampled token per slot
+    active: jax.Array,         # [B] bool
+    budget: jax.Array,         # [B] int32 remaining new-token budget
+    n_steps: jax.Array,        # scalar int32, <= cap (DYNAMIC: one compile)
+    cap: int,                  # static token-buffer width
+    sp,                        # ops.sampling.SamplingParams (static)
+    eos_id: jax.Array,         # scalar int32 (-1: no eos stop)
+    glm_lens: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, ...]:
+    """Decode + sample up to `n_steps` tokens fully on device with
+    PER-SLOT EOS/budget deactivation INSIDE the loop.
+
+    Supersedes the fixed-chunk ladder (`decode_sample_chunk`) for plain
+    serving decode: `n_steps` is a dynamic operand of a
+    `lax.while_loop`, so every window length shares ONE compiled
+    program (the ladder compiled one jit variant per chunk size), a
+    slot that hits EOS or its budget stops consuming compute/KV exactly
+    like the sequential schedule (the ladder over-decoded to the chunk
+    boundary and discarded), and the loop exits as soon as every slot
+    is inactive.  Fewer, longer windows amortize the per-dispatch fixed
+    cost that dominated the served-vs-offline gap (BENCH_NOTES
+    2026-08-19: 22 ms fixed per dispatch through the tunnel).
+
+    Returns (toks_buf [B, cap], emitted [B], last_tokens [B],
+    active [B], budget [B], cache, sampler) — the last-token/active/
+    budget carries let the scheduler dispatch window N+1 straight from
+    window N's device arrays (pipelined, no host sync between windows).
+    """
+    from ..ops import sampling as smp
+
+    b = tokens.shape[0]
+
+    def cond(st):
+        i, _cache, _sampler, _toks, act = st[:5]
+        return jnp.logical_and(i < n_steps, jnp.any(act))
+
+    def body(st):
+        i, cache, sampler, toks, act, bud, buf, em = st
+        lens = cache.lengths
+        pos = jnp.where(act, lens, cache.max_len - 1)[:, None]
+        kv_lens = lens + act.astype(jnp.int32)
+        logits, cache = forward(params, cfg, toks[:, None], pos, cache,
+                                kv_lens, glm_lens=glm_lens)
+        cache = kvc.set_lengths(cache, kv_lens)
+        nxt, sampler = smp.sample(logits[:, 0], sampler, sp, active=act)
+        nxt = jnp.where(act, nxt.astype(jnp.int32), toks)
+        buf = jax.lax.dynamic_update_slice(buf, nxt[:, None],
+                                           (jnp.int32(0), i))
+        em = em + act.astype(jnp.int32)
+        bud = bud - act.astype(jnp.int32)
+        done = jnp.logical_or(nxt == eos_id, bud <= 0)
+        act = jnp.logical_and(act, jnp.logical_not(done))
+        return (i + 1, cache, sampler, nxt, act, bud, buf, em)
+
+    st = (jnp.int32(0), cache, sampler, tokens.astype(jnp.int32), active,
+          budget.astype(jnp.int32), jnp.zeros((b, cap), jnp.int32),
+          jnp.zeros((b,), jnp.int32))
+    _, cache, sampler, toks, act, bud, buf, em = jax.lax.while_loop(
+        cond, body, st)
+    return buf, em, toks, act, bud, cache, sampler
+
+
 class PagedEngine(Engine):
     """Engine over a paged KV cache (EXTENSION: shared physical page pool,
     memory scales with tokens in flight — see ops/paged_kv.py).
@@ -336,6 +426,10 @@ class PagedEngine(Engine):
     contiguous page run per prompt; decode growth claims one page whenever
     a slot crosses a page boundary.  Greedy generation only for now — the
     CB scheduler integration keeps the contiguous cache."""
+
+    # page claims are host-side per chunk; the windowed decode would need
+    # pessimistic reservation + rollback — scheduler uses the chunk path
+    supports_window = False
 
     def __init__(self, params, cfg, max_batch: int = 1, max_len: int = 2048,
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,

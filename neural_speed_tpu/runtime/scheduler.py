@@ -66,7 +66,8 @@ class ContinuousBatchingScheduler:
                  spec_k: int = 7, spec_min_k: int = 3,
                  spec_max_ngram: int = 3, mixed_prefill: bool = False,
                  mixed_chunk: int = 32, adaptive_chunk: bool = True,
-                 pipeline_decode: bool = True):
+                 pipeline_decode: bool = True,
+                 window: Optional[int] = None):
         from ..utils.profiler import Timings
 
         self.engine = engine
@@ -88,7 +89,19 @@ class ContinuousBatchingScheduler:
         # device time.  Only in steady-state decode with guaranteed-stable
         # active set (budget/headroom pessimism); identical deliveries.
         self.pipeline_decode = pipeline_decode
-        self._pending = None  # (device toks [B, chunk], active_np, chunk)
+        self._pending = None  # ("chunk"|"window", payload) — in-flight decode
+        # EOS-aware device-side decode window (engine.decode_window): one
+        # jit variant for EVERY window length (`n_steps` is a dynamic
+        # while_loop bound), per-slot EOS/budget stops inside the loop,
+        # and fewer/longer dispatches than the chunk ladder (the per-
+        # dispatch fixed cost dominated the served-vs-offline gap).
+        # `window` caps the tokens per dispatch — it bounds admission
+        # latency for requests arriving mid-window (the ladder's 4x
+        # chunk bound, by default).  window=1 / chunk_size=1 disables it
+        # (per-token stepping for host stopping_criteria).
+        if window is None:
+            window = (4 if adaptive_chunk else 1) * max(1, chunk_size)
+        self.window_cap = max(1, int(window))
         self.sp = params or smp.SamplingParams(do_sample=False)
         # -- batched speculative decoding (EXTENSION) ----------------------
         # Each step every slot proposes its own prompt-lookup draft and one
@@ -381,13 +394,18 @@ class ContinuousBatchingScheduler:
                 self.sp,
             )
         self._slot_len[active_np] += chunk
-        self._pending = (toks, active_np, chunk)
+        self._pending = ("chunk", (toks, active_np, chunk))
 
     def _flush_pending(self) -> None:
         if self._pending is None:
             return
-        toks, active_np, chunk = self._pending
+        kind, payload = self._pending
         self._pending = None
+        if kind == "window":
+            buf, em, _toks, _act, _bud, active_np, w = payload
+            self._commit_window(buf, em, active_np, w)
+            return
+        toks, active_np, chunk = payload
         toks_np = np.asarray(toks)  # [B, chunk] — the one host sync
         self._commit_decode(toks_np, active_np, chunk)
 
@@ -412,9 +430,17 @@ class ContinuousBatchingScheduler:
                     active_np[slot] = False  # later chunk tokens discarded
                     self._finish(slot, seq)
 
+    def _use_window(self) -> bool:
+        return (getattr(self.engine, "supports_window", False)
+                and not self.speculative and not self.mixed_prefill
+                and self.window_cap > 1 and self.chunk_size > 1)
+
     def _decode_step(self) -> None:
+        if self._use_window():
+            self._window_step()
+            return
         if self._pending is not None:
-            toks_prev, active_prev, chunk_prev = self._pending
+            _kind, (toks_prev, active_prev, chunk_prev) = self._pending
             if self._can_pipeline(active_prev, chunk_prev):
                 # dispatch chunk N+1 from chunk N's device carry, THEN
                 # process N's tokens while N+1 computes on device
@@ -455,6 +481,120 @@ class ContinuousBatchingScheduler:
                               chunk)
         if not self._can_pipeline(active_np, chunk):
             self._flush_pending()
+
+    # -- EOS-aware device decode windows --------------------------------
+    def _window_step(self) -> None:
+        """Decode via engine.run_decode_window: up to `window_cap` tokens
+        per dispatch, one compiled program for every window length
+        (dynamic while_loop bound), per-slot EOS/budget deactivation ON
+        DEVICE — a slot stops consuming compute/KV at exactly the token
+        the sequential schedule would (the chunk ladder over-decoded to
+        the chunk boundary and discarded).  Pipelining dispatches window
+        N+1 from window N's device-carried (tokens, active, budget) —
+        unlike the chunk path it needs no budget pessimism, because
+        finishing slots deactivate inside the loop."""
+        eng = self.engine
+        if self._pending is not None:
+            kind, payload = self._pending
+            if kind == "window":
+                buf, em, toks_d, act_d, bud_d, active_np, w = payload
+                if self._can_pipeline_window(active_np, w):
+                    self._pending = None
+                    self._dispatch_window(toks_d, act_d, bud_d, active_np,
+                                          w)
+                    self._commit_window(buf, em, active_np, w)
+                    return
+            self._flush_pending()
+        if self._dev_lens_dirty:
+            self._sync_dev_lengths()
+            self._sync_sampler_from_pens()
+        active_np = np.zeros((eng.max_batch,), bool)
+        for slot, seq in self.running.items():
+            if seq.status == SeqStatus.DECODING:
+                active_np[slot] = True
+        if not active_np.any():
+            return
+        # window sizing mirrors the adaptive chunk ladder: base chunk when
+        # requests are waiting (responsive admission) or near the context
+        # limit (eviction fires at the fixed-chunk schedule's points);
+        # otherwise up to window_cap — the device stops early per slot
+        w = self.chunk_size
+        if not self.waiting:
+            headroom = eng.max_len - int(self._slot_len[active_np].max())
+            rem = max(seq.max_new_tokens - len(seq.generated)
+                      for slot, seq in self.running.items()
+                      if active_np[slot])
+            big = min(self.window_cap, max(self.chunk_size, rem))
+            if big <= headroom:
+                w = big
+        self._maybe_evict(active_np, w)
+        budget = np.zeros((eng.max_batch,), np.int32)
+        for slot, seq in self.running.items():
+            if active_np[slot]:
+                budget[slot] = seq.max_new_tokens - len(seq.generated)
+        self._dispatch_window(jnp.asarray(self._last_tokens),
+                              jnp.asarray(active_np), jnp.asarray(budget),
+                              active_np, w)
+        if not self._can_pipeline_window(active_np, w):
+            self._flush_pending()
+
+    def _dispatch_window(self, tokens, act_dev, bud_dev,
+                         active_np: np.ndarray, w: int) -> None:
+        eng = self.engine
+        eng.prepare_decode(active_np, w)
+        with self.timings.timer("decode", int(active_np.sum()) * w):
+            buf, em, toks_d, act_d, bud_d, self.sampler = \
+                eng.run_decode_window(self.sampler, tokens, act_dev,
+                                      bud_dev, w, self.window_cap, self.sp,
+                                      self.eos_id)
+        # pessimistic mirror advance (device truth is base + emitted; the
+        # commit rolls back by w and applies the actual count)
+        self._slot_len[active_np] += w
+        self._pending = ("window", (buf, em, toks_d, act_d, bud_d,
+                                    active_np, w))
+
+    def _commit_window(self, buf, em, active_np: np.ndarray,
+                       w: int) -> None:
+        buf_np = np.asarray(buf)   # [B, cap] — the one host sync
+        em_np = np.asarray(em)     # [B]
+        for slot, seq in list(self.running.items()):
+            if not active_np[slot]:
+                continue
+            cnt = int(em_np[slot])
+            self._slot_len[slot] += cnt - w  # undo the pessimistic advance
+            toks = buf_np[slot, :cnt].tolist()
+            pen = self._pens.get(slot)
+            for tok in toks:
+                seq.generated.append(tok)
+                self._last_tokens[slot] = tok
+                if pen is not None:
+                    pen.observe([tok])
+                if seq.streamer is not None:
+                    seq.streamer(tok)
+            if toks and ((self.eos_id is not None
+                          and toks[-1] == self.eos_id)
+                         or len(seq.generated) >= seq.max_new_tokens):
+                self._finish(slot, seq)
+
+    def _can_pipeline_window(self, active_np: np.ndarray, w: int) -> bool:
+        """Window N+1 may be dispatched from N's device carries whenever
+        no admission/eviction/host-state change can interleave — EOS and
+        budget stops need NO host knowledge (they deactivate on device,
+        and an all-inactive window exits its while_loop immediately)."""
+        if (not self.pipeline_decode or self.waiting
+                or self._dev_lens_dirty):
+            return False
+        for slot, seq in self.running.items():
+            on = bool(active_np[slot])
+            if seq.status == SeqStatus.DECODING and not on:
+                return False  # active set changed under us
+            if on and seq.status != SeqStatus.DECODING:
+                return False
+        # context headroom for one more full window (slot_len already
+        # carries the pending window's pessimistic advance)
+        if int(self._slot_len[active_np].max()) + w > self.engine.max_len:
+            return False
+        return True
 
     # -- mixed admission (chunked prefill) ------------------------------
     def _admit_mixed(self) -> None:
@@ -897,7 +1037,8 @@ class ContinuousBatchingScheduler:
                     "spec_min_k": self.spec_min_k,
                     "spec_max_ngram": self.spec_max_ngram,
                     "mixed_prefill": self.mixed_prefill,
-                    "mixed_chunk": self.mixed_chunk},
+                    "mixed_chunk": self.mixed_chunk,
+                    "window": self.window_cap},
             "waiting": [seq_j(s) for s in self.waiting],
             "running": {str(k): seq_j(s) for k, s in self.running.items()},
             "free_slots": list(self.free_slots),

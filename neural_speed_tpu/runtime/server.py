@@ -33,6 +33,7 @@ class ModelServer:
         mixed_prefill: bool = False,
         mixed_chunk: int = 32,
         warmup: bool = False,
+        window: Optional[int] = None,
     ):
         # beam requests run on the continuous beam scheduler (parity: the
         # reference server's do_early_stopping/num_beams query params,
@@ -56,7 +57,7 @@ class ModelServer:
             self.sched = ContinuousBatchingScheduler(
                 engine, sampling, eos_id, speculative=speculative,
                 spec_k=spec_k, mixed_prefill=mixed_prefill,
-                mixed_chunk=mixed_chunk,
+                mixed_chunk=mixed_chunk, window=window,
             )
             if warmup:
                 # prebuild the decode-chunk jit variants so the first real

@@ -18,6 +18,8 @@ Legs:
   bench16     bench.py --batch 16 --ctx 1024 int8 vs bf16 KV (VERDICT 6)
   paged32     paged vs contiguous decode at B=32 (VERDICT item 5)
   serving     served-path tok/s B=1 via scheduler (VERDICT item 2)
+  gemvbn      GEMV N-block sweep: per-shape us/call at NST_GEMV_BN_BYTES
+              in {0 (old 512 blocks), 12MB (default), 24MB} (round 3)
 """
 from __future__ import annotations
 
@@ -160,6 +162,46 @@ for name, cls, kw in [("contig", Engine, {}),
           f"{B/dt:.0f} tok/s")
 """
 
+GEMVBN = r"""
+import os, subprocess, sys
+inner = '''
+import time, jax, jax.numpy as jnp, numpy as np
+from neural_speed_tpu.ops.qtypes import QSpec, QType
+from neural_speed_tpu.ops.quantize import quantize
+from neural_speed_tpu.ops.matmul import qmatmul
+rng = np.random.default_rng(0)
+SHORT, LONG, REPS = 24, 120, 5
+for K, N in ((4096, 12288), (4096, 22016), (11008, 4096), (4096, 32000)):
+    w = jnp.asarray(rng.standard_normal((K, N), np.float32) * 0.05)
+    qt = quantize(w, QSpec(QType.INT, 4, 128, True))
+    x = jnp.asarray(rng.standard_normal((1, K), np.float32))
+    def chain(n):
+        @jax.jit
+        def run(xi):
+            def body(c, _):
+                y = qmatmul(c, qt)
+                return c + y[:, :K].astype(c.dtype) * 1e-6, ()
+            return jax.lax.scan(body, xi, None, length=n)[0]
+        return run
+    fs, fl = chain(SHORT), chain(LONG)
+    seq = [0]
+    def t(f):
+        seq[0] += 1
+        xi = x + seq[0] * 1e-3
+        t0 = time.time(); float(jnp.sum(f(xi)[0, :8])); return time.time() - t0
+    t(fs); t(fl); t(fs); t(fl)
+    ms = sorted(((t(fl) - t(fs)) / (LONG - SHORT)) for _ in range(REPS))
+    dt = ms[REPS // 2]
+    gb = qt.nbytes() / dt / 1e9
+    print(f"  {K}x{N}: {dt*1e6:.1f} us/call, {gb:.0f} GB/s", flush=True)
+'''
+for label, val in (("off(512-blk)", "0"), ("12MB", str(12 << 20)),
+                   ("24MB", str(24 << 20))):
+    print(f"--- NST_GEMV_BN_BYTES={label}", flush=True)
+    env = {**os.environ, "NST_GEMV_BN_BYTES": val}
+    subprocess.call([sys.executable, "-c", inner], env=env)
+"""
+
 SERVING = r"""
 import time, numpy as np, jax.numpy as jnp, dataclasses
 from neural_speed_tpu.ops.qtypes import QSpec, QType
@@ -171,19 +213,21 @@ cfg = llama2_7b_arch()
 params = synth_params(cfg, QSpec(QType.INT, 4, 128, True))
 eng = Engine(params, cfg, max_batch=1, max_len=2048, kv_quantized=True)
 NT = 256
-for adaptive, pipeline in ((True, True), (False, False)):
-    kw = dict(chunk_size=16, adaptive_chunk=adaptive,
-              pipeline_decode=pipeline)
+def serve(label, **kw):
     sched = ContinuousBatchingScheduler(
-        eng, SamplingParams(do_sample=False), **kw)
-    # compile the full chunk ladder AND the 128-token prefill bucket
+        eng, SamplingParams(do_sample=False), chunk_size=16, **kw)
+    # compile the decode program(s) AND the 128-token prefill bucket
     sched.warmup(prompt_len=128)
     sched.add_request([1] * 128, NT)
     t0 = time.time()
     sched.run_to_completion()
     dt = time.time() - t0
-    print(f"served B=1 adaptive={adaptive} pipeline={pipeline}: "
-          f"{NT/dt:.1f} tok/s ({dt/NT*1e3:.2f} ms/tok incl prefill)")
+    print(f"served B=1 {label}: {NT/dt:.1f} tok/s "
+          f"({dt/NT*1e3:.2f} ms/tok incl prefill)", flush=True)
+serve("window=64 (default)")
+serve("window=256", window=256)
+serve("chunk ladder (window off)", window=1)
+serve("window=256 unpipelined", window=256, pipeline_decode=False)
 """
 
 
@@ -207,6 +251,7 @@ LEGS = {
                 " env={**os.environ, **env})", 2700),
     "paged32": (PAGED32, 1200),
     "serving": (SERVING, 1500),
+    "gemvbn": (GEMVBN, 1800),
 }
 
 
