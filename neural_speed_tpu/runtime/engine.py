@@ -427,9 +427,12 @@ class PagedEngine(Engine):
     a slot crosses a page boundary.  Greedy generation only for now — the
     CB scheduler integration keeps the contiguous cache."""
 
-    # page claims are host-side per chunk; the windowed decode would need
-    # pessimistic reservation + rollback — scheduler uses the chunk path
-    supports_window = False
+    # windowed decode works on the page pool: prepare_decode claims the
+    # full window pessimistically per active slot and the scheduler snaps
+    # the length mirror back to the emitted counts via commit_lens (the
+    # speculative path's reservation/rollback pattern) — overshoot pages
+    # stay mapped for reuse and free at release_slot
+    supports_window = True
 
     def __init__(self, params, cfg, max_batch: int = 1, max_len: int = 2048,
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,

@@ -575,6 +575,13 @@ class ContinuousBatchingScheduler:
                           and toks[-1] == self.eos_id)
                          or len(seq.generated) >= seq.max_new_tokens):
                 self._finish(slot, seq)
+        # paged KV: snap the page-reservation mirror to the committed
+        # lengths (slots early-stopped on device reserved the full window;
+        # overshoot pages stay mapped — no-op on base engines).  During
+        # pipelining _slot_len still carries the in-flight window's
+        # pessimistic advance, which is exactly the reservation that
+        # window may write into.
+        self.engine.commit_lens(self._slot_len)
 
     def _can_pipeline_window(self, active_np: np.ndarray, w: int) -> bool:
         """Window N+1 may be dispatched from N's device carries whenever

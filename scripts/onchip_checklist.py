@@ -19,7 +19,10 @@ Legs:
   paged32     paged vs contiguous decode at B=32 (VERDICT item 5)
   serving     served-path tok/s B=1 via scheduler (VERDICT item 2)
   gemvbn      GEMV N-block sweep: per-shape us/call at NST_GEMV_BN_BYTES
-              in {0 (old 512 blocks), 12MB (default), 24MB} (round 3)
+              in {0 (old 512 blocks), 12MB (default), 24MB} (round 3).
+              CAVEAT: weights <~25MB get promoted to VMEM as scan loop
+              invariants (impossible >1.5 TB/s "effective" rates) — only
+              the large shapes are meaningful; bench.py is ground truth
 """
 from __future__ import annotations
 
@@ -180,7 +183,8 @@ for K, N in ((4096, 12288), (4096, 22016), (11008, 4096), (4096, 32000)):
         def run(xi):
             def body(c, _):
                 y = qmatmul(c, qt)
-                return c + y[:, :K].astype(c.dtype) * 1e-6, ()
+                # scalar data dependence: shape-agnostic (K != N ok)
+                return c + jnp.sum(y) * 1e-9, ()
             return jax.lax.scan(body, xi, None, length=n)[0]
         return run
     fs, fl = chain(SHORT), chain(LONG)

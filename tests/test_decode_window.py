@@ -160,6 +160,30 @@ def test_window_checkpoint_mid_generation(our_model, tmp_path):
             assert pre[rid] == full
 
 
+def test_window_paged_matches_contiguous(our_model):
+    """Windowed decode on the page pool: pessimistic window reservation +
+    commit_lens rollback; streams equal the contiguous engine's."""
+    import os
+
+    from neural_speed_tpu.runtime.engine import PagedEngine
+
+    os.environ.setdefault("NST_FLASH", "off")  # exact cross-engine compare
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    ref, _ = _run(our_model, sp)
+    peng = PagedEngine(our_model.engine.params, our_model.engine.cfg,
+                       max_batch=4, max_len=128, page_size=16)
+    assert peng.supports_window
+    sched = ContinuousBatchingScheduler(peng, sp, chunk_size=4, window=16)
+    rids = [sched.add_request(p, n)
+            for p, n in zip(PROMPTS, (12, 7, 9, 5))]
+    done = {s.request_id: s.generated for s in sched.run_to_completion()}
+    assert [done[r] for r in rids] == ref
+    # every page freed once all requests finished (no leaks from the
+    # pessimistic window reservations)
+    assert not sched.running and not peng._alloc.refs
+    assert sorted(peng._alloc.free) == list(range(peng.n_pages - 1))
+
+
 def test_window_eviction_streaming(our_model):
     """Near the context limit the window shrinks to the base chunk so
     StreamingLLM eviction fires at the fixed-chunk schedule's points."""
