@@ -363,6 +363,15 @@ def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
         + b * hkv * rp * d * 4,
         transcendentals=b * hkv * rp * n_s * block_s,
     )
+    cparams = dict(
+        dimension_semantics=("parallel", "parallel", "parallel",
+                             "arbitrary"),
+    )
+    if hb > 8:
+        # the default 16MB scoped-vmem stack overflows by ~200KB at
+        # hb=16 ctx2048 (measured 2026-08-19) — raise it for the
+        # NST_FLASH_HB sweep configurations only
+        cparams["vmem_limit_bytes"] = 64 * 1024 * 1024
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -379,10 +388,7 @@ def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, rp, d), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
+        compiler_params=pltpu.CompilerParams(**cparams),
         cost_estimate=cost,
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), *args)

@@ -527,18 +527,18 @@ def _choose_bn(n: int) -> int:
 
 
 def _gemv_bn(n: int, col_bytes: int) -> int:
-    """N block for GEMV/decode (m <= 32, monolithic K): the kernel is
-    HBM-bound and the dominant loss is per-grid-program overhead
-    (~0.4-0.5 us each; measured 684 GB/s at 8 programs vs 572 at 125 on
-    the 7B decode shapes, BENCH_NOTES 2026-08-19) — so pick the LARGEST
-    bn that divides N, is 128-lane aligned, and keeps the packed weight
-    block under NST_GEMV_BN_BYTES (default 12MB; the pipeline double-
-    buffers it).  `col_bytes` = packed bytes per output column (all
-    planes).  NST_GEMV_BN_BYTES=0 restores the generic 512/256/128
-    blocks."""
+    """OPT-IN large-N-block GEMV variant (NST_GEMV_BN_BYTES=<cap>): pick
+    the largest bn dividing N, 128-lane aligned, with the packed block
+    under the cap.  Measured SLOWER end-to-end on v5e and left OFF by
+    default: bench.py B=1 decode 143.5 tok/s at a 12MB cap vs 149.8 with
+    the default 512-lane blocks (2026-08-19 A/B) — the deep fine-grained
+    pipeline beats fewer/larger DMAs, i.e. per-grid-program overhead is
+    NOT the GEMV limiter (the round-2 per-shape correlation was a shape
+    effect, not a program-count effect).  Kept for sweeps on other chip
+    generations."""
     import os
 
-    cap = int(os.environ.get("NST_GEMV_BN_BYTES", str(12 * 1024 * 1024)))
+    cap = int(os.environ.get("NST_GEMV_BN_BYTES", "0"))
     if cap <= 0:
         return _choose_bn(n)
     for progs in range(1, n // 128 + 1):

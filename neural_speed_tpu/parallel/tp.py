@@ -316,10 +316,11 @@ class TPEngine(Engine):
     methods (and the single-prompt conveniences), which wrap ONE
     shard_map'ed full-logits step."""
 
-    # run_decode_window would run the plain-jit (unsharded) program —
-    # sharded engines serve through the chunk path until a shard_map'ed
-    # window step exists
-    supports_window = False
+    # EOS-aware decode windows over the mesh: the while_loop wraps the
+    # shard_map'ed step (GSPMD handles the collectives inside the body),
+    # so sharded serving gets the same one-program-any-length dispatch
+    # as the single-chip engine (runtime/engine.decode_window)
+    supports_window = True
 
     def __init__(self, params: Dict[str, Any], cfg: ArchConfig, mesh: Mesh,
                  max_batch: int = 1, max_len: int = 2048,
@@ -404,6 +405,67 @@ class TPEngine(Engine):
         toks, self.cache, sampler = self._chunk_fn(chunk, sp)(
             self._step_params, self.cache, sampler, tokens, active)
         return toks, sampler
+
+    def _window_fn(self, cap: int, sp):
+        """Jitted EOS-aware decode window over the shard_map'ed step (the
+        TP analogue of runtime/engine.decode_window): dynamic while_loop
+        bound — one compiled program for every window length."""
+        key = ("window", cap, sp)
+        fn = self._chunk_fns.get(key)
+        if fn is not None:
+            return fn
+        from ..ops import sampling as smp
+
+        step = self._step
+        max_len = self.max_len
+
+        def window_body(params, cache, sampler, tokens, active, budget,
+                        n_steps, eos_id):
+            b = tokens.shape[0]
+
+            def cond(st):
+                i = st[0]
+                act = st[4]
+                return jnp.logical_and(i < n_steps, jnp.any(act))
+
+            def body(st):
+                i, cache, sampler, toks, act, bud, buf, em = st
+                lens = cache.lengths
+                pos = jnp.where(act, lens, max_len - 1)[:, None]
+                kv_lens = lens + act.astype(jnp.int32)
+                logits, cache = step(params, cache, toks[:, None], pos,
+                                     kv_lens)
+                cache = kvc.set_lengths(cache, kv_lens)
+                nxt, sampler = smp.sample(logits[:, 0], sampler, sp,
+                                          active=act)
+                nxt = jnp.where(act, nxt.astype(jnp.int32), toks)
+                buf = jax.lax.dynamic_update_slice(buf, nxt[:, None],
+                                                   (jnp.int32(0), i))
+                em = em + act.astype(jnp.int32)
+                bud = bud - act.astype(jnp.int32)
+                done = jnp.logical_or(nxt == eos_id, bud <= 0)
+                act = jnp.logical_and(act, jnp.logical_not(done))
+                return (i + 1, cache, sampler, nxt, act, bud, buf, em)
+
+            st = (jnp.int32(0), cache, sampler, tokens.astype(jnp.int32),
+                  active, budget.astype(jnp.int32),
+                  jnp.zeros((b, cap), jnp.int32), jnp.zeros((b,), jnp.int32))
+            _, cache, sampler, toks, act, bud, buf, em = jax.lax.while_loop(
+                cond, body, st)
+            return buf, em, toks, act, bud, cache, sampler
+
+        fn = jax.jit(window_body, donate_argnums=(1, 2))
+        self._chunk_fns[key] = fn
+        return fn
+
+    def run_decode_window(self, sampler, tokens, active, budget, n_steps,
+                          cap: int, sp, eos_id):
+        buf, em, toks, act, bud, self.cache, sampler = self._window_fn(
+            cap, sp)(
+            self._step_params, self.cache, sampler, jnp.asarray(tokens),
+            jnp.asarray(active), jnp.asarray(budget), jnp.int32(n_steps),
+            jnp.int32(-1 if eos_id is None else eos_id))
+        return buf, em, toks, act, bud, sampler
 
     def run_verify_rows(self, ids, pos, kv_lens, row_idx):
         logits, self.cache = self._step(self._step_params, self.cache,

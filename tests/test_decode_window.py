@@ -42,6 +42,7 @@ def our_model():
     m = Model()
     m.cfg = cfg
     m._make_engine(params, max_batch=4, ctx_size=128, kv_quantized=False)
+    m._raw_params = params  # unfused (TP column splits need separate q/k/v)
     return m
 
 
@@ -182,6 +183,24 @@ def test_window_paged_matches_contiguous(our_model):
     # pessimistic window reservations)
     assert not sched.running and not peng._alloc.refs
     assert sorted(peng._alloc.free) == list(range(peng.n_pages - 1))
+
+
+def test_window_tp_matches_single_device(our_model):
+    """Windowed decode over a tp=2 CPU mesh (shard_map'ed while_loop)
+    equals the single-device window stream."""
+    from neural_speed_tpu.parallel import tp as tpmod
+    from neural_speed_tpu.parallel.tp import TPEngine
+
+    mesh = tpmod.make_mesh(tp=2, dp=1)
+    sp = SamplingParams(do_sample=False, repetition_penalty=1.1)
+    ref, _ = _run(our_model, sp, window=16)
+    teng = TPEngine(our_model._raw_params, our_model.engine.cfg, mesh,
+                    max_batch=4, max_len=128)
+    assert teng.supports_window
+    sched = ContinuousBatchingScheduler(teng, sp, chunk_size=4, window=16)
+    rids = [sched.add_request(p, n) for p, n in zip(PROMPTS, (12, 7, 9, 5))]
+    done = {s.request_id: s.generated for s in sched.run_to_completion()}
+    assert [done[r] for r in rids] == ref
 
 
 def test_window_eviction_streaming(our_model):
