@@ -20,6 +20,57 @@ import jax
 import jax.numpy as jnp
 
 
+def _profile_prefill(args, params, cfg, cache, ids, lens, start):
+    """Per-op self-time table of ONE warm prefill_step (TTFT breakdown).
+
+    Roofline context: 7B bf16 prefill at T tokens is MXU-bound —
+    2*6.7e9*T flops; at v5e's 197 TFLOP/s bf16 peak the 1975-token ideal
+    is ~134 ms vs ~330 ms measured (2026-08-19) — this table is the
+    evidence base for closing that gap."""
+    import collections
+    import re
+    import sys
+    import tempfile
+    import time
+
+    import jax
+
+    from neural_speed_tpu.runtime.engine import prefill_step
+    from neural_speed_tpu.utils.profiler import per_op_table
+
+    # distinct input per call: the tunnel dedups identical dispatches
+    ids2 = ids.at[:, 0].set(7)
+    tic = time.time()
+    logits, cache = prefill_step(params, cfg, cache, ids2, lens, start)
+    float(logits[0, 0])
+    print(f"warm prefill ({int(lens[0])} tokens): "
+          f"{(time.time()-tic)*1e3:.1f} ms", file=sys.stderr)
+    d = tempfile.mkdtemp(prefix="nst_prefill_prof_")
+    ids3 = ids.at[:, 0].set(9)
+    with jax.profiler.trace(d):
+        logits, cache = prefill_step(params, cfg, cache, ids3, lens, start)
+        float(logits[0, 0])
+    rows = per_op_table(d, top=100000)
+    total = sum(r["self_us"] for r in rows)
+    print(f"\ntotal device self-time: {total/1e3:.1f} ms")
+    by_cat = collections.Counter()
+    for r in rows:
+        by_cat[r["category"]] += r["self_us"]
+    print("\nby HLO category (ms):")
+    for cat, us in by_cat.most_common(20):
+        print(f"  {us/1e3:>9.2f}ms {100*us/total:5.1f}%  {cat}")
+    by_op = collections.Counter()
+    n_by_op = collections.Counter()
+    for r in rows:
+        op = re.sub(r"\d+", "#", r["op"])
+        by_op[(r["category"], op)] += r["self_us"]
+        n_by_op[(r["category"], op)] += r["occurrences"]
+    print("\nby op (ms, layer-aggregated):")
+    for (cat, op), us in by_op.most_common(args.top):
+        print(f"  {us/1e3:>9.2f}ms {100*us/total:5.1f}% "
+              f"x{n_by_op[(cat, op)]:<6} {cat:<18} {op[:90]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=32)
@@ -29,6 +80,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--kv", default="int8", choices=["bf16", "int8"])
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--phase", default="decode", choices=["decode",
+                                                          "prefill"],
+                    help="prefill: per-op table of one prefill_step "
+                         "(TTFT decomposition; steps is ignored)")
     args = ap.parse_args()
 
     import dataclasses
@@ -58,6 +113,9 @@ def main():
     lens = jnp.full((b,), args.prompt, jnp.int32)
     start = jnp.zeros((b,), jnp.int32)
     logits, cache = prefill_step(params, cfg, cache, ids, lens, start)
+    if args.phase == "prefill":
+        _profile_prefill(args, params, cfg, cache, ids, lens, start)
+        return
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
     if tok.ndim > 1:
         tok = tok[:, 0]
