@@ -468,9 +468,17 @@ def forward(
     n_heads_global: Optional[int] = None,
     gather_logits: bool = False,
     ep_axis_name: Optional[str] = None,
+    logits_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, kvc.KVCache]:
     """Full decoder step: embeds `token_ids`, runs all layers appending to
     `cache`, returns logits `[B, T, vocab]` and the updated cache.
+
+    `logits_positions` ([B, R] row indices): compute the LM head only at
+    those rows — returns `[B, R, vocab]`.  At prefill only the last real
+    row is sampled, so projecting all T rows wastes 2*T*E*V flops and
+    materializes a [B, T, V] buffer (268MB f32 at llama2-7B T=2048; 1.2GB
+    at a 152k vocab).  The reference's eval extracts per-batch logits the
+    same way (llama.cpp:741-759 copies only the rows it needs).
 
     Parity: llama_model_eval_internal and friends (llama.cpp:53-788).
 
@@ -509,6 +517,8 @@ def forward(
             slopes, glm_lens, axis_name, ep_axis_name,
         )
 
+    if logits_positions is not None:
+        x = jnp.take_along_axis(x, logits_positions[:, :, None], axis=1)
     if cfg.final_norm:
         x = norm(x, params["final_norm"], cfg)
 

@@ -201,7 +201,11 @@ def _gemm_kernel_int(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
     @pl.when(kb == n_kb - 1)
     def _store():
-        o_ref[:] = acc_ref[:]
+        # cast at store (VMEM, overlapped): writing out_dtype directly
+        # saves the f32 materialize + separate convert pass over [M, N]
+        # in HBM that XLA otherwise runs after the custom-call (~11 ms
+        # of a 288 ms 7B prefill, 2026-08-19 per-op profile)
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def _gemm_kernel_lut(x_ref, w_ref, s_ref, o_ref, acc_ref, *, spec: QSpec,
@@ -232,7 +236,7 @@ def _gemm_kernel_lut(x_ref, w_ref, s_ref, o_ref, acc_ref, *, spec: QSpec,
 
     @pl.when(kb == n_kb - 1)
     def _store():
-        o_ref[:] = acc_ref[:]
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def _bands(spec: QSpec) -> int:
@@ -428,7 +432,7 @@ def _gemm_kernel_planar(x_ref, w_refs, s_ref, z_ref, o_ref, *, spec: QSpec,
                         mrow = z_all[grow][None, :].astype(jnp.float32)
                         acc = acc + xsum * mrow
         first = False
-    o_ref[:] = acc
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -493,7 +497,7 @@ def _qmatmul_planar_2d(x: jax.Array, qt: QTensor, out_dtype=None,
         args = (x.astype(cdt), *qt.data, scales)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=o_spec,
@@ -504,7 +508,7 @@ def _qmatmul_planar_2d(x: jax.Array, qt: QTensor, out_dtype=None,
         cost_estimate=cost,
         interpret=interpret,
     )(*args)
-    return out.astype(out_dtype)
+    return out
 
 
 def _compute_dtype(x_dtype, m: int):
@@ -711,7 +715,7 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
         args = (xt, wq, scales)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=o_spec,
@@ -720,7 +724,7 @@ def _qmatmul_pallas_2d(x: jax.Array, qt: QTensor, out_dtype=None,
         cost_estimate=cost,
         interpret=interpret,
     )(*args)
-    return out.astype(out_dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -62,12 +62,12 @@ def prefill_step(
     # infilling mask; at prefill it is exactly start+len (spectator rows
     # are fully padding-masked, their value is irrelevant)
     glm = (start_pos + lengths) if cfg.rope_style == "chatglm" else None
-    logits, cache = forward(params, cfg, token_ids, pos, cache, kv_lens,
-                            glm_lens=glm)
+    # LM head only at each row's last real token (logits_positions): the
+    # full [B, T, V] projection wastes 2*T*E*V flops + a huge buffer
     last = jnp.clip(lengths - 1, 0, t - 1)
-    last_logits = jnp.take_along_axis(
-        logits, last[:, None, None], axis=1
-    )[:, 0]
+    logits, cache = forward(params, cfg, token_ids, pos, cache, kv_lens,
+                            glm_lens=glm, logits_positions=last[:, None])
+    last_logits = logits[:, 0]
     cache = kvc.set_lengths(cache, kv_lens)
     return last_logits, cache
 

@@ -118,9 +118,11 @@ def _verify_forward_rows(params, cfg, cache, ids, pos, kv_lens, row_idx,
     accept loops actually consume."""
     from ..models.transformer import forward
 
-    logits, cache = forward(params, cfg, ids, pos, cache, kv_lens,
-                            glm_lens=glm_lens)
-    rows = jnp.take_along_axis(logits, row_idx[..., None], axis=1)
+    # the row gather happens BEFORE the LM head (logits_positions): the
+    # head projects R rows instead of pad_t — less MXU work AND no
+    # [B, pad_t, vocab] buffer
+    rows, cache = forward(params, cfg, ids, pos, cache, kv_lens,
+                          glm_lens=glm_lens, logits_positions=row_idx)
     return rows, cache
 
 
