@@ -414,45 +414,19 @@ class TPEngine(Engine):
         fn = self._chunk_fns.get(key)
         if fn is not None:
             return fn
-        from ..ops import sampling as smp
+        from ..runtime.engine import run_window_loop
 
         step = self._step
         max_len = self.max_len
 
         def window_body(params, cache, sampler, tokens, active, budget,
                         n_steps, eos_id):
-            b = tokens.shape[0]
+            def step_fn(cache, toks_2d, pos, kv_lens):
+                return step(params, cache, toks_2d, pos, kv_lens)
 
-            def cond(st):
-                i = st[0]
-                act = st[4]
-                return jnp.logical_and(i < n_steps, jnp.any(act))
-
-            def body(st):
-                i, cache, sampler, toks, act, bud, buf, em = st
-                lens = cache.lengths
-                pos = jnp.where(act, lens, max_len - 1)[:, None]
-                kv_lens = lens + act.astype(jnp.int32)
-                logits, cache = step(params, cache, toks[:, None], pos,
-                                     kv_lens)
-                cache = kvc.set_lengths(cache, kv_lens)
-                nxt, sampler = smp.sample(logits[:, 0], sampler, sp,
-                                          active=act)
-                nxt = jnp.where(act, nxt.astype(jnp.int32), toks)
-                buf = jax.lax.dynamic_update_slice(buf, nxt[:, None],
-                                                   (jnp.int32(0), i))
-                em = em + act.astype(jnp.int32)
-                bud = bud - act.astype(jnp.int32)
-                done = jnp.logical_or(nxt == eos_id, bud <= 0)
-                act = jnp.logical_and(act, jnp.logical_not(done))
-                return (i + 1, cache, sampler, nxt, act, bud, buf, em)
-
-            st = (jnp.int32(0), cache, sampler, tokens.astype(jnp.int32),
-                  active, budget.astype(jnp.int32),
-                  jnp.zeros((b, cap), jnp.int32), jnp.zeros((b,), jnp.int32))
-            _, cache, sampler, toks, act, bud, buf, em = jax.lax.while_loop(
-                cond, body, st)
-            return buf, em, toks, act, bud, cache, sampler
+            return run_window_loop(step_fn, max_len, cache, sampler,
+                                   tokens, active, budget, n_steps, cap,
+                                   sp, eos_id)
 
         fn = jax.jit(window_body, donate_argnums=(1, 2))
         self._chunk_fns[key] = fn

@@ -208,9 +208,11 @@ class Engine:
         )
         return toks, sampler
 
-    # EOS-aware device-side decode window (see decode_window): engines
-    # that serve through shard_map or a paged page table override the
-    # four step methods and opt out until they implement a window step
+    # EOS-aware device-side decode window (see decode_window).  All
+    # shipped engines support it (TP/PP wrap their shard_map'ed step in
+    # the same run_window_loop; paged engines pair pessimistic window
+    # reservations with commit_lens rollback); the flag exists so an
+    # engine subclass without a window step falls back to the chunk path
     supports_window = True
 
     def run_decode_window(self, sampler, tokens, active, budget, n_steps,
@@ -384,6 +386,22 @@ def decode_window(
     budget carries let the scheduler dispatch window N+1 straight from
     window N's device arrays (pipelined, no host sync between windows).
     """
+    def step_fn(cache, toks_2d, pos, kv_lens):
+        return forward(params, cfg, toks_2d, pos, cache, kv_lens,
+                       glm_lens=glm_lens)
+
+    return run_window_loop(step_fn, cache.max_len, cache, sampler, tokens,
+                           active, budget, n_steps, cap, sp, eos_id)
+
+
+def run_window_loop(step_fn, max_len: int, cache, sampler, tokens, active,
+                    budget, n_steps, cap: int, sp, eos_id):
+    """The shared EOS-aware decode-window while_loop (used by
+    decode_window above and the TP/PP engines' shard_map'ed window —
+    one implementation so the EOS/budget semantics cannot diverge).
+
+    step_fn(cache, tokens [B,1], pos [B,1], kv_lens [B]) ->
+    (logits [B,1,V], cache)."""
     from ..ops import sampling as smp
 
     b = tokens.shape[0]
@@ -395,10 +413,9 @@ def decode_window(
     def body(st):
         i, cache, sampler, toks, act, bud, buf, em = st
         lens = cache.lengths
-        pos = jnp.where(act, lens, cache.max_len - 1)[:, None]
+        pos = jnp.where(act, lens, max_len - 1)[:, None]
         kv_lens = lens + act.astype(jnp.int32)
-        logits, cache = forward(params, cfg, toks[:, None], pos, cache,
-                                kv_lens, glm_lens=glm_lens)
+        logits, cache = step_fn(cache, toks[:, None], pos, kv_lens)
         cache = kvc.set_lengths(cache, kv_lens)
         nxt, sampler = smp.sample(logits[:, 0], sampler, sp, active=act)
         nxt = jnp.where(act, nxt.astype(jnp.int32), toks)

@@ -367,15 +367,20 @@ class ContinuousBatchingScheduler:
                 or self._dev_lens_dirty or self.speculative
                 or self.mixed_prefill):
             return False
+        # EVERY dispatched slot must still be running+DECODING: a slot
+        # that finished (EOS) since the dispatch would otherwise ride
+        # along in the stale mask forever — advancing _slot_len and (on
+        # paged engines) claiming pages for a freed slot with no commit
+        # ever undoing either
+        for slot in np.nonzero(active_prev)[0]:
+            seq = self.running.get(int(slot))
+            if seq is None or seq.status != SeqStatus.DECODING:
+                return False
+            if seq.max_new_tokens - len(seq.generated) <= chunk:
+                return False
         for slot, seq in self.running.items():
-            on = bool(active_prev[slot])
-            if seq.status == SeqStatus.DECODING and not on:
+            if seq.status == SeqStatus.DECODING and not active_prev[slot]:
                 return False  # active set changed
-            if on:
-                if seq.status != SeqStatus.DECODING:
-                    return False
-                if seq.max_new_tokens - len(seq.generated) <= chunk:
-                    return False
         # _slot_len already includes the pending chunk (advanced at
         # dispatch); staying clear of the window keeps eviction points
         # identical to the unpipelined schedule
@@ -518,13 +523,15 @@ class ContinuousBatchingScheduler:
         # requests are waiting (responsive admission) or near the context
         # limit (eviction fires at the fixed-chunk schedule's points);
         # otherwise up to window_cap — the device stops early per slot
-        w = self.chunk_size
+        w = min(self.chunk_size, self.window_cap)  # never exceed the
+        #   static token-buffer cap (w > cap would clamp the buffer DUS
+        #   and silently drop emitted tokens)
         if not self.waiting:
             headroom = eng.max_len - int(self._slot_len[active_np].max())
             rem = max(seq.max_new_tokens - len(seq.generated)
                       for slot, seq in self.running.items()
                       if active_np[slot])
-            big = min(self.window_cap, max(self.chunk_size, rem))
+            big = min(self.window_cap, max(w, rem))
             if big <= headroom:
                 w = big
         self._maybe_evict(active_np, w)
@@ -591,12 +598,20 @@ class ContinuousBatchingScheduler:
         if (not self.pipeline_decode or self.waiting
                 or self._dev_lens_dirty):
             return False
-        for slot, seq in self.running.items():
-            on = bool(active_np[slot])
-            if seq.status == SeqStatus.DECODING and not on:
-                return False  # active set changed under us
-            if on and seq.status != SeqStatus.DECODING:
+        # every dispatched slot must still be running+DECODING — a slot
+        # that finished since the dispatch must break pipelining, or the
+        # stale mask re-advances its zeroed _slot_len (and claims pages
+        # for the freed slot on paged engines) with no commit undoing it.
+        # The one overlapped window a finishing slot DOES ride in stays
+        # exact: its pages were claimed before release_slot freed them,
+        # and _finish zeroes _slot_len after both pessimistic advances.
+        for slot in np.nonzero(active_np)[0]:
+            seq = self.running.get(int(slot))
+            if seq is None or seq.status != SeqStatus.DECODING:
                 return False
+        for slot, seq in self.running.items():
+            if seq.status == SeqStatus.DECODING and not active_np[slot]:
+                return False  # active set changed under us
         # context headroom for one more full window (slot_len already
         # carries the pending window's pessimistic advance)
         if int(self._slot_len[active_np].max()) + w > self.engine.max_len:

@@ -26,7 +26,8 @@ def cli_evaluate(args_list=None):
     # arg spelling (reference: accuracy.cli_evaluate wraps lm_eval)
     argv = ["ns_evaluator.py", "--model", args.model, "--tasks", args.tasks,
             "--weight_dtype", args.weight_dtype,
-            "--group_size", str(args.group_size), "--alg", args.alg]
+            "--group_size", str(args.group_size), "--alg", args.alg,
+            "--batch_size", str(args.batch_size)]
     if args.limit is not None:
         argv += ["--limit", str(args.limit)]
     import ns_evaluator

@@ -82,6 +82,7 @@ def main():
     ap.add_argument("--model", required=True)
     ap.add_argument("--tasks", default="lambada_openai")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=1)
     add_quant_args(ap)
     args = ap.parse_args()
 
@@ -103,7 +104,7 @@ def main():
     class _LM(LM, NSTLM):  # lm-eval registry shim
         def __init__(self):
             LM.__init__(self)
-            NSTLM.__init__(self, model)
+            NSTLM.__init__(self, model, batch_size=args.batch_size)
 
     results = lm_eval.simple_evaluate(
         model=_LM(), tasks=args.tasks.split(","), limit=args.limit

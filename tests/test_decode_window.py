@@ -152,8 +152,6 @@ def test_window_checkpoint_mid_generation(our_model, tmp_path):
     assert res.window_cap == 8
     post = {s.request_id: s.generated for s in res.run_to_completion()}
     for rid, full in zip(rids, ref):
-        got = pre.get(rid) or post.get(rid) or (
-            [t for s in [res] for t in []])
         # running sequences carry their prefix inside the checkpoint
         if rid in post:
             assert post[rid] == full
@@ -183,6 +181,51 @@ def test_window_paged_matches_contiguous(our_model):
     # pessimistic window reservations)
     assert not sched.running and not peng._alloc.refs
     assert sorted(peng._alloc.free) == list(range(peng.n_pages - 1))
+
+
+def test_window_paged_staggered_finish_no_leak(our_model):
+    """Regression (round-3 review): a slot finishing by EOS mid-serving
+    while another slot keeps decoding for several more pipelined windows
+    must not ride along in the stale dispatch mask — that advanced the
+    freed slot's _slot_len and claimed pages for it every window with no
+    commit undoing either (permanent pool leak once the slot was
+    reused)."""
+    import os
+
+    from neural_speed_tpu.runtime.engine import PagedEngine
+
+    os.environ.setdefault("NST_FLASH", "off")
+    sp = SamplingParams(do_sample=False)
+    # find a token that the greedy stream emits early for prompt 0
+    probe, _ = _run(our_model, sp, max_new=(24, 24, 24, 24))
+    eos = probe[0][2]
+    peng = PagedEngine(our_model.engine.params, our_model.engine.cfg,
+                       max_batch=4, max_len=128, page_size=16)
+    sched = ContinuousBatchingScheduler(peng, sp, eos_id=eos,
+                                        chunk_size=2, window=4)
+    rids = [sched.add_request(p, 40) for p in PROMPTS]
+    done = {s.request_id: s.generated for s in sched.run_to_completion()}
+    # at least one early (eos) finisher and one long runner
+    lens = sorted(len(v) for v in done.values())
+    assert lens[0] < 40 <= lens[-1] or lens[0] < lens[-1]
+    # freed slots must not hold page references or nonzero length mirrors
+    assert not sched.running
+    assert all(v == 0 for v in sched._slot_len)
+    assert not peng._alloc.refs, peng._alloc.refs
+    assert sorted(peng._alloc.free) == list(range(peng.n_pages - 1))
+    # and the streams equal the contiguous engine's under the same eos
+    ref, _ = _run(our_model, sp, eos=eos, max_new=(40, 40, 40, 40))
+    assert [done[r] for r in rids] == ref
+
+
+def test_window_smaller_than_chunk(our_model):
+    """window < chunk_size must clamp the dispatch to the buffer cap
+    (review: w=chunk_size with cap=window dropped tokens silently)."""
+    sp = SamplingParams(do_sample=False)
+    ref, _ = _run(our_model, sp, use_window=False)
+    got, sched = _run(our_model, sp, window=2, chunk=16)
+    assert sched.window_cap == 2 and sched._use_window()
+    assert got == ref
 
 
 def test_window_tp_matches_single_device(our_model):
