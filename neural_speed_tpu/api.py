@@ -53,6 +53,7 @@ class Model:
         paged: bool = False,
         page_size: int = 128,
         n_pages: Optional[int] = None,
+        prefix_cache: bool = False,
     ):
         """Convert + quantize an HF checkpoint (parity: Model.init,
         __init__.py:142-225).  `use_cache` reuses the packed .npz;
@@ -103,7 +104,8 @@ class Model:
             params = lora_mod.apply_lora_to_params(params, self.cfg, lsd,
                                                    lcfg)
         self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
-                          paged=paged, page_size=page_size, n_pages=n_pages)
+                          paged=paged, page_size=page_size, n_pages=n_pages,
+                          prefix_cache=prefix_cache)
         return self
 
     def _convert(self, model_name: str, qspec: Optional[QSpec]):
@@ -117,19 +119,22 @@ class Model:
                       max_batch: int = 1, ctx_size: int = 2048,
                       kv_quantized: bool = False, tokenizer=None,
                       tp: int = 1, paged: bool = False,
-                      page_size: int = 128, n_pages: Optional[int] = None):
+                      page_size: int = 128, n_pages: Optional[int] = None,
+                      prefix_cache: bool = False):
         """Load a previously saved packed model (parity: init_from_bin)."""
         self.cfg = arch_cfg
         self.tokenizer = tokenizer
         params = serialization.load_params(bin_path)
         self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
-                          paged=paged, page_size=page_size, n_pages=n_pages)
+                          paged=paged, page_size=page_size, n_pages=n_pages,
+                          prefix_cache=prefix_cache)
         return self
 
     def init_from_gguf(self, gguf_path: str, max_batch: int = 1,
                        ctx_size: int = 2048, kv_quantized: bool = False,
                        tp: int = 1, paged: bool = False,
-                       page_size: int = 128, n_pages: Optional[int] = None):
+                       page_size: int = 128, n_pages: Optional[int] = None,
+                       prefix_cache: bool = False):
         from .convert import gguf as gguf_mod
 
         params, cfg, tok = gguf_mod.load_gguf_model(gguf_path)
@@ -138,12 +143,14 @@ class Model:
         if tok is not None:
             self.eos_id = tok.eos_token_id
         self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
-                          paged=paged, page_size=page_size, n_pages=n_pages)
+                          paged=paged, page_size=page_size, n_pages=n_pages,
+                          prefix_cache=prefix_cache)
         return self
 
     def _make_engine(self, params, max_batch, ctx_size, kv_quantized,
                      tp: int = 1, paged: bool = False, page_size: int = 128,
-                     n_pages: Optional[int] = None):
+                     n_pages: Optional[int] = None,
+                     prefix_cache: bool = False):
         if tp > 1:
             # multi-chip serving: shard per the Megatron split table and
             # drive the whole mesh from this process (parallel/tp.TPEngine)
@@ -154,7 +161,7 @@ class Model:
                     params, self.cfg, make_mesh(tp=tp),
                     max_batch=max_batch, max_len=ctx_size,
                     kv_quantized=kv_quantized, page_size=page_size,
-                    n_pages=n_pages,
+                    n_pages=n_pages, prefix_cache=prefix_cache,
                 )
                 return
             self.engine = TPEngine(
@@ -168,7 +175,7 @@ class Model:
             self.engine = PagedEngine(
                 params, self.cfg, max_batch=max_batch, max_len=ctx_size,
                 kv_quantized=kv_quantized, page_size=page_size,
-                n_pages=n_pages,
+                n_pages=n_pages, prefix_cache=prefix_cache,
             )
             return
         self.engine = Engine(

@@ -167,6 +167,115 @@ class PageAllocator:
                 self.refs[p] = rc
 
 
+class PrefixPageCache:
+    """Automatic prompt-prefix caching over the refcounted page pool
+    (EXTENSION: the vLLM-style prefix cache the reference lacks — its
+    nearest analogue is the manual prompt-session file,
+    model_load_session_file, model_utils.cpp:1775-1830).
+
+    Every FULLY-FILLED prompt page is indexed by a cryptographic digest
+    of the token chain up to and including that page; a new request
+    adopts the longest indexed run of full pages (`lookup`) by aliasing
+    the physical pages into its table (refcount +1 per adopter — the
+    same copy-on-write machinery beam forking uses) and prefilling only
+    the suffix.  Exactness: causal-attention KV at position i depends
+    only on tokens <= i, so identical token prefixes produce identical
+    pages (RoPE/ALiBi are absolute-position functions; int8 KV
+    quantization is deterministic).  GLM blank-infilling prompts are
+    bidirectional (prompt KV depends on the FULL prompt) — the engine
+    refuses prefix caching for chatglm-1.
+
+    The cache itself holds one reference per indexed page; `evict_lru`
+    drops least-recently-used entries (whole page-chains are not
+    required — a prefix hit only needs the leading pages present) so
+    the engine can reclaim pool space under allocation pressure."""
+
+    def __init__(self, allocator: PageAllocator, page_size: int,
+                 capacity_pages: Optional[int] = None):
+        from collections import OrderedDict
+
+        self.alloc = allocator
+        self.ps = page_size
+        self.capacity = capacity_pages
+        self.index: "OrderedDict[bytes, int]" = OrderedDict()  # key -> page
+        self.hits = 0
+        self.misses = 0
+
+    # -- keys -----------------------------------------------------------
+    def _chain_keys(self, prompt) -> List[bytes]:
+        """Digest per full page: key_i = H(key_{i-1} || tokens of page i)."""
+        import hashlib
+
+        import numpy as np
+
+        keys: List[bytes] = []
+        prev = b"nst-prefix-v1"
+        n_full = len(prompt) // self.ps
+        for i in range(n_full):
+            toks = np.asarray(
+                prompt[i * self.ps:(i + 1) * self.ps], np.int64)
+            h = hashlib.blake2b(prev, digest_size=16)
+            h.update(toks.tobytes())
+            prev = h.digest()
+            keys.append(prev)
+        return keys
+
+    # -- queries --------------------------------------------------------
+    def lookup(self, prompt) -> Tuple[int, List[int]]:
+        """Longest indexed full-page prefix of `prompt`: returns
+        (n_tokens, pages).  Capped at len(prompt) - 1 so at least one
+        token remains to prefill (it produces the first logits); the
+        match length is always a page multiple (partial pages receive
+        later writes and are never shared).  Takes NO references —
+        `adopt` does."""
+        pages: List[int] = []
+        for key in self._chain_keys(prompt):
+            page = self.index.get(key)
+            if page is None:
+                break
+            self.index.move_to_end(key)  # LRU touch
+            pages.append(page)
+        while pages and len(pages) * self.ps >= len(prompt):
+            pages.pop()  # leave >= 1 token to prefill
+        if pages:
+            self.hits += 1
+        else:
+            self.misses += 1
+        return len(pages) * self.ps, pages
+
+    def adopt(self, pages: List[int]) -> None:
+        """Take one reference per page for a slot that aliases them."""
+        self.alloc.share_pages(pages)
+
+    def register(self, prompt, table_row) -> None:
+        """Index the prompt's fully-filled pages from a just-prefilled
+        slot's page-table row (cache takes +1 ref per newly indexed
+        page; already-indexed keys are left untouched)."""
+        keys = self._chain_keys(prompt)
+        for i, key in enumerate(keys):
+            if key in self.index:
+                self.index.move_to_end(key)
+                continue
+            page = int(table_row[i])
+            self.alloc.share_pages([page])
+            self.index[key] = page
+        if self.capacity is not None:
+            self.evict_lru(max(0, len(self.index) - self.capacity))
+
+    def evict_lru(self, n_pages: int) -> int:
+        """Drop up to `n_pages` least-recently-used entries (releasing
+        the cache's references); returns how many were dropped."""
+        dropped = 0
+        while dropped < n_pages and self.index:
+            _key, page = self.index.popitem(last=False)
+            self.alloc.free_pages([page])
+            dropped += 1
+        return dropped
+
+    def clear(self) -> None:
+        self.evict_lru(len(self.index))
+
+
 # ---------------------------------------------------------------------------
 # appends
 # ---------------------------------------------------------------------------

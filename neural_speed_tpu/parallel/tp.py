@@ -491,7 +491,8 @@ class PagedTPEngine(TPEngine):
     def __init__(self, params: Dict[str, Any], cfg: ArchConfig, mesh: Mesh,
                  max_batch: int = 1, max_len: int = 2048,
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
-                 buckets=None, n_pages=None, page_size: int = 128):
+                 buckets=None, n_pages=None, page_size: int = 128,
+                 prefix_cache: bool = False):
         from ..ops import paged_kv as pkv
 
         if mesh.shape.get("dp", 1) > 1:
@@ -502,6 +503,11 @@ class PagedTPEngine(TPEngine):
         # +1: last physical page reserved as the trash page
         self.n_pages = (n_pages or (max_batch * max_len) // page_size) + 1
         self._alloc = pkv.PageAllocator(self.n_pages - 1)
+        # prompt-prefix caching (tables/allocator are host-side — the
+        # same machinery as the single-chip PagedEngine; chatglm is
+        # already rejected by TPEngine)
+        self.prefix = (pkv.PrefixPageCache(self._alloc, page_size)
+                       if prefix_cache else None)
         self._tables = np.zeros((max_batch, max_len // page_size), np.int32)
         self._lens = np.zeros((max_batch,), np.int64)
         self._mapped = np.zeros((max_batch,), np.int64)
@@ -526,8 +532,10 @@ def _bind_paged_hooks():
     from ..runtime.engine import PagedEngine
 
     for name in ("new_cache", "_sync_tables", "_ensure_pages",
+                 "_alloc_page", "_alloc_run",
                  "prepare_prefill", "prepare_decode", "prepare_rows",
-                 "commit_lens", "release_slot", "reorder_slots"):
+                 "commit_lens", "release_slot", "reorder_slots",
+                 "prefix_lookup", "adopt_prefix", "note_prefilled"):
         setattr(PagedTPEngine, name, getattr(PagedEngine, name))
 
 

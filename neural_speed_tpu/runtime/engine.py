@@ -454,7 +454,8 @@ class PagedEngine(Engine):
     def __init__(self, params, cfg, max_batch: int = 1, max_len: int = 2048,
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
                  buckets=DEFAULT_BUCKETS, fuse: bool = True,
-                 n_pages: Optional[int] = None, page_size: int = 128):
+                 n_pages: Optional[int] = None, page_size: int = 128,
+                 prefix_cache: bool = False):
         from ..ops import paged_kv as pkv
 
         self.page_size = page_size
@@ -471,6 +472,17 @@ class PagedEngine(Engine):
         # a speculative rollback (commit_lens snaps _lens back; the
         # overshoot pages stay mapped for reuse and are freed at release)
         self._mapped = np.zeros((max_batch,), np.int64)
+        # automatic prompt-prefix caching (ops/paged_kv.PrefixPageCache):
+        # full prompt pages indexed by token-chain digest; later requests
+        # alias them copy-on-write and prefill only the suffix
+        self.prefix = None
+        if prefix_cache:
+            if cfg.rope_style == "chatglm":
+                raise NotImplementedError(
+                    "prefix caching is unsound for chatglm-1: GLM blank-"
+                    "infilling prompts attend BIDIRECTIONALLY, so prompt "
+                    "KV depends on the full prompt, not just the prefix")
+            self.prefix = pkv.PrefixPageCache(self._alloc, page_size)
         super().__init__(params, cfg, max_batch, max_len, kv_dtype,
                          kv_quantized, buckets, fuse)
 
@@ -488,6 +500,25 @@ class PagedEngine(Engine):
             self.cache, page_tables=jnp.asarray(self._tables)
         )
 
+    def _alloc_page(self):
+        """alloc_page with prefix-cache LRU eviction under pool pressure."""
+        page = self._alloc.alloc_page()
+        if page is None and self.prefix is not None:
+            if self.prefix.evict_lru(1):
+                page = self._alloc.alloc_page()
+        return page
+
+    def _alloc_run(self, n: int):
+        first = self._alloc.alloc_run(n)
+        if first is None and self.prefix is not None:
+            # cached pages are scattered; evicting may not open a
+            # contiguous run immediately — drain as needed
+            while self.prefix.evict_lru(max(n, 4)):
+                first = self._alloc.alloc_run(n)
+                if first is not None:
+                    break
+        return first
+
     def _ensure_pages(self, slot: int, new_len: int) -> None:
         """Idempotent: only blocks past the mapped high-water mark are
         claimed (a rolled-back slot re-crossing a boundary must reuse its
@@ -495,11 +526,36 @@ class PagedEngine(Engine):
         ps = self.page_size
         need = -(-new_len // ps)
         for blk in range(int(self._mapped[slot]), need):
-            page = self._alloc.alloc_page()
+            page = self._alloc_page()
             if page is None:
                 raise RuntimeError("paged KV pool exhausted")
             self._tables[slot, blk] = page
         self._mapped[slot] = max(self._mapped[slot], need)
+
+    # -- prompt-prefix caching (ops/paged_kv.PrefixPageCache) ------------
+    def prefix_lookup(self, prompt):
+        """(n_cached_tokens, pages) for the longest indexed full-page
+        prompt prefix; (0, []) when disabled or no hit."""
+        if self.prefix is None:
+            return 0, []
+        return self.prefix.lookup(list(prompt))
+
+    def adopt_prefix(self, slot: int, pages) -> None:
+        """Alias cached prefix pages into `slot`'s table (copy-on-write:
+        one reference per adopter; release_slot drops it)."""
+        n = len(pages)
+        if n == 0:
+            return
+        self.prefix.adopt([int(p) for p in pages])
+        self._tables[slot, :n] = np.asarray(pages, np.int32)
+        self._mapped[slot] = n
+        self._lens[slot] = n * self.page_size
+        self._sync_tables()
+
+    def note_prefilled(self, slot: int, prompt) -> None:
+        """Index a just-prefilled slot's fully-filled prompt pages."""
+        if self.prefix is not None:
+            self.prefix.register(list(prompt), self._tables[slot])
 
     def prefill(self, prompts):
         from ..ops import kv_cache as kvc
@@ -543,7 +599,7 @@ class PagedEngine(Engine):
             n_blocks = -(-(start + int(ln)) // ps)
             run = n_blocks - blk0
             if run > 0:
-                first = self._alloc.alloc_run(run)
+                first = self._alloc_run(run)
                 if first is None:
                     raise RuntimeError("paged KV pool exhausted (prefill)")
                 self._tables[slot, blk0:n_blocks] = first + np.arange(run)
@@ -650,5 +706,9 @@ def _noop(*a, **k):
 Engine.prepare_prefill = _noop
 Engine.prepare_decode = _noop
 Engine.prepare_rows = _noop
+Engine.prefix = None
+Engine.prefix_lookup = lambda self, prompt: (0, [])
+Engine.adopt_prefix = _noop
+Engine.note_prefilled = _noop
 Engine.commit_lens = _noop
 Engine.release_slot = _noop

@@ -326,6 +326,13 @@ class ContinuousBatchingScheduler:
             # registered immediately so `has_work` stays true while the
             # (potentially compiling) prefill runs
             self.running[seq.slot] = seq
+            if seq.cached == 0:
+                # automatic prefix cache (paged engines): alias indexed
+                # full prompt pages copy-on-write, prefill the suffix only
+                n, pages = self.engine.prefix_lookup(seq.prompt)
+                if n:
+                    self.engine.adopt_prefix(seq.slot, pages)
+                    seq.cached = n
             batch.append(seq)
 
         eng = self.engine
@@ -349,6 +356,12 @@ class ContinuousBatchingScheduler:
             logits = eng.run_prefill(jnp.asarray(ids), jnp.asarray(lens),
                                      jnp.asarray(start))
             logits.block_until_ready()
+        for s in batch:
+            # index the prompt's full pages BEFORE commit (a first-token
+            # EOS releases the slot); skip bucket-clamped prompts — their
+            # stored KV is not the full token chain
+            if s.cached + int(lens[s.slot]) == len(s.prompt):
+                eng.note_prefilled(s.slot, s.prompt)
         self._sample_and_commit(logits, {s.slot: s for s in batch},
                                 prompt_obs=batch)
         for s in batch:
@@ -628,6 +641,14 @@ class ContinuousBatchingScheduler:
             seq = self.waiting.popleft()
             seq.slot = self.free_slots.pop()
             seq.status = SeqStatus.PREFILL
+            if seq.cached == 0:
+                # prefix-cache hits apply to chunked admission too (the
+                # completed prompt is not re-registered here — only the
+                # monolithic prefill path indexes new pages)
+                n, pages = self.engine.prefix_lookup(seq.prompt)
+                if n:
+                    self.engine.adopt_prefix(seq.slot, pages)
+                    seq.cached = n
             cap = max(1, self.engine.max_len - 1 - seq.cached)
             seq.feed = list(seq.prompt[seq.cached:])[-cap:]
             seq.fed = 0
