@@ -139,6 +139,31 @@ def test_prefix_mixed_admission(our_model):
     assert eng.prefix.hits >= 1
 
 
+def test_prefix_int8_kv(our_model):
+    """int8-quantized KV pages are deterministic per token chain — prefix
+    hits must reproduce the no-cache stream exactly."""
+    eng = _paged(our_model, kv_quantized=True)
+    ref, _ = _serve(_paged(our_model, prefix=False, kv_quantized=True),
+                    [LONG])
+    _serve(eng, [LONG])
+    out, _ = _serve(eng, [LONG])
+    assert eng.prefix.hits >= 1
+    assert out == ref
+
+
+def test_prefix_speculative(our_model):
+    """Prefix hits compose with batched speculative serving (adoption
+    happens at admission; verify steps run on the aliased pages)."""
+    eng = _paged(our_model)
+    rep = (LONG[:8] + [3, 4, 5]) * 2       # repetitive: drafts accepted
+    ref, _ = _serve(_paged(our_model, prefix=False), [rep],
+                    speculative=True, spec_k=3)
+    _serve(eng, [rep], speculative=True, spec_k=3)
+    out, _ = _serve(eng, [rep], speculative=True, spec_k=3)
+    assert eng.prefix.hits >= 1
+    assert out == ref
+
+
 def test_prefix_model_api(our_model, tmp_path):
     """Model.init(paged=True, prefix_cache=True) end-to-end."""
     from neural_speed_tpu.runtime import serialization
