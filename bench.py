@@ -107,7 +107,12 @@ def main():
             import dataclasses
 
             cfg = dataclasses.replace(cfg, n_layers=args.layers)
-    spec = QSpec(QType.INT, 4, 128, True)
+    # bf16 group scales: halves the scale stream (f32 scales add 6.25%
+    # to the int4 weight traffic on this HBM-bound path) — measured
+    # 153.3 vs 149.2 tok/s B=1 (BENCH_NOTES 2026-08-19).  Matches the
+    # comparable llama.cpp/ggml config even closer: GGUF Q4_0 stores
+    # f16 scales (the reference's ggml path, core/data_types.h).
+    spec = QSpec(QType.INT, 4, 128, True, scale_dtype="bfloat16")
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     t0 = time.time()

@@ -113,6 +113,10 @@ def _metrics(a, b):
 SPEC_GRID = [
     ("int8_g-1", QSpec(QType.INT, 8, -1, True), 0.9995, 0.03),
     ("int4_g128", QSpec(QType.INT, 4, 128, True), 0.95, 0.32),
+    # the bench.py default since round 3 (bf16 scales halve the scale
+    # stream, +2.7% decode); scale rounding costs ~nothing vs f32 scales
+    ("int4_g128_bf16s", QSpec(QType.INT, 4, 128, True,
+                              scale_dtype="bfloat16"), 0.95, 0.32),
     ("int4_g32_asym", QSpec(QType.INT, 4, 32, False), 0.97, 0.23),
     ("int4_g128_dq", QSpec(QType.INT, 4, 128, True, double_quant=True),
      0.95, 0.32),
