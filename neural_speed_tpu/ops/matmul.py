@@ -850,6 +850,99 @@ def _int8_kernel(xq_ref, a_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:]
 
 
+def _int8_kernel_planar(xq_ref, a_ref, w_refs, s_ref, z_ref, o_ref, *,
+                        spec: QSpec, k: int, g: int,
+                        per_token: bool = False):
+    """comp_int8 over MULTI-PLANE packs (odd widths 2/3/5/6/7): per
+    (plane, band, group) int8 MXU dot of raw codes, rescaled in f32 by
+    2^shift * wscale * ascale; the zero-point/offset correction applies
+    once per group via the quantized-activation row sum (the int8
+    counterpart of _gemm_kernel_planar; parity: the reference's int8
+    compute covers every KBlock width with asym correction,
+    bestla_epilogue.h:278-311).
+
+    xq_ref : [BM, K] int8
+    a_ref  : [BM, G] f32 activation scales (grouped) or None (per-token)
+    w_refs : packed uint32 planes
+    s_ref  : [G, BN] f32 weight scales (pre-decoded; double-quant ok)
+    z_ref  : [G, BN] uint8 zero points or None (symmetric)
+    """
+    s_all = s_ref[...]
+    z_all = (z_ref[...].astype(jnp.int32)
+             if z_ref is not None else None)
+    a_all = None if per_token else a_ref[...]
+    bm = xq_ref.shape[0]
+    bn = o_ref.shape[1]
+    acc = jnp.zeros((bm, bn), jnp.float32)
+    planes = [(r, w, s) for r, (w, s) in zip(w_refs,
+                                             _int_planes(spec.bits))]
+    first = True
+    for w_ref, width, shift in planes:
+        w_blk = w_ref[...]
+        e = 32 // width
+        kw = k // e
+        # whole groups per band, or whole bands per group (the per-chunk
+        # correction terms of one group sum to zp_g * sum(xq_g))
+        g_eff = min(g, kw)
+        n_sub = kw // g_eff
+        for band in range(e):
+            codes = _unpack_band(w_blk, width, band).astype(
+                jnp.int32).astype(jnp.int8)
+            for gg in range(n_sub):
+                grow = (band * kw + gg * g_eff) // g
+                wsub = codes[gg * g_eff:(gg + 1) * g_eff]
+                k0 = band * kw + gg * g_eff
+                xb = xq_ref[:, k0:k0 + g_eff]
+                d = jax.lax.dot_general(
+                    xb, wsub, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                if first:
+                    # per-group correction, once (dequant is linear in
+                    # the planes): acc_g -= zp_g * sum(xq_g)
+                    xsum = jnp.sum(xb.astype(jnp.int32), axis=1,
+                                   keepdims=True)
+                    if z_all is not None:
+                        d = (d << shift) - xsum * z_all[grow][None, :]
+                    else:
+                        d = (d << shift) - xsum * spec.code_offset
+                else:
+                    d = d << shift
+                scale = s_all[grow][None, :]
+                if not per_token:
+                    scale = scale * a_all[:, grow][:, None]
+                acc = acc + d.astype(jnp.float32) * scale
+        first = False
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _int8_planar_ok(qt: QTensor, m: int) -> bool:
+    """Eligibility for the multi-plane comp_int8 kernel: odd INT widths
+    (raw codes <= 127 fit int8 — 8-bit asym stays excluded), int or no
+    zero points, activation-group == weight-group with whole groups per
+    plane band."""
+    spec = qt.spec
+    if spec.qtype != QType.INT or spec.bits not in (2, 3, 5, 6, 7):
+        return False
+    if qt.k_shards != 1:
+        return False
+    if qt.zeros is not None and jnp.issubdtype(qt.zeros.dtype,
+                                               jnp.floating):
+        return False  # ggml float-offset: fp planar kernel territory
+    if m % 32:
+        return False
+    k = qt.shape[0]
+    g = spec.effective_group(k)
+    if not (g < k and g % 128 == 0 and k % g == 0):
+        return False
+    for w in plane_widths(spec.bits):
+        kw = k // (32 // w)
+        # groups align with plane bands either way (see the kernel)
+        if kw % g and (kw == 0 or g % kw):
+            return False
+    return True
+
+
 def _int8_pallas_ok(qt: QTensor, m: int) -> bool:
     spec = qt.spec
     if spec.qtype != QType.INT or spec.bits not in (4, 8):
@@ -866,6 +959,82 @@ def _int8_pallas_ok(qt: QTensor, m: int) -> bool:
     # activation quant granularity == weight group; kernel needs the
     # group to fill whole 128-lane MXU contractions
     return g < k and g % 128 == 0 and _kernel_group(qt) == g
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "per_token"))
+def _qmatmul_int8_planar(xq: jax.Array, ascale, qt: QTensor,
+                         interpret: bool = False,
+                         per_token: bool = False) -> jax.Array:
+    """Multi-plane comp_int8 launcher (monolithic K, like the fp planar
+    kernel): x int8 [M, K] -> f32 [M, N]."""
+    spec = qt.spec
+    k, n = qt.shape
+    m = xq.shape[0]
+    g = spec.effective_group(k)
+    bn = _choose_bn(n)
+    cap = max(32, (2 * 1024 * 1024) // k)
+    bm = m
+    for c in (256, 128, 64, 32):
+        if m % c == 0 and c <= cap:
+            bm = c
+            break
+    grid = (m // bm, n // bn)
+    scales = qt.effective_scales(jnp.float32)
+    zeros = qt.zeros
+    gr = scales.shape[0]
+
+    x_spec = pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((bm, gr), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec((wp.shape[0], bn), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM) for wp in qt.data]
+    s_spec = pl.BlockSpec((gr, bn), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=(m * k
+                        + sum(wp.size * wp.dtype.itemsize
+                              for wp in qt.data) + m * n * 4),
+        transcendentals=0,
+    )
+    n_planes = len(qt.data)
+    body = functools.partial(_int8_kernel_planar, spec=spec, k=k, g=g,
+                             per_token=per_token)
+    in_specs = [x_spec]
+    args = [xq]
+    if per_token:
+        def kern(xq_ref, *refs):
+            body(xq_ref, None, refs[:n_planes], refs[n_planes],
+                 refs[n_planes + 1] if zeros is not None else None,
+                 refs[-1])
+    else:
+        def kern(xq_ref, a_ref, *refs):  # noqa: F811
+            body(xq_ref, a_ref, refs[:n_planes], refs[n_planes],
+                 refs[n_planes + 1] if zeros is not None else None,
+                 refs[-1])
+        in_specs.append(a_spec)
+        args.append(ascale)
+    in_specs += [*w_specs, s_spec]
+    args += [*qt.data, scales]
+    if zeros is not None:
+        in_specs.append(s_spec)
+        args.append(zeros)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "per_token"))
@@ -978,15 +1147,17 @@ def qmatmul_int8(x: jax.Array, qt: QTensor, out_dtype=None,
     row (applied outside the kernel) instead of one per group — cheaper
     epilogue, slightly coarser activation quant.
 
-    Pallas eligibility (`_int8_pallas_ok`; narrower than the reference's
-    int8 compute, which covers all KBlock widths with asym correction —
-    bestla_epilogue.h:278-311): INT bits in {4, 8}, single-slab pack, no
-    double-quant, M a multiple of 32 (int8 sublane tile), group size a
-    multiple of 128 dividing K (whole-lane MXU contractions), and either
-    symmetric or int4-asym (8-bit codes - zp overflows int8).  Everything
-    else silently uses the XLA program or `qmatmul`'s bf16 group-dot —
-    which measured FASTER than int8 compute on v5e for most shapes
-    (BENCH_NOTES.md), so the narrow gate costs little.
+    Pallas eligibility: `_int8_pallas_ok` (bits 4/8: zero point folded
+    into the int8 weights) or `_int8_planar_ok` (bits 2/3/5/6/7: per-
+    plane raw-code dots with 2^shift rescale + once-per-group zp
+    correction — every KBlock width now has int8 compute, matching
+    bestla_gemm.h:2771-4330 / bestla_epilogue.h:278-311).  Remaining
+    gates: M % 32 == 0 (int8 sublane tile), group % 128 == 0 dividing K,
+    int-or-no zero points (8-bit asym and ggml float offsets fall back —
+    8-bit raw codes overflow int8).  Ineligible combos silently use the
+    XLA program or `qmatmul`'s bf16 group-dot — which measured FASTER
+    than int8 compute on v5e anyway (BENCH_NOTES.md), so int8 compute
+    stays opt-in (NST_COMP=int8/int8t).
     """
     spec = qt.spec
     qt = qt.local_view()
@@ -1002,14 +1173,19 @@ def qmatmul_int8(x: jax.Array, qt: QTensor, out_dtype=None,
     m = xf.shape[0]
 
     mp = m if m <= 256 else -(-m // 256) * 256
-    use_pallas = ((interpret or _use_pallas()) and not force_xla
-                  and _int8_pallas_ok(qt, mp if mp % 32 == 0 else m))
-    if use_pallas:
+    backend_ok = (interpret or _use_pallas()) and not force_xla
+    m_eff = mp if mp % 32 == 0 else m
+    use_pallas = backend_ok and _int8_pallas_ok(qt, m_eff)
+    use_planar = (not use_pallas and backend_ok
+                  and _int8_planar_ok(qt, m_eff))
+    if use_pallas or use_planar:
         if mp != m:
             xf = jnp.pad(xf, ((0, mp - m), (0, 0)))
         xq, ascale = _act_quant(xf, k if per_token else g)
-        out = _qmatmul_int8_pallas(xq, ascale, qt, interpret=interpret,
-                                   per_token=per_token)
+        launcher = (_qmatmul_int8_planar if use_planar
+                    else _qmatmul_int8_pallas)
+        out = launcher(xq, ascale, qt, interpret=interpret,
+                       per_token=per_token)
         if per_token:
             out = out * ascale
         if mp != m:

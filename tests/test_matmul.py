@@ -184,6 +184,55 @@ def test_int8_pallas_asym():
     assert rel < 0.02, rel
 
 
+@pytest.mark.parametrize("spec", [
+    QSpec(QType.INT, 3, 128, True),
+    QSpec(QType.INT, 5, 128, False),
+    QSpec(QType.INT, 7, 128, True),
+    QSpec(QType.INT, 2, 128, True),
+    QSpec(QType.INT, 6, 128, False),
+])
+def test_int8_planar_odd_widths(spec):
+    """comp_int8 for multi-plane odd widths (round 3: the reference's
+    int8 compute covers every KBlock width, bestla_gemm.h:2771-4330;
+    previously these fell back to the fp path): per-plane int8 dots with
+    2^shift rescale + once-per-group zp correction.  Sym widths compare
+    exactly against the XLA int8 einsum (same integer math); asym
+    against the fp dequant reference within activation-quant error."""
+    from neural_speed_tpu.ops.matmul import _int8_planar_ok
+
+    k, n = 1024, 256
+    key = jax.random.PRNGKey(21)
+    qt = synth_qtensor(key, k, n, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (64, k),
+                          jnp.float32) * 0.5
+    assert _int8_planar_ok(qt, 64)
+    out = qmatmul_int8(x, qt, interpret=True, out_dtype=jnp.float32)
+    if spec.symmetric:
+        ref = qmatmul_int8(x, qt, force_xla=True, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+    else:
+        ref = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+        denom = float(jnp.sqrt(jnp.mean(ref ** 2)))
+        rel = float(jnp.sqrt(jnp.mean((out - ref) ** 2))) / max(denom,
+                                                                1e-8)
+        assert rel < 0.03, rel
+
+
+def test_int8_planar_per_token():
+    spec = QSpec(QType.INT, 5, 128, True)
+    k, n = 1024, 256
+    key = jax.random.PRNGKey(22)
+    qt = synth_qtensor(key, k, n, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (32, k), jnp.float32)
+    out = qmatmul_int8(x, qt, interpret=True, out_dtype=jnp.float32,
+                       per_token=True)
+    ref = qmatmul_xla(x, qt, out_dtype=jnp.float32)
+    denom = float(jnp.sqrt(jnp.mean(ref ** 2)))
+    rel = float(jnp.sqrt(jnp.mean((out - ref) ** 2))) / max(denom, 1e-8)
+    assert rel < 0.03, rel
+
+
 def test_int8_pallas_odd_m_fallback_consistent():
     """m not a multiple of 32 (and <=256) falls back to XLA — same math."""
     spec = QSpec(QType.INT, 4, 128, True)
