@@ -570,6 +570,39 @@ def test_scheduler_fuzz_mixed_and_spec_equal_plain(our_model):
     assert run_paged(reqs, mixed_prefill=True, mixed_chunk=8,
                      speculative=True, spec_k=5) == ref
 
+    # decode-window variants (round 3): explicit window sizes and the
+    # chunk-ladder path must all match under randomized admission
+    assert run(reqs, window=16) == ref
+    assert run(reqs, window=1) == ref          # chunk ladder
+    assert run(reqs, pipeline_decode=False) == ref
+
+    # prefix cache: the same workload twice through ONE paged engine —
+    # the second pass is largely prefix-hits; both must equal ref
+    from neural_speed_tpu.runtime.engine import PagedEngine as _PE
+
+    eng = _PE(our_model.engine.params, our_model.cfg, max_batch=8,
+              max_len=128, page_size=16, fuse=False, prefix_cache=True)
+
+    def run_on(eng, reqs):
+        sched = ContinuousBatchingScheduler(eng, sp, chunk_size=3)
+        pending = list(reqs)
+        rids, out = [], {}
+        step = 0
+        while pending or sched.has_work:
+            for prompt, budget, _ in [r for r in pending if r[2] <= step]:
+                rids.append(sched.add_request(list(prompt), budget))
+            pending = [r for r in pending if r[2] > step]
+            if sched.has_work:
+                sched.step()
+            for q in sched.pop_finished():
+                out[q.request_id] = q.generated
+            step += 1
+        return [out[r] for r in rids]
+
+    assert run_on(eng, reqs) == ref
+    assert run_on(eng, reqs) == ref
+    assert eng.prefix.hits >= 1  # second pass aliased cached pages
+
 
 # ---------------------------------------------------------------------------
 # review-fix regressions
