@@ -530,6 +530,11 @@ def forward(
         )
     else:
         logits = linear(x, head).astype(jnp.float32)
+        if logits.shape[-1] > cfg.vocab_size:
+            # N-padded packed head (fuse_params repad_n): padded columns
+            # dequantize to 0 — slice back to the true vocab.  (TP vocab
+            # shards are SMALLER than vocab_size and never sliced.)
+            logits = logits[..., :cfg.vocab_size]
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
     if gather_logits and axis_name is not None:
@@ -647,6 +652,20 @@ def fuse_params(params: Params, cfg: ArchConfig) -> Params:
             lp["moe"] = moe_p
         layers.append(lp)
     out["layers"] = layers
+    # N-pad a wide packed LM head to the kernel's 512-lane block
+    # (llama's 32000 vocab -> bn=256, narrow DMAs at decode; padded
+    # columns dequantize to exactly 0 and `forward` slices logits back
+    # to vocab_size).  Only heads >= 4096 wide — tiny test models keep
+    # their exact shape.
+    head = out.get("lm_head")
+    if (head is not None and not cfg.tie_word_embeddings
+            and isinstance(head.get("w"), QTensor)
+            and head.get("b") is None and head.get("perm") is None):
+        n = head["w"].shape[1]
+        if n >= 4096 and n % 512:
+            from ..ops.quantize import repad_n
+
+            out["lm_head"] = dict(head, w=repad_n(head["w"], 512))
     out = _repad_tree(out)
     # stack eligible MoE experts [E, ...] (after repad so planes are
     # kernel-aligned) — enables grouped prefill dispatch (ops/moe.py) and

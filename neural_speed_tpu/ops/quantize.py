@@ -471,6 +471,31 @@ def repad_k(qt: QTensor, multiple: int) -> QTensor:
     return QTensor(data, scales, zeros, qt.sscale, spec, (k_pad, n), 1)
 
 
+def repad_n(qt: QTensor, multiple: int) -> QTensor:
+    """Re-pack with N padded up to `multiple` (lossless: padded columns
+    carry zero scales and dequantize to exactly 0; the caller slices the
+    matmul output back to the true N).
+
+    Load-time transform for wide projections whose N is not a multiple
+    of the kernel's widest lane block — llama's 32000-vocab LM head gets
+    bn=256 instead of 512 (narrow DMAs: measured 572 GB/s at decode vs
+    632-684 on the 512-block shapes, BENCH_NOTES 2026-08-19)."""
+    k, n = qt.shape
+    if n % multiple == 0:
+        return qt
+    pad = -(-n // multiple) * multiple - n
+
+    def pad_cols(a):
+        return jnp.pad(a, ((0, 0), (0, pad)))
+
+    data = tuple(pad_cols(d) for d in qt.data)
+    scales = pad_cols(qt.scales)
+    zeros = pad_cols(qt.zeros) if qt.zeros is not None else None
+    sscale = pad_cols(qt.sscale) if qt.sscale is not None else None
+    return QTensor(data, scales, zeros, sscale, qt.spec, (k, n + pad),
+                   qt.k_shards)
+
+
 def quantize_tree(params, policy) -> dict:
     """Quantize fp 'w' leaves of a params pytree per a path policy.
 

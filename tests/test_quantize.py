@@ -209,3 +209,63 @@ def test_split_n_inverts_concat_n():
 
     with _pytest.raises(ValueError):
         split_n(fused, [32, 16, 40])
+
+
+def test_repad_n_lossless():
+    """repad_n pads packed columns with zero scales: the matmul output's
+    padded tail is exactly 0 and the true-N prefix is bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_speed_tpu.ops.matmul import qmatmul
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.ops.quantize import quantize, repad_n
+
+    key = jax.random.PRNGKey(3)
+    for spec in (QSpec(QType.INT, 4, 64, True),
+                 QSpec(QType.INT, 4, 64, False),
+                 QSpec(QType.INT, 4, 64, True, double_quant=True)):
+        w = jax.random.normal(key, (256, 200), jnp.float32) * 0.05
+        qt = quantize(w, spec)
+        padded = repad_n(qt, 128)
+        assert padded.shape == (256, 256)
+        x = jax.random.normal(jax.random.fold_in(key, 1), (4, 256),
+                              jnp.float32)
+        ref = qmatmul(x, qt, force_xla=True, out_dtype=jnp.float32)
+        out = qmatmul(x, padded, force_xla=True, out_dtype=jnp.float32)
+        # prefix: same math (XLA may tile the wider N differently -> ulp)
+        np.testing.assert_allclose(np.asarray(out[:, :200]),
+                                   np.asarray(ref), rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out[:, 200:]), 0.0)
+
+
+def test_lm_head_n_padding_engine_equal():
+    """fuse_params N-pads a wide (>=4096, non-512-multiple) packed LM
+    head; engine greedy streams are identical to the unpadded params."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.models.transformer import fuse_params
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.runtime.engine import Engine
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(
+        name="llama", vocab_size=4100, hidden_size=64, n_layers=2,
+        n_heads=4, n_kv_heads=2, intermediate_size=128,
+        max_position_embeddings=128,
+    )
+    params = synth_params(cfg, QSpec(QType.INT, 4, 32, True))
+    fused = fuse_params(params, cfg)
+    assert fused["lm_head"]["w"].shape[1] == 4608  # padded to 512-mult
+    e_ref = Engine(params, cfg, max_batch=1, max_len=64, fuse=False)
+    e_pad = Engine(params, cfg, max_batch=1, max_len=64, fuse=True)
+    assert e_pad.params["lm_head"]["w"].shape[1] == 4608
+    prompt = [1, 7, 42, 9]
+    a = e_ref.generate_greedy(prompt, 8)
+    b = e_pad.generate_greedy(prompt, 8)
+    assert a == b
