@@ -165,6 +165,40 @@ for name, cls, kw in [("contig", Engine, {}),
           f"{B/dt:.0f} tok/s")
 """
 
+PREFIX = r"""
+import time, numpy as np, jax.numpy as jnp
+from neural_speed_tpu.ops.qtypes import QSpec, QType
+from neural_speed_tpu.ops.sampling import SamplingParams
+from neural_speed_tpu.runtime.engine import PagedEngine
+from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+from neural_speed_tpu.utils.synthetic import synth_params, llama2_7b_arch
+cfg = llama2_7b_arch()
+params = synth_params(cfg, QSpec(QType.INT, 4, 128, True,
+                                 scale_dtype="bfloat16"))
+eng = PagedEngine(params, cfg, max_batch=1, max_len=2048, page_size=128,
+                  kv_quantized=True, prefix_cache=True, n_pages=48)
+sp = SamplingParams(do_sample=False)
+PROMPT = list(np.random.default_rng(0).integers(5, 30000, size=1975))
+def ttft(prompt):
+    sched = ContinuousBatchingScheduler(eng, sp, chunk_size=16)
+    first = []
+    sched.add_request(prompt, 2, streamer=lambda t: first.append(
+        (t, time.time())))
+    t0 = time.time()
+    while not first and sched.has_work:
+        sched.step()
+    dt = time.time() - t0
+    sched.run_to_completion()  # release the slot (frees its pages)
+    return dt
+ttft(PROMPT)  # compile the full-prompt (2048) bucket + register pages
+ttft(PROMPT)  # compile the suffix (64) bucket the hit path prefills with
+cold = ttft(list(np.random.default_rng(1).integers(5, 30000, size=1975)))
+warm = ttft(PROMPT)  # full-page prefix hit (15 of 15.4 pages cached)
+print(f"TTFT 1975-token prompt: cold {cold*1e3:.0f} ms, "
+      f"prefix-hit {warm*1e3:.0f} ms ({cold/warm:.1f}x) "
+      f"[hits={eng.prefix.hits}]", flush=True)
+"""
+
 GEMVBN = r"""
 import os, subprocess, sys
 inner = '''
@@ -256,6 +290,7 @@ LEGS = {
     "paged32": (PAGED32, 1200),
     "serving": (SERVING, 1500),
     "gemvbn": (GEMVBN, 1800),
+    "prefixcache": (PREFIX, 1500),
 }
 
 
