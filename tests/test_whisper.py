@@ -170,3 +170,26 @@ def test_whisper_beam(hf_whisper, features):
     b3 = wm.generate_beam(states, enc_lens, forced, num_beams=3,
                           max_new_tokens=10)
     assert score(b3) >= score(greedy) - 1e-4
+
+
+def test_quantized_whisper_matches_fp(hf_whisper, features):
+    """use_quant whisper (audio_run --use_quant / AudioModel.init(
+    use_quant=True) path): int8-quantized encoder+decoder greedy ids
+    match the fp pipeline's first tokens on a random-init model (parity:
+    whisper_model_quantize, quant_utils.cpp:79)."""
+    from neural_speed_tpu.ops.qtypes import named_qspec
+
+    m, params, cfg = hf_whisper
+    qparams, qcfg = W.convert_whisper(
+        m.state_dict(), m.config.to_dict(),
+        named_qspec("int8", group_size=128),
+    )
+    states = W.encode(params, cfg, jnp.asarray(features)[None])
+    qstates = W.encode(qparams, qcfg, jnp.asarray(features)[None])
+    enc_lens = jnp.full((1,), states.shape[1], jnp.int32)
+    fp_ids = W.WhisperModel(params, cfg).generate(
+        states, enc_lens, [], max_new_tokens=6)
+    q_ids = W.WhisperModel(qparams, qcfg).generate(
+        qstates, enc_lens, [], max_new_tokens=6)
+    # int8 g128 on random-init weights: the leading tokens must agree
+    assert fp_ids[:3] == q_ids[:3], (fp_ids, q_ids)
