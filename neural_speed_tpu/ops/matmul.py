@@ -329,13 +329,16 @@ def _planar_supported(qt: QTensor) -> bool:
     if spec.is_fp8:
         return True
 
-    def _plane_ok(w):
-        kw = k // (32 // w)
-        # groups align with bands either way: whole groups per band, or
-        # whole bands per group (correction accumulates across bands)
-        return kw % g == 0 or (kw and g % kw == 0)
+    return all(_plane_band_ok(w, k, g) for w in plane_widths(spec.bits))
 
-    return all(_plane_ok(w) for w in plane_widths(spec.bits))
+
+def _plane_band_ok(width: int, k: int, g: int) -> bool:
+    """Groups align with a plane's bands either way: whole groups per
+    band, or whole bands per group (corrections accumulate across bands
+    because dequant is linear in the plane codes).  Shared by the fp and
+    int8 planar eligibility gates."""
+    kw = k // (32 // width)
+    return kw % g == 0 or (kw != 0 and g % kw == 0)
 
 
 def _fp8_decode(w_blk, spec: QSpec):
@@ -935,12 +938,7 @@ def _int8_planar_ok(qt: QTensor, m: int) -> bool:
     g = spec.effective_group(k)
     if not (g < k and g % 128 == 0 and k % g == 0):
         return False
-    for w in plane_widths(spec.bits):
-        kw = k // (32 // w)
-        # groups align with plane bands either way (see the kernel)
-        if kw % g and (kw == 0 or g % kw):
-            return False
-    return True
+    return all(_plane_band_ok(w, k, g) for w in plane_widths(spec.bits))
 
 
 def _int8_pallas_ok(qt: QTensor, m: int) -> bool:

@@ -202,13 +202,13 @@ class PrefixPageCache:
         self.misses = 0
 
     # -- keys -----------------------------------------------------------
-    def _chain_keys(self, prompt) -> List[bytes]:
-        """Digest per full page: key_i = H(key_{i-1} || tokens of page i)."""
+    def _chain_keys(self, prompt):
+        """Digest per full page, LAZILY: key_i = H(key_{i-1} || tokens of
+        page i).  lookup() stops hashing at the first index miss."""
         import hashlib
 
         import numpy as np
 
-        keys: List[bytes] = []
         prev = b"nst-prefix-v1"
         n_full = len(prompt) // self.ps
         for i in range(n_full):
@@ -217,8 +217,7 @@ class PrefixPageCache:
             h = hashlib.blake2b(prev, digest_size=16)
             h.update(toks.tobytes())
             prev = h.digest()
-            keys.append(prev)
-        return keys
+            yield prev
 
     # -- queries --------------------------------------------------------
     def lookup(self, prompt) -> Tuple[int, List[int]]:
@@ -251,8 +250,7 @@ class PrefixPageCache:
         """Index the prompt's fully-filled pages from a just-prefilled
         slot's page-table row (cache takes +1 ref per newly indexed
         page; already-indexed keys are left untouched)."""
-        keys = self._chain_keys(prompt)
-        for i, key in enumerate(keys):
+        for i, key in enumerate(self._chain_keys(prompt)):
             if key in self.index:
                 self.index.move_to_end(key)
                 continue

@@ -501,10 +501,15 @@ class PagedEngine(Engine):
         )
 
     def _alloc_page(self):
-        """alloc_page with prefix-cache LRU eviction under pool pressure."""
+        """alloc_page with prefix-cache LRU eviction under pool pressure.
+
+        Keeps evicting while the cache has entries: an LRU head that is
+        still aliased by a live slot drops to rc=1 without freeing a
+        page, so a single eviction attempt could fail while cache-only
+        pages remain reclaimable further down the LRU order."""
         page = self._alloc.alloc_page()
-        if page is None and self.prefix is not None:
-            if self.prefix.evict_lru(1):
+        if self.prefix is not None:
+            while page is None and self.prefix.evict_lru(1):
                 page = self._alloc.alloc_page()
         return page
 
@@ -550,7 +555,11 @@ class PagedEngine(Engine):
         self._tables[slot, :n] = np.asarray(pages, np.int32)
         self._mapped[slot] = n
         self._lens[slot] = n * self.page_size
-        self._sync_tables()
+        # no _sync_tables here: both adoption sites are followed in the
+        # same scheduler step by prepare_prefill (unconditional sync) or
+        # a mixed joint step's prepare_rows (its row always extends the
+        # adopted length, so `changed` syncs) — avoids a redundant
+        # device upload of the full table per adopted sequence
 
     def note_prefilled(self, slot: int, prompt) -> None:
         """Index a just-prefilled slot's fully-filled prompt pages."""
@@ -682,7 +691,10 @@ class PagedEngine(Engine):
         for dst, s, ln, full, tail in plans:
             self._tables[dst, :full] = old_tables[s, :full]
             if tail:
-                fresh = self._alloc.alloc_page()
+                # eviction-aware: the prefix cache may be holding the
+                # free pool down (review: forks crashed under pressure
+                # the cache itself created)
+                fresh = self._alloc_page()
                 if fresh is None:
                     raise RuntimeError("paged KV pool exhausted (fork)")
                 self._tables[dst, full] = fresh

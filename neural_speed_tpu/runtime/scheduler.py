@@ -326,9 +326,12 @@ class ContinuousBatchingScheduler:
             # registered immediately so `has_work` stays true while the
             # (potentially compiling) prefill runs
             self.running[seq.slot] = seq
-            if seq.cached == 0:
+            if seq.cached == 0 and len(seq.prompt) <= self.engine.max_len - 1:
                 # automatic prefix cache (paged engines): alias indexed
-                # full prompt pages copy-on-write, prefill the suffix only
+                # full prompt pages copy-on-write, prefill the suffix
+                # only.  Over-long prompts take the uncached clamp path
+                # (the bucket clamp drops leading tokens; an adopted
+                # prefix + unclamped suffix would overrun the page table)
                 n, pages = self.engine.prefix_lookup(seq.prompt)
                 if n:
                     self.engine.adopt_prefix(seq.slot, pages)
@@ -641,10 +644,11 @@ class ContinuousBatchingScheduler:
             seq = self.waiting.popleft()
             seq.slot = self.free_slots.pop()
             seq.status = SeqStatus.PREFILL
-            if seq.cached == 0:
+            if seq.cached == 0 and len(seq.prompt) <= self.engine.max_len - 1:
                 # prefix-cache hits apply to chunked admission too (the
                 # completed prompt is not re-registered here — only the
-                # monolithic prefill path indexes new pages)
+                # monolithic prefill path indexes new pages); over-long
+                # prompts keep the uncached clamp path
                 n, pages = self.engine.prefix_lookup(seq.prompt)
                 if n:
                     self.engine.adopt_prefix(seq.slot, pages)

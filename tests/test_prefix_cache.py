@@ -180,6 +180,62 @@ def test_prefix_model_api(our_model, tmp_path):
     assert a == b and m.engine.prefix.hits >= 1
 
 
+def test_prefix_eviction_skips_live_lru_head(our_model):
+    """Regression (round-3 review): _alloc_page must KEEP evicting past
+    an LRU head that is still aliased by a live slot (its eviction drops
+    a ref without freeing a page) until a page actually frees."""
+    from neural_speed_tpu.ops.paged_kv import PageAllocator, \
+        PrefixPageCache
+
+    alloc = PageAllocator(3)
+    cache = PrefixPageCache(alloc, page_size=4)
+    pa = alloc.alloc_page()
+    pb = alloc.alloc_page()
+    pc = alloc.alloc_page()
+    # index A (LRU head) and B; A is ALSO aliased by a "slot" (extra ref)
+    cache.index[b"A"] = pa
+    cache.index[b"B"] = pb
+    alloc.share_pages([pa, pb])      # cache's refs
+    alloc.share_pages([pa])          # live-slot alias of A
+    alloc.free_pages([pa, pb, pc])   # slots drop their original refs
+    assert alloc.available == 1      # only C freed
+
+    class _E:
+        prefix = cache
+        _alloc = alloc
+    from neural_speed_tpu.runtime.engine import PagedEngine
+
+    got = [PagedEngine._alloc_page(_E()) for _ in range(2)]
+    # C, then B (evicting A alone frees nothing — the loop must go on)
+    assert None not in got and pb in got
+    assert not cache.index  # both entries evicted along the way
+
+
+def test_prefix_overlong_prompt_skips_adoption(our_model):
+    """Regression (round-3 review): a prompt longer than the context
+    must NOT adopt a cached prefix — the adopted prefix + unclamped
+    suffix overran the page table (numpy broadcast ValueError / pool
+    exhaustion).  On the paged engine an over-long prompt ends in the
+    documented StreamingLLM NotImplementedError either way; the point
+    is that WITH a cached shorter prefix present the behavior is
+    IDENTICAL to the uncached engine, not a table-overrun crash."""
+    eng = _paged(our_model)
+    _serve(eng, [LONG])  # register LONG's pages
+    over = LONG + list(range(500, 500 + 130))  # 151 tokens > max_len 128
+    hits_before = eng.prefix.hits
+
+    def outcome(e):
+        try:
+            return ("ok", _serve(e, [over])[0])
+        except NotImplementedError as exc:
+            return ("streaming-llm", str(exc)[:40])
+
+    ref = outcome(_paged(our_model, prefix=False))
+    got = outcome(eng)
+    assert got == ref
+    assert eng.prefix.hits == hits_before  # adoption was skipped
+
+
 def test_prefix_rejects_chatglm(our_model):
     import dataclasses
 
