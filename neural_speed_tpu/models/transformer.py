@@ -301,6 +301,33 @@ def _logn_scale(positions: jax.Array, train_ctx: int) -> jax.Array:
     return jnp.maximum(scale, 1.0)
 
 
+def _defer_append(cfg: ArchConfig, cache, t: int, glm_lens) -> bool:
+    """Deferred KV append at single-token decode (default ON; kill
+    switch NST_DEFER_APPEND=0): attention takes the current token's k/v
+    as kernel operands, so the append's RMW windows leave the critical
+    path (paired on-chip A/B: 153.7 vs 150.7 tok/s B=1, BENCH_NOTES).
+    Only where the flash decode kernel's extra-kv column engages —
+    contiguous quantized cache (the XLA/bf16-decode paths would pay a
+    one-hot cache merge instead), no GLM bidirectional mask.  The self
+    column uses the UNQUANTIZED k/v (the stored int8 copy is what later
+    steps read) — a strictly more accurate logit for the newest token."""
+    import os
+
+    from ..ops import paged_kv as pkv
+
+    if os.environ.get("NST_DEFER_APPEND", "1") == "0":
+        return False
+    if t != 1 or glm_lens is not None:
+        return False
+    if isinstance(cache, pkv.PagedKVCache):
+        return False
+    from ..ops import flash
+
+    return (cache.quantized and flash.flash_enabled()
+            and cfg.n_kv_heads % 2 == 0
+            and (cfg.n_heads // cfg.n_kv_heads) <= 8)
+
+
 def _cache_append(cache, layer_idx: int, k, v, positions, active):
     """Dispatch KV append by cache type (contiguous vs paged)."""
     from ..ops import paged_kv as pkv
@@ -389,10 +416,8 @@ def decoder_layer(
 
     # active slots are exactly those whose kv_lens advance past their
     # first written position (spectator slots keep kv_lens == old length)
-    cache = _cache_append(cache, layer_idx, k, v, positions,
-                          kv_lens > positions[:, 0])
-    attn_out = attention_cache(
-        q, cache, layer_idx, positions, kv_lens,
+    active = kv_lens > positions[:, 0]
+    attn_kwargs = dict(
         scale=cfg.attn_scale if cfg.attn_scale is not None
         else 1.0 / math.sqrt(d),
         causal=True,
@@ -406,6 +431,24 @@ def decoder_layer(
         bidir_lens=(jnp.maximum(glm_lens - 1, 0)
                     if glm_lens is not None else None),
     )
+    if _defer_append(cfg, cache, t, glm_lens):
+        # deferred KV append (decode): attention takes the current
+        # token's k/v as OPERANDS (the flash kernel seeds its online
+        # softmax with the self column), so the append's read-modify-
+        # write windows leave the critical path — XLA overlaps their
+        # DMA latency with later layers' GEMVs (0.53 ms of a 6.64 ms
+        # step was serialized append-window latency, BENCH_NOTES
+        # round-3 closing profile)
+        attn_out = attention_cache(
+            q, cache, layer_idx, positions, kv_lens,
+            extra_kv=(k, v), **attn_kwargs,
+        )
+        cache = _cache_append(cache, layer_idx, k, v, positions, active)
+    else:
+        cache = _cache_append(cache, layer_idx, k, v, positions, active)
+        attn_out = attention_cache(
+            q, cache, layer_idx, positions, kv_lens, **attn_kwargs,
+        )
     attn_out = linear(attn_out.reshape(b, t, h * d), lp["o"], axis_name)
     if cfg.post_attn_norm:
         attn_out = norm(attn_out, lp["post_attn_norm"], cfg)

@@ -152,6 +152,7 @@ def attention_cache(
     causal=True, alibi=None, logit_softcap=0.0, out_dtype=None,
     use_flash: Optional[bool] = None,
     bidir_lens: Optional[jax.Array] = None,
+    extra_kv=None,
 ):
     """Attention over one layer of the KV cache.
 
@@ -210,7 +211,7 @@ def attention_cache(
             q, cache.k, cache.v, ks, vs,
             q_positions, kv_lens, scale=scale, causal=causal, alibi=alibi,
             logit_softcap=logit_softcap, out_dtype=out_dtype or q.dtype,
-            layer=layer_idx,
+            layer=layer_idx, extra_kv=extra_kv,
         )
         if out is not None:
             return out
@@ -222,6 +223,18 @@ def attention_cache(
     if cache.quantized:
         k_all = k_all.astype(jnp.float32) * cache.k_scale[layer_idx][..., None]
         v_all = v_all.astype(jnp.float32) * cache.v_scale[layer_idx][..., None]
+    if extra_kv is not None:
+        # deferred append on the reference path: merge the current
+        # token's k/v into the materialized view at its position (exact
+        # append-then-read semantics, fp operands)
+        k_new, v_new = extra_kv  # [B, 1, Hkv, D]
+        pos = jnp.minimum(q_positions[:, 0], k_all.shape[2] - 1)
+        oh = jax.nn.one_hot(pos, k_all.shape[2],
+                            dtype=jnp.float32)[:, None, :, None]
+        kn = k_new.transpose(0, 2, 1, 3).astype(jnp.float32)  # [B,Hkv,1,D]
+        vn = v_new.transpose(0, 2, 1, 3).astype(jnp.float32)
+        k_all = k_all.astype(jnp.float32) * (1.0 - oh) + oh * kn
+        v_all = v_all.astype(jnp.float32) * (1.0 - oh) + oh * vn
     return _attention_ref_hsd(
         q, k_all, v_all, q_positions, kv_lens, scale=scale, causal=causal,
         alibi=alibi, logit_softcap=logit_softcap, out_dtype=out_dtype,

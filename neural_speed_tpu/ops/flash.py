@@ -221,7 +221,7 @@ def _mha_kernel_hblk(
     q_ref,                        # [1, HB, BR, D]
     k_ref,                        # [1, HB, BS, D] (maybe leading layer dim)
     v_ref,
-    *rest,                        # [ks_ref, vs_ref,] o_ref, m, l, acc
+    *rest,                        # [knew_ref, vnew_ref,] [ks, vs,] o, m, l, acc
     quantized: bool,
     causal: bool,
     use_alibi: bool,
@@ -230,12 +230,16 @@ def _mha_kernel_hblk(
     block_s: int,
     n_s: int,
     hb: int,
+    extra_kv: bool = False,
 ):
     """Decode variant: HB KV heads per grid program.  One (HB x BS x D)
     DMA replaces HB tiny per-head fetches — at single-token decode the
     per-program overhead (~0.5us) dominated the streaming of the KV cache
     (~35% of HBM peak with one head per program).  The head loop is
     unrolled; softmax stats carry a leading head dim in scratch."""
+    knew_ref = vnew_ref = None
+    if extra_kv:
+        knew_ref, vnew_ref, *rest = rest
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -245,15 +249,49 @@ def _mha_kernel_hblk(
     b = pl.program_id(0)
     j = pl.program_id(3)
 
-    @pl.when(j == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INIT)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
     kv_len = kvlen_ref[b]
     pos = pos_ref[0]                                   # [BR, 1]
-    run = (j * block_s) < kv_len
+    # deferred append (extra_kv): kv_len INCLUDES the current token, but
+    # its row is NOT in the cache yet — it arrives as the knew/vnew
+    # operands and seeds the online softmax below.  Cache columns stop
+    # one short when the current query really is the newest position
+    # (inactive slots keep their full stored window).
+    if extra_kv:
+        is_new = (jnp.max(pos) == kv_len - 1).astype(jnp.int32)
+        kv_len_cache = kv_len - is_new
+    else:
+        kv_len_cache = kv_len
+
+    @pl.when(j == 0)
+    def _init():
+        if not extra_kv:
+            m_ref[:] = jnp.full_like(m_ref, NEG_INIT)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+        else:
+            # seed softmax stats with the current token's self-attention
+            # column (unquantized f32 operands; alibi distance is 0).
+            # All math stays f32 — a bf16 operand fused into a broadcast
+            # trips Mosaic's 'vector.broadcast' element-type verifier.
+            ok = jnp.max(pos) == kv_len - 1
+            for hh in range(hb):
+                q_h = q_ref[0, hh].astype(jnp.float32)         # [BR, D]
+                kn = knew_ref[0, hh]                           # [1, D] f32
+                s0 = jax.lax.dot_general(
+                    q_h, kn, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * sm_scale                                   # [BR, 1]
+                if softcap > 0.0:
+                    s0 = softcap * jnp.tanh(s0 / softcap)
+                valid0 = jnp.logical_and(ok, pos >= 0)         # [BR, 1]
+                m0 = jnp.where(valid0, s0, NEG_INIT)
+                m_ref[hh] = jnp.broadcast_to(m0, m_ref[hh].shape)
+                l_ref[hh] = jnp.broadcast_to(
+                    jnp.where(valid0, 1.0, 0.0), l_ref[hh].shape)
+                gate = jnp.where(valid0, 1.0, 0.0)             # [BR, 1] f32
+                acc_ref[hh] = gate * vnew_ref[0, hh]           # [BR, D] f32
+
+    run = (j * block_s) < kv_len_cache
     if causal:
         run = jnp.logical_and(run, (j * block_s) <= jnp.max(pos))
 
@@ -267,7 +305,7 @@ def _mha_kernel_hblk(
         col = jax.lax.broadcasted_iota(jnp.int32, (br, block_s), 1) + (
             j * block_s
         )
-        valid = col < kv_len
+        valid = col < kv_len_cache
         if causal:
             valid = jnp.logical_and(valid, col <= pos)
         maskadd = jnp.where(valid, 0.0, MASK_VALUE)
@@ -317,8 +355,14 @@ def _mha_kernel_hblk(
 def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
                      kv_lens, *, use_alibi, quantized, scale, causal,
                      softcap, out_dtype, block_s, interpret, layer, hb, rp,
-                     n_s):
-    """Head-blocked decode launcher: grid (B, Hkv/HB, 1, S/BS)."""
+                     n_s, extra_kv=None):
+    """Head-blocked decode launcher: grid (B, Hkv/HB, 1, S/BS).
+
+    `extra_kv`: (k_new, v_new) [B, Hkv, 1, D] — the current token's
+    UNSTORED key/value (deferred KV append): the kernel seeds its online
+    softmax from these operands so the cache write leaves the critical
+    path (BENCH_NOTES round-3 closing profile: the per-layer append
+    windows' DMA latency was 8% of the decode step)."""
     b, hkv, _, d = q4.shape
     grid = (b, hkv // hb, 1, n_s)
     if layer is None:
@@ -342,6 +386,11 @@ def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
         kv_spec,                                                        # v
     ]
     args = [pos_rows, slope_rows, q4, k, v]
+    if extra_kv is not None:
+        new_spec = pl.BlockSpec((1, hb, 1, d),
+                                lambda bi, h, r, j, *_: (bi, h, 0, 0))
+        in_specs += [new_spec, new_spec]
+        args += [extra_kv[0], extra_kv[1]]
     if quantized:
         in_specs += [sc_spec, sc_spec]
         args += [k_scale_t, v_scale_t]
@@ -355,6 +404,7 @@ def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
         block_s=block_s,
         n_s=n_s,
         hb=hb,
+        extra_kv=extra_kv is not None,
     )
     kv_bytes = hb * block_s * d * (1 if quantized else 2)
     cost = pl.CostEstimate(
@@ -427,6 +477,8 @@ def _mha_packed(
     layer: Optional[int] = None,  # layer index when k/v carry the full
                                   # stacked cache (avoids XLA materializing
                                   # a per-layer slice copy before the call)
+    k_new: Optional[jax.Array] = None,  # [B, Hkv, 1, D] deferred-append
+    v_new: Optional[jax.Array] = None,  # token (decode hblk path only)
 ):
     b, hkv, rp, d = q4.shape
     s = k.shape[-2]
@@ -461,7 +513,9 @@ def _mha_packed(
             use_alibi=use_alibi, quantized=quantized, scale=scale,
             causal=causal, softcap=softcap, out_dtype=out_dtype,
             block_s=block_s, interpret=interpret, layer=layer, hb=hb,
-            rp=rp, n_s=n_s)
+            rp=rp, n_s=n_s,
+            extra_kv=(None if k_new is None else (k_new, v_new)))
+    assert k_new is None, "extra_kv needs the head-blocked decode launcher"
     if layer is None:
         kv_spec = pl.BlockSpec((1, 1, block_s, d),
                                lambda bi, h, r, j, *_: (bi, h, j, 0))
@@ -548,6 +602,8 @@ def mha(
     logit_softcap: float = 0.0,
     out_dtype=None,
     layer: Optional[int] = None,
+    extra_kv=None,                    # (k_new, v_new) [B, 1, Hkv, D] fp —
+                                      # deferred-append current token
 ) -> Optional[jax.Array]:
     """Flash attention entry (K/V in the cache's [B, Hkv, S, D] layout).
     Passing the stacked 5-D cache with `layer` lets the kernel read the
@@ -559,6 +615,9 @@ def mha(
     if not _supported(d, s):
         warn_fallback("mha", d, s)
         return None
+    if extra_kv is not None and not (
+            t * (h // hkv) <= 8 and hkv % 2 == 0):
+        return None  # deferred append rides the head-blocked decode path
     n_rep = h // hkv
     r = n_rep * t
     # pad rows to a block multiple: tiny counts to a sublane multiple,
@@ -600,11 +659,18 @@ def mha(
             break
     interpret = flash_mode() == "interpret"
 
+    k_new = v_new = None
+    if extra_kv is not None:
+        # [B, 1, Hkv, D] -> [B, Hkv, 1, D] f32 operands (f32 keeps the
+        # kernel's seed math cast-free — Mosaic verifier constraint)
+        k_new = extra_kv[0].transpose(0, 2, 1, 3).astype(jnp.float32)
+        v_new = extra_kv[1].transpose(0, 2, 1, 3).astype(jnp.float32)
+
     out = _mha_packed(
         q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows, kv_lens,
         scale=float(scale), causal=causal, softcap=float(logit_softcap),
         out_dtype=out_dtype, block_s=block_s, interpret=interpret,
-        layer=layer,
+        layer=layer, k_new=k_new, v_new=v_new,
     )
     out = out[:, :, :r].reshape(b, hkv, n_rep, t, d)
     return out.transpose(0, 3, 1, 2, 4).reshape(b, t, h, d)

@@ -216,3 +216,100 @@ def test_unsupported_shape_warns_once():
     with pytest.warns(UserWarning, match="falling back"):
         out = _mha(q, k, v, None, None, pos, kv_lens, scale=0.125)
     assert out is None
+
+
+def test_deferred_append_extra_kv():
+    """Deferred KV append (round 3): the kernel seeds its online softmax
+    with the current token's k/v OPERANDS instead of reading them from
+    the cache (the cache row at the new position is stale).  Reference:
+    attention over [stored keys .. , exact new token]."""
+    b, t, h, hkv, d, s = 2, 1, 8, 2, 128, 256
+    q, kf, vf = _mk(b, t, h, hkv, d, s, seed=7)
+    rng = np.random.default_rng(8)
+    k_new = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+    lens = jnp.array([100, 255], jnp.int32)   # stored tokens per slot
+    kv_lens = lens + 1                        # incl. the unstored token
+    pos = lens[:, None]                       # query sits at the new slot
+
+    # quantized cache with GARBAGE at the new position (it must be
+    # ignored — the kernel takes the new token from the operands)
+    kc, ks = kvc.quantize_kv(kf)
+    vc, vs = kvc.quantize_kv(vf)
+    tkv = lambda a: a.transpose(0, 2, 1, 3)
+    out = flash.mha(
+        q, tkv(kc), tkv(vc), ks[..., 0].transpose(0, 2, 1),
+        vs[..., 0].transpose(0, 2, 1), pos, kv_lens,
+        scale=1.0 / np.sqrt(d),
+        extra_kv=(k_new, v_new),
+    )
+    assert out is not None
+
+    # reference: dequantized stored keys with the EXACT new token written
+    # at its position, standard attention over kv_lens
+    kdq = np.array(kc.astype(jnp.float32) * ks)
+    vdq = np.array(vc.astype(jnp.float32) * vs)
+    for bi in range(b):
+        kdq[bi, int(lens[bi])] = np.asarray(k_new[bi, 0])
+        vdq[bi, int(lens[bi])] = np.asarray(v_new[bi, 0])
+    ref = attention_ref(q, jnp.asarray(kdq), jnp.asarray(vdq), pos,
+                        kv_lens)
+    _compare(out, ref, pos, kv_lens, atol=3e-2)
+
+    # inactive slot semantics (the real decode pattern: pos parked on the
+    # trash position, kv_lens == stored length): the operands must be
+    # ignored entirely
+    pos_inact = jnp.full((b, 1), s - 1, jnp.int32)
+    out2 = flash.mha(
+        q, tkv(kc), tkv(vc), ks[..., 0].transpose(0, 2, 1),
+        vs[..., 0].transpose(0, 2, 1), pos_inact, lens,
+        scale=1.0 / np.sqrt(d),
+        extra_kv=(k_new, v_new),
+    )
+    ref2 = attention_ref(q, kc.astype(jnp.float32) * ks,
+                         vc.astype(jnp.float32) * vs,
+                         pos_inact, lens)
+    _compare(out2, ref2, pos_inact, lens, atol=3e-2)
+
+
+def test_deferred_append_engine_equivalence(monkeypatch):
+    """NST_DEFER_APPEND=1 end-to-end: the engine decode step's logits
+    match the append-first path within quantization tolerance of the
+    self column, and the cache ends up IDENTICAL (the append still
+    happens, just off the critical path)."""
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.runtime.engine import Engine
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(
+        name="llama", vocab_size=256, hidden_size=256, n_layers=2,
+        n_heads=8, n_kv_heads=4, intermediate_size=512,
+        max_position_embeddings=256,
+    )
+    params = synth_params(cfg, QSpec(QType.INT, 4, 64, True))
+    prompt = [5, 9, 2, 44, 17, 3]
+
+    def run(defer):
+        monkeypatch.setenv("NST_DEFER_APPEND", "1" if defer else "0")
+        eng = Engine(params, cfg, max_batch=1, max_len=128,
+                     kv_quantized=True)
+        logits = eng.prefill([prompt])
+        tok = jnp.argmax(logits[0])[None].astype(jnp.int32)
+        active = jnp.ones((1,), bool)
+        outs = []
+        for _ in range(4):
+            lg = eng.decode(tok, active)
+            outs.append(np.asarray(lg[0], np.float32))
+            tok = jnp.argmax(lg, -1).astype(jnp.int32)
+        return outs, eng.cache
+
+    ref_outs, ref_cache = run(False)
+    got_outs, got_cache = run(True)
+    for a, b_ in zip(ref_outs, got_outs):
+        np.testing.assert_allclose(a, b_, atol=2e-2, rtol=2e-2)
+    # caches bit-identical: the deferred write stores the same values
+    np.testing.assert_array_equal(np.asarray(ref_cache.k),
+                                  np.asarray(got_cache.k))
+    np.testing.assert_array_equal(np.asarray(ref_cache.lengths),
+                                  np.asarray(got_cache.lengths))
