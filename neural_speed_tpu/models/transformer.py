@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -435,15 +436,28 @@ def decoder_layer(
         # deferred KV append (decode): attention takes the current
         # token's k/v as OPERANDS (the flash kernel seeds its online
         # softmax with the self column), so the append's read-modify-
-        # write windows leave the critical path — XLA overlaps their
-        # DMA latency with later layers' GEMVs (0.53 ms of a 6.64 ms
-        # step was serialized append-window latency, BENCH_NOTES
-        # round-3 closing profile)
-        attn_out = attention_cache(
-            q, cache, layer_idx, positions, kv_lens,
-            extra_kv=(k, v), **attn_kwargs,
-        )
-        cache = _cache_append(cache, layer_idx, k, v, positions, active)
+        # write windows leave the critical path.  Preferred form: the
+        # kernel ALSO writes the quantized row/scale itself through
+        # input_output-aliased cache buffers (fused append — zero
+        # separate append dispatches; their serialized DMA latency was
+        # 8% of the 6.64 ms decode step, BENCH_NOTES round-3 closing
+        # profile).  NST_FUSED_APPEND=0 falls back to deferred
+        # attention + RMW append (the round-3 shipping path).
+        fused = None
+        if os.environ.get("NST_FUSED_APPEND", "1") != "0":
+            fused = attention_cache(
+                q, cache, layer_idx, positions, kv_lens,
+                extra_kv=(k, v), fused_append=True, **attn_kwargs,
+            )
+        if fused is not None:
+            attn_out, cache = fused
+        else:
+            attn_out = attention_cache(
+                q, cache, layer_idx, positions, kv_lens,
+                extra_kv=(k, v), **attn_kwargs,
+            )
+            cache = _cache_append(cache, layer_idx, k, v, positions,
+                                  active)
     else:
         cache = _cache_append(cache, layer_idx, k, v, positions, active)
         attn_out = attention_cache(

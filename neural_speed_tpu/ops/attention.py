@@ -153,6 +153,7 @@ def attention_cache(
     use_flash: Optional[bool] = None,
     bidir_lens: Optional[jax.Array] = None,
     extra_kv=None,
+    fused_append: bool = False,
 ):
     """Attention over one layer of the KV cache.
 
@@ -202,6 +203,31 @@ def attention_cache(
         use_flash = flash.flash_enabled() and (
             cache.quantized or q.shape[1] > 1 or q.shape[2] > cache.kv_heads
         )
+    if fused_append:
+        # attention + in-kernel deferred KV append in ONE pallas call:
+        # the cache buffers are input_output-aliased and the kernel
+        # writes the quantized new row/scale itself — no separate append
+        # dispatches (their serialized DMA latency was 8% of the decode
+        # step, BENCH_NOTES round-3 closing profile).  Returns
+        # (out, new_cache) on success, None if the kernel can't engage
+        # (caller falls back to deferred-attention + RMW append).
+        if not (cache.quantized and extra_kv is not None
+                and (use_flash or use_flash is None)
+                and flash.flash_enabled()):
+            return None
+        res = flash.mha(
+            q, cache.k, cache.v, cache.k_scale, cache.v_scale,
+            q_positions, kv_lens, scale=scale, causal=causal, alibi=alibi,
+            logit_softcap=logit_softcap, out_dtype=out_dtype or q.dtype,
+            layer=layer_idx, extra_kv=extra_kv, fused_append=True,
+        )
+        if res is None:
+            return None
+        out, (k2, v2, ks2, vs2) = res
+        import dataclasses
+
+        return out, dataclasses.replace(cache, k=k2, v=v2, k_scale=ks2,
+                                        v_scale=vs2)
     if use_flash:
         # pass the FULL stacked cache + layer index: the kernel's block
         # index map selects the layer, so XLA never copies the layer out

@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 NEG_INIT = -float(np.finfo(np.float32).max)
 LANES = 128
+KV_SCALE_EPS = 1e-8  # must match kv_cache.KV_SCALE_EPS (bit-identical quant)
 
 
 def flash_mode() -> str:
@@ -231,19 +232,33 @@ def _mha_kernel_hblk(
     n_s: int,
     hb: int,
     extra_kv: bool = False,
+    fused_append: bool = False,
 ):
     """Decode variant: HB KV heads per grid program.  One (HB x BS x D)
     DMA replaces HB tiny per-head fetches — at single-token decode the
     per-program overhead (~0.5us) dominated the streaming of the KV cache
     (~35% of HBM peak with one head per program).  The head loop is
-    unrolled; softmax stats carry a leading head dim in scratch."""
+    unrolled; softmax stats carry a leading head dim in scratch.
+
+    `fused_append` (round-3 closing profile: the separate append RMW
+    windows' DMA latency was 8% of the decode step): the cache k/v/scale
+    buffers are input_output-ALIASED, and this kernel quantizes the
+    current token's k/v and writes the single new row + scale column
+    through tiny aliased output blocks — the four per-layer RMW
+    dispatches disappear and their DMAs ride inside this call."""
     knew_ref = vnew_ref = None
     if extra_kv:
         knew_ref, vnew_ref, *rest = rest
     if quantized:
-        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        ks_ref, vs_ref, *rest = rest
     else:
         ks_ref = vs_ref = None
+    if fused_append:
+        (kold_ref, vold_ref, ksold_ref, vsold_ref,
+         o_ref, kout_ref, vout_ref, ksout_ref, vsout_ref,
+         m_ref, l_ref, acc_ref) = rest
+    else:
+        kout_ref = vout_ref = ksout_ref = vsout_ref = None
         o_ref, m_ref, l_ref, acc_ref = rest
 
     b = pl.program_id(0)
@@ -290,6 +305,54 @@ def _mha_kernel_hblk(
                     jnp.where(valid0, 1.0, 0.0), l_ref[hh].shape)
                 gate = jnp.where(valid0, 1.0, 0.0)             # [BR, 1] f32
                 acc_ref[hh] = gate * vnew_ref[0, hh]           # [BR, D] f32
+
+    if fused_append:
+        # In-kernel deferred append: quantize the current token's k/v and
+        # stage the patched 8-row KV window + 128-lane scale window into
+        # the ALIASED out blocks (Mosaic's minimum sublane/lane block
+        # extents; the out index maps don't depend on j, so the flush
+        # lands once per (b, h) program).  The OLD windows come in as
+        # extra inputs of the same aliased buffers and all non-new rows
+        # are preserved bit-for-bit — inactive slots (ok == False) keep
+        # the entire window, so spectator caches are untouched.
+        d_ = q_ref.shape[3]
+        ok = jnp.max(pos) == kv_len - 1
+        row = jnp.maximum(kv_len - 1, 0)
+        off_r = jax.lax.rem(row, 8)
+        off_s = jax.lax.rem(row, LANES)
+
+        @pl.when(j == 0)
+        def _append_new():
+            kn = knew_ref[0].reshape(hb, d_)           # f32
+            vn = vnew_ref[0].reshape(hb, d_)
+            ksc = jnp.maximum(jnp.max(jnp.abs(kn), axis=-1, keepdims=True),
+                              KV_SCALE_EPS) / 127.0    # [hb, 1]
+            vsc = jnp.maximum(jnp.max(jnp.abs(vn), axis=-1, keepdims=True),
+                              KV_SCALE_EPS) / 127.0
+            kq = jnp.clip(jnp.round(kn / ksc), -127.0, 127.0)
+            vq = jnp.clip(jnp.round(vn / vsc), -127.0, 127.0)
+            kold = kold_ref[...].reshape(hb, 8, d_).astype(jnp.float32)
+            vold = vold_ref[...].reshape(hb, 8, d_).astype(jnp.float32)
+            rsel = jnp.logical_and(
+                jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) == off_r,
+                ok)
+            kwin = jnp.where(rsel, kq[:, None, :], kold)
+            vwin = jnp.where(rsel, vq[:, None, :], vold)
+            kout_ref[...] = kwin.astype(kout_ref.dtype).reshape(
+                kout_ref.shape)
+            vout_ref[...] = vwin.astype(vout_ref.dtype).reshape(
+                vout_ref.shape)
+            ksold = ksold_ref[...].reshape(hb, LANES)
+            vsold = vsold_ref[...].reshape(hb, LANES)
+            lsel = jnp.logical_and(
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (1, LANES), 1) == off_s, ok)
+            kswin = jnp.where(lsel, ksc, ksold)
+            vswin = jnp.where(lsel, vsc, vsold)
+            ksout_ref[...] = kswin.astype(ksout_ref.dtype).reshape(
+                ksout_ref.shape)
+            vsout_ref[...] = vswin.astype(vsout_ref.dtype).reshape(
+                vsout_ref.shape)
 
     run = (j * block_s) < kv_len_cache
     if causal:
@@ -355,14 +418,21 @@ def _mha_kernel_hblk(
 def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
                      kv_lens, *, use_alibi, quantized, scale, causal,
                      softcap, out_dtype, block_s, interpret, layer, hb, rp,
-                     n_s, extra_kv=None):
+                     n_s, extra_kv=None, fused_append=False):
     """Head-blocked decode launcher: grid (B, Hkv/HB, 1, S/BS).
 
     `extra_kv`: (k_new, v_new) [B, Hkv, 1, D] — the current token's
     UNSTORED key/value (deferred KV append): the kernel seeds its online
     softmax from these operands so the cache write leaves the critical
     path (BENCH_NOTES round-3 closing profile: the per-layer append
-    windows' DMA latency was 8% of the decode step)."""
+    windows' DMA latency was 8% of the decode step).
+
+    `fused_append`: additionally ALIAS the cache k/v/scale buffers as
+    outputs and write the new token's quantized row + scale column from
+    inside the kernel through single-row out blocks — the four separate
+    per-layer RMW append dispatches (and their serialized ~5.5us DMAs)
+    disappear entirely.  Requires `extra_kv`, `quantized` and the stacked
+    cache (`layer`).  Returns (o, k', v', ks', vs') instead of o."""
     b, hkv, _, d = q4.shape
     grid = (b, hkv // hb, 1, n_s)
     if layer is None:
@@ -394,6 +464,26 @@ def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
     if quantized:
         in_specs += [sc_spec, sc_spec]
         args += [k_scale_t, v_scale_t]
+    if fused_append:
+        assert quantized and extra_kv is not None and layer is not None
+
+        def _row(lens, bi):
+            return jnp.maximum(lens[bi] - 1, 0)
+
+        # Mosaic minimum block extents: 8 sublanes (KV rows) / 128 lanes
+        # (scale columns).  row <= S-1 and S % 128 == 0 keep the window
+        # indices in range without clipping.
+        krow_spec = pl.BlockSpec(
+            (1, 1, hb, 8, d),
+            lambda bi, h, r, j, lens: (layer, bi, h, _row(lens, bi) // 8,
+                                       0))
+        srow_spec = pl.BlockSpec(
+            (1, 1, hb, LANES),
+            lambda bi, h, r, j, lens: (layer, bi, h,
+                                       _row(lens, bi) // LANES))
+        # old windows of the SAME buffers (non-new-row preservation)
+        in_specs += [krow_spec, krow_spec, srow_spec, srow_spec]
+        args += [k, v, k_scale_t, v_scale_t]
     kernel = functools.partial(
         _mha_kernel_hblk,
         quantized=quantized,
@@ -405,6 +495,7 @@ def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
         n_s=n_s,
         hb=hb,
         extra_kv=extra_kv is not None,
+        fused_append=fused_append,
     )
     kv_bytes = hb * block_s * d * (1 if quantized else 2)
     cost = pl.CostEstimate(
@@ -422,26 +513,43 @@ def _mha_packed_hblk(q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows,
         # hb=16 ctx2048 (measured 2026-08-19) — raise it for the
         # NST_FLASH_HB sweep configurations only
         cparams["vmem_limit_bytes"] = 64 * 1024 * 1024
-    return pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (1, hb, rp, d), lambda bi, h, r, j, *_: (bi, h, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b, hkv, rp, d), out_dtype)
+    aliases = {}
+    if fused_append:
+        out_specs = (out_specs, krow_spec, krow_spec, srow_spec, srow_spec)
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(k_scale_t.shape, k_scale_t.dtype),
+            jax.ShapeDtypeStruct(v_scale_t.shape, v_scale_t.dtype),
+        )
+        # flat input order: kv_lens, pos, slope, q4, k, v, knew, vnew,
+        # ks, vs, kold, vold, ksold, vsold -> alias the full cache
+        # operands onto outputs 1-4 (true in-place row writes)
+        aliases = {4: 1, 5: 2, 8: 3, 9: 4}
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (1, hb, rp, d), lambda bi, h, r, j, *_: (bi, h, 0, 0)
-            ),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((hb, rp, LANES), jnp.float32),   # m
                 pltpu.VMEM((hb, rp, LANES), jnp.float32),   # l
                 pltpu.VMEM((hb, rp, d), jnp.float32),       # acc
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, rp, d), out_dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(**cparams),
         cost_estimate=cost,
+        input_output_aliases=aliases,
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), *args)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -456,7 +564,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "softcap", "out_dtype", "block_s",
-                     "interpret", "layer"),
+                     "interpret", "layer", "fused_append"),
 )
 def _mha_packed(
     q4: jax.Array,                # [B, Hkv, Rp, D] bf16
@@ -479,6 +587,7 @@ def _mha_packed(
                                   # a per-layer slice copy before the call)
     k_new: Optional[jax.Array] = None,  # [B, Hkv, 1, D] deferred-append
     v_new: Optional[jax.Array] = None,  # token (decode hblk path only)
+    fused_append: bool = False,         # in-kernel cache append (aliased)
 ):
     b, hkv, rp, d = q4.shape
     s = k.shape[-2]
@@ -514,7 +623,8 @@ def _mha_packed(
             causal=causal, softcap=softcap, out_dtype=out_dtype,
             block_s=block_s, interpret=interpret, layer=layer, hb=hb,
             rp=rp, n_s=n_s,
-            extra_kv=(None if k_new is None else (k_new, v_new)))
+            extra_kv=(None if k_new is None else (k_new, v_new)),
+            fused_append=fused_append)
     assert k_new is None, "extra_kv needs the head-blocked decode launcher"
     if layer is None:
         kv_spec = pl.BlockSpec((1, 1, block_s, d),
@@ -604,7 +714,11 @@ def mha(
     layer: Optional[int] = None,
     extra_kv=None,                    # (k_new, v_new) [B, 1, Hkv, D] fp —
                                       # deferred-append current token
-) -> Optional[jax.Array]:
+    fused_append: bool = False,       # ALSO write the quantized new row +
+                                      # scale into the (aliased) cache from
+                                      # inside the kernel; returns
+                                      # (out, (k', v', ks', vs'))
+):
     """Flash attention entry (K/V in the cache's [B, Hkv, S, D] layout).
     Passing the stacked 5-D cache with `layer` lets the kernel read the
     layer's blocks straight from the full buffer (XLA would otherwise copy
@@ -618,6 +732,9 @@ def mha(
     if extra_kv is not None and not (
             t * (h // hkv) <= 8 and hkv % 2 == 0):
         return None  # deferred append rides the head-blocked decode path
+    if fused_append and not (extra_kv is not None and layer is not None
+                             and k_scale is not None):
+        return None  # fused append needs the quantized stacked cache
     n_rep = h // hkv
     r = n_rep * t
     # pad rows to a block multiple: tiny counts to a sublane multiple,
@@ -670,10 +787,16 @@ def mha(
         q4, k, v, k_scale_t, v_scale_t, pos_rows, slope_rows, kv_lens,
         scale=float(scale), causal=causal, softcap=float(logit_softcap),
         out_dtype=out_dtype, block_s=block_s, interpret=interpret,
-        layer=layer, k_new=k_new, v_new=v_new,
+        layer=layer, k_new=k_new, v_new=v_new, fused_append=fused_append,
     )
+    cache_out = None
+    if fused_append:
+        out, *cache_out = out
     out = out[:, :, :r].reshape(b, hkv, n_rep, t, d)
-    return out.transpose(0, 3, 1, 2, 4).reshape(b, t, h, d)
+    out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, h, d)
+    if fused_append:
+        return out, tuple(cache_out)
+    return out
 
 
 def flash_attention(q, k, v, q_positions, kv_lens, *, scale=None, causal=True,

@@ -272,11 +272,71 @@ def test_deferred_append_extra_kv():
     _compare(out2, ref2, pos_inact, lens, atol=3e-2)
 
 
-def test_deferred_append_engine_equivalence(monkeypatch):
+def test_fused_append_writes_cache():
+    """Fused in-kernel KV append: one pallas call does attention AND
+    writes the new token's quantized row + scale through input_output-
+    aliased cache buffers.  Checks (a) the attention output matches the
+    exact-new-token reference, (b) the returned cache equals the host
+    quantize_kv append bit-for-bit, (c) inactive slots' caches are
+    preserved bit-for-bit."""
+    L, b, h, hkv, d, s = 2, 2, 8, 2, 128, 256
+    rng = np.random.default_rng(11)
+    kf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32) * 0.3
+    k_new = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+    kc, ks = kvc.quantize_kv(kf)
+    vc, vs = kvc.quantize_kv(vf)
+    ks4, vs4 = ks[..., 0], vs[..., 0]
+
+    # slot 0 active (stored 100, new token at pos 100); slot 1 inactive
+    # (stored 200, query parked on the trash position)
+    kv_lens = jnp.array([101, 200], jnp.int32)
+    pos = jnp.array([[100], [s - 1]], jnp.int32)
+    layer = 1
+    res = flash.mha(
+        q, kc, vc, ks4, vs4, pos, kv_lens, scale=1.0 / np.sqrt(d),
+        layer=layer, extra_kv=(k_new, v_new), fused_append=True,
+    )
+    assert res is not None
+    out, (k2, v2, ks2, vs2) = res
+
+    # expected cache: host-side quantize of the new row into slot 0 only
+    kq, ksq = kvc.quantize_kv(k_new.transpose(0, 2, 1, 3))
+    vq, vsq = kvc.quantize_kv(v_new.transpose(0, 2, 1, 3))
+    exp_k = np.asarray(kc).copy()
+    exp_v = np.asarray(vc).copy()
+    exp_ks = np.asarray(ks4).copy()
+    exp_vs = np.asarray(vs4).copy()
+    exp_k[layer, 0, :, 100] = np.asarray(kq)[0, :, 0]
+    exp_v[layer, 0, :, 100] = np.asarray(vq)[0, :, 0]
+    exp_ks[layer, 0, :, 100] = np.asarray(ksq)[0, :, 0, 0]
+    exp_vs[layer, 0, :, 100] = np.asarray(vsq)[0, :, 0, 0]
+    np.testing.assert_array_equal(np.asarray(k2), exp_k)
+    np.testing.assert_array_equal(np.asarray(v2), exp_v)
+    np.testing.assert_array_equal(np.asarray(ks2), exp_ks)
+    np.testing.assert_array_equal(np.asarray(vs2), exp_vs)
+
+    # attention output: dequantized stored keys + EXACT new token
+    kdq = np.asarray(kc.astype(jnp.float32) * ks)[layer].copy()
+    vdq = np.asarray(vc.astype(jnp.float32) * vs)[layer].copy()
+    kdq[0, :, 100] = np.asarray(k_new)[0, 0]
+    vdq[0, :, 100] = np.asarray(v_new)[0, 0]
+    ref = attention_ref(q, jnp.asarray(kdq).transpose(0, 2, 1, 3),
+                        jnp.asarray(vdq).transpose(0, 2, 1, 3), pos,
+                        kv_lens)
+    _compare(out, ref, pos, kv_lens, atol=3e-2)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_deferred_append_engine_equivalence(monkeypatch, fused):
     """NST_DEFER_APPEND=1 end-to-end: the engine decode step's logits
     match the append-first path within quantization tolerance of the
     self column, and the cache ends up IDENTICAL (the append still
-    happens, just off the critical path)."""
+    happens, just off the critical path).  fused=True routes the append
+    through the in-kernel aliased-row write instead of the RMW
+    dispatches — same contract."""
     from neural_speed_tpu.models.arch import ArchConfig
     from neural_speed_tpu.ops.qtypes import QSpec, QType
     from neural_speed_tpu.runtime.engine import Engine
@@ -289,6 +349,7 @@ def test_deferred_append_engine_equivalence(monkeypatch):
     )
     params = synth_params(cfg, QSpec(QType.INT, 4, 64, True))
     prompt = [5, 9, 2, 44, 17, 3]
+    monkeypatch.setenv("NST_FUSED_APPEND", "1" if fused else "0")
 
     def run(defer):
         monkeypatch.setenv("NST_DEFER_APPEND", "1" if defer else "0")
