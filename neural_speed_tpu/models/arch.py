@@ -92,6 +92,18 @@ class ArchConfig:
     # --- head ---
     tie_word_embeddings: bool = False
 
+    # --- runtime: decode KV-append path ---
+    # "env" resolves NST_DEFER_APPEND / NST_FUSED_APPEND at Engine
+    # construction (transformer.kv_append_mode); explicit values pin the
+    # path.  Part of this (static-jit-arg) config so flag changes retrace
+    # instead of silently reusing the first-traced program (ADVICE r3:
+    # the env kill switch no-op'd after the first trace in a process).
+    #   "plain" — append-then-attend (RMW windows before the kernel)
+    #   "defer" — attention takes the new k/v as operands, append off
+    #             the critical path (round-3 certified default)
+    #   "fused" — in-kernel aliased append (zero separate dispatches)
+    kv_append: str = "env"
+
     def __post_init__(self):
         if self.head_dim is None:
             object.__setattr__(

@@ -302,21 +302,38 @@ def _logn_scale(positions: jax.Array, train_ctx: int) -> jax.Array:
     return jnp.maximum(scale, 1.0)
 
 
-def _defer_append(cfg: ArchConfig, cache, t: int, glm_lens) -> bool:
-    """Deferred KV append at single-token decode (default ON; kill
-    switch NST_DEFER_APPEND=0): attention takes the current token's k/v
-    as kernel operands, so the append's RMW windows leave the critical
-    path (paired on-chip A/B: 153.7 vs 150.7 tok/s B=1, BENCH_NOTES).
-    Only where the flash decode kernel's extra-kv column engages —
-    contiguous quantized cache (the XLA/bf16-decode paths would pay a
-    one-hot cache merge instead), no GLM bidirectional mask.  The self
-    column uses the UNQUANTIZED k/v (the stored int8 copy is what later
-    steps read) — a strictly more accurate logit for the newest token."""
-    import os
+def kv_append_mode() -> str:
+    """Resolve the decode KV-append path from env: "plain" | "defer" |
+    "fused" (ArchConfig.kv_append semantics).  Engines call this ONCE at
+    construction and pin the result into their (static-jit-arg) cfg, so a
+    flag flip between engine constructions genuinely retraces — reading
+    env inside traced code no-ops after the first trace (ADVICE r3)."""
+    if os.environ.get("NST_DEFER_APPEND", "1") == "0":
+        return "plain"
+    if os.environ.get("NST_FUSED_APPEND", "0") != "0":
+        return "fused"
+    return "defer"
 
+
+def _resolved_kv_append(cfg: ArchConfig) -> str:
+    return kv_append_mode() if cfg.kv_append == "env" else cfg.kv_append
+
+
+def _defer_append(cfg: ArchConfig, cache, t: int, glm_lens) -> bool:
+    """Deferred KV append at single-token decode (cfg.kv_append "defer" /
+    "fused"; "plain" restores append-first): attention takes the current
+    token's k/v as kernel operands, so the append's RMW windows leave the
+    critical path (paired on-chip A/B: 153.7 vs 150.7 tok/s B=1,
+    BENCH_NOTES).  Only where the flash decode kernel's extra-kv column
+    engages — contiguous quantized cache (the XLA/bf16-decode paths would
+    pay a one-hot cache merge instead), no GLM bidirectional mask.  The
+    self column uses the UNQUANTIZED k/v (the stored int8 copy is what
+    later steps read) — a strictly more accurate logit for the newest
+    token.  Kernel-shape eligibility is delegated to
+    flash.extra_kv_eligible — the single source of truth."""
     from ..ops import paged_kv as pkv
 
-    if os.environ.get("NST_DEFER_APPEND", "1") == "0":
+    if _resolved_kv_append(cfg) == "plain":
         return False
     if t != 1 or glm_lens is not None:
         return False
@@ -325,8 +342,7 @@ def _defer_append(cfg: ArchConfig, cache, t: int, glm_lens) -> bool:
     from ..ops import flash
 
     return (cache.quantized and flash.flash_enabled()
-            and cfg.n_kv_heads % 2 == 0
-            and (cfg.n_heads // cfg.n_kv_heads) <= 8)
+            and flash.extra_kv_eligible(t, cfg.n_heads, cfg.n_kv_heads))
 
 
 def _cache_append(cache, layer_idx: int, k, v, positions, active):
@@ -441,10 +457,14 @@ def decoder_layer(
         # input_output-aliased cache buffers (fused append — zero
         # separate append dispatches; their serialized DMA latency was
         # 8% of the 6.64 ms decode step, BENCH_NOTES round-3 closing
-        # profile).  NST_FUSED_APPEND=0 falls back to deferred
-        # attention + RMW append (the round-3 shipping path).
+        # profile).  Default OFF: the round-3 fused kernel passed the
+        # stacked cache twice (streamed aliased operand + kold/vold
+        # window operands), forcing XLA into whole-cache defensive
+        # copies — driver bench collapsed 153.7 -> 16.0 tok/s
+        # (BENCH_r03.json / VERDICT r3).  kv_append="fused" /
+        # NST_FUSED_APPEND=1 opts in once an on-chip A/B certifies it.
         fused = None
-        if os.environ.get("NST_FUSED_APPEND", "1") != "0":
+        if _resolved_kv_append(cfg) == "fused":
             fused = attention_cache(
                 q, cache, layer_idx, positions, kv_lens,
                 extra_kv=(k, v), fused_append=True, **attn_kwargs,

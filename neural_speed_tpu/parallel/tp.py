@@ -345,7 +345,7 @@ class TPEngine(Engine):
         super().__init__(sharded, cfg, max_batch=max_batch, max_len=max_len,
                          kv_dtype=kv_dtype, kv_quantized=kv_quantized,
                          buckets=buckets or DEFAULT_BUCKETS, fuse=False)
-        self._step = make_tp_step(cfg, mesh, self._specs,
+        self._step = make_tp_step(self.cfg, mesh, self._specs,
                                   paged=type(self).PAGED)
         self._step_params = self.params
         self._chunk_fns: Dict[Any, Any] = {}

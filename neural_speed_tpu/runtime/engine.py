@@ -140,6 +140,13 @@ class Engine:
             from ..models.transformer import fuse_params
 
             params = fuse_params(params, cfg)
+        if cfg.kv_append == "env":
+            # pin the decode KV-append path into the static jit key NOW:
+            # env reads inside traced code silently no-op after the first
+            # trace in a process (ADVICE r3 — the kill switch must work)
+            from ..models.transformer import kv_append_mode
+
+            cfg = dataclasses.replace(cfg, kv_append=kv_append_mode())
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch

@@ -14,6 +14,10 @@ Legs:
   kernel      GEMV marginal GB/s at m=1 (int4 g128 7B shapes)
   planar      planar-kernel GB/s for int3/int5/fp8 vs int4 (VERDICT item 3)
   flash80     head_dim 80 flash kernel Mosaic-compiles + matches XLA
+  kernelspot  ON-CHIP numerical spot-check: flash (incl. deferred +
+              fused-append aliasing, bit-identical cache) and qmatmul at
+              7B shapes vs the XLA reference under real Mosaic — run once
+              per round (VERDICT r3 item 5)
   bench       full bench.py (decode tok/s B=1 — the driver metric)
   bench16     bench.py --batch 16 --ctx 1024 int8 vs bf16 KV (VERDICT 6)
   paged32     paged vs contiguous decode at B=32 (VERDICT item 5)
@@ -240,6 +244,147 @@ for label, val in (("off(512-blk)", "0"), ("12MB", str(12 << 20)),
     subprocess.call([sys.executable, "-c", inner], env=env)
 """
 
+KERNELSPOT = r"""
+# On-chip numerical spot-check (VERDICT r3 item 5): the Pallas kernels vs
+# the XLA reference at 7B shapes, run with REAL Mosaic compilation — so
+# interpret-mode-only correctness can never again mask a Mosaic/aliasing
+# behavior difference (the round-3 fused-append default shipped with
+# interpret-mode tests only and regressed 10x on chip).  Parity anchor:
+# the reference tests fused MHA on the real ISA (mha_dense_tests.cpp).
+import os
+os.environ['NST_FLASH'] = 'on'
+import numpy as np, jax, jax.numpy as jnp
+from neural_speed_tpu.ops import flash, kv_cache as kvc
+from neural_speed_tpu.ops.attention import attention_ref
+from neural_speed_tpu.ops.qtypes import QSpec, QType
+from neural_speed_tpu.ops.quantize import quantize, dequantize
+from neural_speed_tpu.ops.matmul import qmatmul, qmatmul_xla
+
+fails = []
+
+# --- qmatmul at llama2-7B shapes (GEMV m=1 decode + m=128 prefill) ---
+rng = np.random.default_rng(0)
+for K, N in ((4096, 12288), (4096, 22016), (11008, 4096), (4096, 32000)):
+    w = jnp.asarray(rng.standard_normal((K, N), np.float32) * 0.05)
+    for sdt in ("float32", "bfloat16"):
+        qt = quantize(w, QSpec(QType.INT, 4, 128, True, scale_dtype=sdt))
+        for m in (1, 128):
+            x = jnp.asarray(rng.standard_normal((m, K), np.float32) * 0.3)
+            got = np.asarray(qmatmul(x, qt), np.float32)
+            ref = np.asarray(qmatmul_xla(x, qt), np.float32)
+            rel = (np.linalg.norm(got - ref)
+                   / max(np.linalg.norm(ref), 1e-9))
+            tag = f"qmatmul {K}x{N} m={m} {sdt}"
+            print(f"{tag}: rel {rel:.2e}", flush=True)
+            if rel > 2e-2:
+                fails.append(tag)
+
+# --- flash decode over the quantized stacked cache at 7B shape ---
+L, b, h, hkv, d, s = 2, 1, 32, 32, 128, 2048
+kf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.float32)
+vf = jnp.asarray(rng.standard_normal((L, b, hkv, s, d)), jnp.float32)
+q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32) * 0.3
+kc, ks = kvc.quantize_kv(kf); vc, vs = kvc.quantize_kv(vf)
+ks4, vs4 = ks[..., 0], vs[..., 0]
+kv_lens = jnp.array([1500], jnp.int32)
+pos = jnp.array([[1499]], jnp.int32)
+layer = 1
+out = flash.mha(q, kc, vc, ks4, vs4, pos, kv_lens, scale=d ** -0.5,
+                layer=layer)
+ref = attention_ref(
+    q, (kc.astype(jnp.float32) * ks)[layer].transpose(0, 2, 1, 3),
+    (vc.astype(jnp.float32) * vs)[layer].transpose(0, 2, 1, 3),
+    pos, kv_lens)
+err = float(jnp.max(jnp.abs(out - ref)))
+print(f"flash decode 7B-shape max err vs XLA: {err:.2e}", flush=True)
+if err > 3e-2:
+    fails.append("flash decode")
+
+# --- deferred-append extra-kv column (kernel seeds softmax from operands)
+k_new = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+v_new = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+kv_lens2 = kv_lens + 1
+pos2 = jnp.array([[1500]], jnp.int32)
+out2 = flash.mha(q, kc, vc, ks4, vs4, pos2, kv_lens2, scale=d ** -0.5,
+                 layer=layer, extra_kv=(k_new, v_new))
+kdq = np.asarray(kc.astype(jnp.float32) * ks)[layer].copy()
+vdq = np.asarray(vc.astype(jnp.float32) * vs)[layer].copy()
+kdq[0, :, 1500] = np.asarray(k_new)[0, 0]; vdq[0, :, 1500] = np.asarray(v_new)[0, 0]
+ref2 = attention_ref(q, jnp.asarray(kdq).transpose(0, 2, 1, 3),
+                     jnp.asarray(vdq).transpose(0, 2, 1, 3), pos2, kv_lens2)
+err2 = float(jnp.max(jnp.abs(out2 - ref2)))
+print(f"flash deferred-append max err vs XLA: {err2:.2e}", flush=True)
+if err2 > 3e-2:
+    fails.append("flash deferred append")
+
+# --- fused in-kernel append: REAL Mosaic input_output_aliases semantics —
+# the returned cache must equal the host quantize bit-for-bit and all
+# other rows must be untouched
+res = flash.mha(q, kc, vc, ks4, vs4, pos2, kv_lens2, scale=d ** -0.5,
+                layer=layer, extra_kv=(k_new, v_new), fused_append=True)
+if res is None:
+    fails.append("fused append: kernel did not engage")
+else:
+    out3, (k2, v2, ks2, vs2) = res
+    kq, ksq = kvc.quantize_kv(k_new.transpose(0, 2, 1, 3))
+    vq, vsq = kvc.quantize_kv(v_new.transpose(0, 2, 1, 3))
+    exp_k = np.asarray(kc).copy(); exp_v = np.asarray(vc).copy()
+    exp_ks = np.asarray(ks4).copy(); exp_vs = np.asarray(vs4).copy()
+    exp_k[layer, 0, :, 1500] = np.asarray(kq)[0, :, 0]
+    exp_v[layer, 0, :, 1500] = np.asarray(vq)[0, :, 0]
+    exp_ks[layer, 0, :, 1500] = np.asarray(ksq)[0, :, 0, 0]
+    exp_vs[layer, 0, :, 1500] = np.asarray(vsq)[0, :, 0, 0]
+    for name, got_a, exp_a in (("k", k2, exp_k), ("v", v2, exp_v),
+                               ("ks", ks2, exp_ks), ("vs", vs2, exp_vs)):
+        neq = int(np.sum(np.asarray(got_a) != exp_a))
+        print(f"fused append {name}: {neq} mismatched elements", flush=True)
+        if neq:
+            fails.append(f"fused append cache {name}")
+    err3 = float(jnp.max(jnp.abs(out3 - ref2)))
+    print(f"fused append attn max err vs XLA: {err3:.2e}", flush=True)
+    if err3 > 3e-2:
+        fails.append("fused append attention")
+
+# --- fused append, MULTI-SLOT (B=4, mixed active/inactive): per-slot
+# window out-blocks at different rows + spectator preservation under the
+# real Mosaic revisited-out-block flush semantics
+b4 = 4
+kf4 = jnp.asarray(rng.standard_normal((L, b4, hkv, 512, d)), jnp.float32)
+vf4 = jnp.asarray(rng.standard_normal((L, b4, hkv, 512, d)), jnp.float32)
+q4b = jnp.asarray(rng.standard_normal((b4, 1, h, d)), jnp.float32) * 0.3
+kn4 = jnp.asarray(rng.standard_normal((b4, 1, hkv, d)), jnp.float32)
+vn4 = jnp.asarray(rng.standard_normal((b4, 1, hkv, d)), jnp.float32)
+kc4, ks_ = kvc.quantize_kv(kf4); vc4, vs_ = kvc.quantize_kv(vf4)
+ks44, vs44 = ks_[..., 0], vs_[..., 0]
+# slots 0,2 active at different rows; 1,3 spectators (query parked)
+kv4 = jnp.array([100, 300, 257, 40], jnp.int32)
+pos4 = jnp.array([[99], [511], [256], [511]], jnp.int32)
+res4 = flash.mha(q4b, kc4, vc4, ks44, vs44, pos4, kv4, scale=d ** -0.5,
+                 layer=0, extra_kv=(kn4, vn4), fused_append=True)
+if res4 is None:
+    fails.append("fused append B=4: kernel did not engage")
+else:
+    _, (k24, v24, ks24, vs24) = res4
+    kq4, ksq4 = kvc.quantize_kv(kn4.transpose(0, 2, 1, 3))
+    vq4, vsq4 = kvc.quantize_kv(vn4.transpose(0, 2, 1, 3))
+    exp_k = np.asarray(kc4).copy(); exp_v = np.asarray(vc4).copy()
+    exp_ks = np.asarray(ks44).copy(); exp_vs = np.asarray(vs44).copy()
+    for slot, row in ((0, 99), (2, 256)):   # active: pos == kv_len-1
+        exp_k[0, slot, :, row] = np.asarray(kq4)[slot, :, 0]
+        exp_v[0, slot, :, row] = np.asarray(vq4)[slot, :, 0]
+        exp_ks[0, slot, :, row] = np.asarray(ksq4)[slot, :, 0, 0]
+        exp_vs[0, slot, :, row] = np.asarray(vsq4)[slot, :, 0, 0]
+    neq = sum(int(np.sum(np.asarray(g) != e)) for g, e in
+              ((k24, exp_k), (v24, exp_v), (ks24, exp_ks), (vs24, exp_vs)))
+    print(f"fused append B=4 mixed: {neq} mismatched elements", flush=True)
+    if neq:
+        fails.append("fused append B=4 cache")
+
+print("KERNELSPOT:", "FAIL " + ", ".join(fails) if fails else "ALL OK",
+      flush=True)
+assert not fails
+"""
+
 SERVING = r"""
 import time, numpy as np, jax.numpy as jnp, dataclasses
 from neural_speed_tpu.ops.qtypes import QSpec, QType
@@ -248,24 +393,53 @@ from neural_speed_tpu.runtime.engine import Engine
 from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
 from neural_speed_tpu.utils.synthetic import synth_params, llama2_7b_arch
 cfg = llama2_7b_arch()
-params = synth_params(cfg, QSpec(QType.INT, 4, 128, True))
+params = synth_params(cfg, QSpec(QType.INT, 4, 128, True,
+                                 scale_dtype="bfloat16"))
 eng = Engine(params, cfg, max_batch=1, max_len=2048, kv_quantized=True)
-NT = 256
+NT, REPS = 256, 3
 def serve(label, **kw):
+    # >=3 repeats per arm: single-shot serving numbers drift +-8% with
+    # tunnel conditions (BENCH_NOTES round-3) — report median + spread
     sched = ContinuousBatchingScheduler(
         eng, SamplingParams(do_sample=False), chunk_size=16, **kw)
-    # compile the decode program(s) AND the 128-token prefill bucket
     sched.warmup(prompt_len=128)
-    sched.add_request([1] * 128, NT)
+    rates = []
+    for _ in range(REPS):
+        sched.add_request([1] * 128, NT)
+        t0 = time.time()
+        sched.run_to_completion()
+        rates.append(NT / (time.time() - t0))
+    rates.sort()
+    med = rates[len(rates) // 2]
+    print(f"served B=1 {label}: median {med:.1f} tok/s "
+          f"(spread {rates[0]:.1f}-{rates[-1]:.1f}, n={REPS}, "
+          f"incl prefill)", flush=True)
+    return med
+# offline anchor measured IN THE SAME SESSION (the only valid
+# denominator for the served/offline ratio — cross-session drift is
+# bigger than the gap being measured)
+import neural_speed_tpu.runtime.engine as E
+toks = jnp.ones((1,), jnp.int32); act = jnp.ones((1,), bool)
+eng.prefill([[1] * 128])
+def offline(n):
     t0 = time.time()
-    sched.run_to_completion()
-    dt = time.time() - t0
-    print(f"served B=1 {label}: {NT/dt:.1f} tok/s "
-          f"({dt/NT*1e3:.2f} ms/tok incl prefill)", flush=True)
-serve("window=64 (default)")
-serve("window=256", window=256)
-serve("chunk ladder (window off)", window=1)
-serve("window=256 unpipelined", window=256, pipeline_decode=False)
+    o, eng.cache = E.decode_n_steps(eng.params, eng.cfg, eng.cache, toks,
+                                    act, n)
+    o.block_until_ready(); return time.time() - t0
+offline(16); offline(64)  # compile
+rates = []
+for _ in range(REPS):
+    t1, t2 = offline(64), offline(256)
+    rates.append((256 - 64) / (t2 - t1))
+rates.sort()
+off = rates[len(rates) // 2]
+print(f"offline anchor (same session): {off:.1f} tok/s "
+      f"(spread {rates[0]:.1f}-{rates[-1]:.1f})", flush=True)
+for label, kw in (("window=64 (default)", {}),
+                  ("window=256", dict(window=256)),
+                  ("window=128", dict(window=128))):
+    med = serve(label, **kw)
+    print(f"  -> {med/off:.3f}x of offline", flush=True)
 """
 
 
@@ -287,6 +461,7 @@ LEGS = {
                 "    print('---', label, flush=True)\n"
                 "    subprocess.call(base + extra,"
                 " env={**os.environ, **env})", 2700),
+    "kernelspot": (KERNELSPOT, 1200),
     "paged32": (PAGED32, 1200),
     "serving": (SERVING, 1500),
     "gemvbn": (GEMVBN, 1800),
