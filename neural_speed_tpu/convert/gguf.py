@@ -7,10 +7,14 @@ Parity:
   * writer — the reference's convert-hf-to-gguf.py (neural_speed/convert/,
     2,010 LoC).
   * block codecs — ggml Q4_0/Q4_1/Q5_0/Q5_1/Q8_0/Q6_K (core/data_types.h:
-    80-141).  Integer sym formats map LOSSLESSLY onto our planar int-b
-    QTensors (Q4_0 -> int4 sym g32 with code offset 8 == ours, etc.);
-    Q4_1/Q5_1 use a float offset per group (QTensor.zeros float32, see
-    ops/quantize dequant convention `w = scale*code + zeros_f`).
+    80-141) plus the K-quant super-blocks Q2_K/Q3_K/Q4_K/Q5_K (beyond the
+    reference, whose enum stops at Q6_K — but the ecosystem's most common
+    public GGUF files are Q4_K_M; layouts follow ggml-quants.c).  Integer
+    sym formats map LOSSLESSLY onto our planar int-b QTensors (Q4_0 ->
+    int4 sym g32 with code offset 8 == ours, etc.); Q4_1/Q5_1 and the
+    asymmetric K-quants use a float offset per group (QTensor.zeros
+    float32, see ops/quantize dequant convention `w = scale*code +
+    zeros_f`); Q3_K is symmetric around code 4, Q6_K around 32.
 """
 
 from __future__ import annotations
@@ -113,6 +117,7 @@ def ggml_block_info(ttype: int) -> Tuple[int, int]:
         GGML_Q5_0: (32, 22), GGML_Q5_1: (32, 24),
         GGML_Q8_0: (32, 34), GGML_Q6_K: (256, 210),
         GGML_Q4_K: (256, 144), GGML_Q5_K: (256, 176),
+        GGML_Q2_K: (256, 84), GGML_Q3_K: (256, 110),
     }[ttype]
 
 
@@ -224,6 +229,146 @@ def decode_q6_k(raw, rows, row_len):
             scales.reshape(rows, row_len // 16), None)
 
 
+def _k4_scale_min(scales: np.ndarray):
+    """Unpack the K-quant 12-byte 6-bit scale/min table (ggml
+    get_scale_min_k4): 8 scales + 8 mins per 256-elem super-block.
+    `scales` is [nb, 12] uint8 -> ([nb, 8], [nb, 8]) uint8."""
+    nb = scales.shape[0]
+    sc = np.zeros((nb, 8), np.uint8)
+    mn = np.zeros((nb, 8), np.uint8)
+    sc[:, :4] = scales[:, :4] & 63
+    mn[:, :4] = scales[:, 4:8] & 63
+    sc[:, 4:] = (scales[:, 8:12] & 0xF) | ((scales[:, :4] >> 6) << 4)
+    mn[:, 4:] = (scales[:, 8:12] >> 4) | ((scales[:, 4:8] >> 6) << 4)
+    return sc, mn
+
+
+def _k4_pack_scale_min(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of _k4_scale_min: [nb, 8] x2 (values 0..63) -> [nb, 12]."""
+    nb = sc.shape[0]
+    out = np.zeros((nb, 12), np.uint8)
+    out[:, :4] = (sc[:, :4] & 63) | ((sc[:, 4:] >> 4) << 6)
+    out[:, 4:8] = (mn[:, :4] & 63) | ((mn[:, 4:] >> 4) << 6)
+    out[:, 8:12] = (sc[:, 4:] & 0xF) | ((mn[:, 4:] & 0xF) << 4)
+    return out
+
+
+def decode_q4_k(raw, rows, row_len):
+    """Q4_K (ggml-quants.c dequantize_row_q4_K): 256-elem super-block =
+    d[f16] dmin[f16] scales[12] qs[128]; 8 sub-blocks of 32 with 6-bit
+    scale/min: w = d*sc[j]*q - dmin*m[j].  Returned as float per-sub-block
+    scale + float offset (the Q4_1 convention: w = scale*code + m)."""
+    nb = rows * row_len // 256
+    blk = raw[: nb * 144].reshape(nb, 144)
+    d = _fp16(np.ascontiguousarray(blk[:, 0:2]))[:, 0]
+    dmin = _fp16(np.ascontiguousarray(blk[:, 2:4]))[:, 0]
+    sc, mn = _k4_scale_min(blk[:, 4:16])
+    qs = blk[:, 16:144]
+    codes = np.zeros((nb, 256), np.uint8)
+    for c in range(4):  # 64-elem chunks: low nibbles then high nibbles
+        q = qs[:, 32 * c: 32 * c + 32]
+        codes[:, 64 * c: 64 * c + 32] = q & 0xF
+        codes[:, 64 * c + 32: 64 * c + 64] = q >> 4
+    scales = d[:, None] * sc.astype(np.float32)        # [nb, 8]
+    offs = -(dmin[:, None] * mn.astype(np.float32))    # [nb, 8]
+    return (codes.reshape(rows, row_len),
+            scales.reshape(rows, row_len // 32),
+            offs.reshape(rows, row_len // 32))
+
+
+def decode_q5_k(raw, rows, row_len):
+    """Q5_K: d[f16] dmin[f16] scales[12] qh[32] qs[128]; the 5th bit of
+    chunk c's low/high nibble comes from qh bit 2c / 2c+1."""
+    nb = rows * row_len // 256
+    blk = raw[: nb * 176].reshape(nb, 176)
+    d = _fp16(np.ascontiguousarray(blk[:, 0:2]))[:, 0]
+    dmin = _fp16(np.ascontiguousarray(blk[:, 2:4]))[:, 0]
+    sc, mn = _k4_scale_min(blk[:, 4:16])
+    qh = blk[:, 16:48]
+    qs = blk[:, 48:176]
+    codes = np.zeros((nb, 256), np.uint8)
+    for c in range(4):
+        q = qs[:, 32 * c: 32 * c + 32]
+        lo5 = ((qh >> (2 * c)) & 1).astype(np.uint8) << 4
+        hi5 = ((qh >> (2 * c + 1)) & 1).astype(np.uint8) << 4
+        codes[:, 64 * c: 64 * c + 32] = (q & 0xF) | lo5
+        codes[:, 64 * c + 32: 64 * c + 64] = (q >> 4) | hi5
+    scales = d[:, None] * sc.astype(np.float32)
+    offs = -(dmin[:, None] * mn.astype(np.float32))
+    return (codes.reshape(rows, row_len),
+            scales.reshape(rows, row_len // 32),
+            offs.reshape(rows, row_len // 32))
+
+
+def decode_q2_k(raw, rows, row_len):
+    """Q2_K: scales[16] qs[64] d[f16] dmin[f16]; 16 sub-blocks of 16 with
+    4-bit scale/min nibbles: w = d*(sc&0xF)*q - dmin*(sc>>4)."""
+    nb = rows * row_len // 256
+    blk = raw[: nb * 84].reshape(nb, 84)
+    scq = blk[:, :16]
+    qs = blk[:, 16:80]
+    d = _fp16(np.ascontiguousarray(blk[:, 80:82]))[:, 0]
+    dmin = _fp16(np.ascontiguousarray(blk[:, 82:84]))[:, 0]
+    codes = np.zeros((nb, 256), np.uint8)
+    for outer in range(2):          # 128-elem halves; qs advances 32B
+        q = qs[:, 32 * outer: 32 * outer + 32]
+        for j in range(4):          # 2-bit plane
+            base = 128 * outer + 32 * j
+            codes[:, base: base + 32] = (q >> (2 * j)) & 3
+    scales = d[:, None] * (scq & 0xF).astype(np.float32)       # [nb, 16]
+    offs = -(dmin[:, None] * (scq >> 4).astype(np.float32))
+    return (codes.reshape(rows, row_len),
+            scales.reshape(rows, row_len // 16),
+            offs.reshape(rows, row_len // 16))
+
+
+def _q3k_scales(scales: np.ndarray) -> np.ndarray:
+    """Q3_K 12-byte -> 16 6-bit scales (ggml kmask unpack), returned as
+    int (value range 0..63; subtract 32 for the signed scale)."""
+    b = scales.astype(np.uint16)
+    sc = np.zeros((scales.shape[0], 16), np.uint8)
+    for i in range(4):
+        sc[:, i] = (b[:, i] & 0xF) | ((b[:, 8 + i] & 3) << 4)
+        sc[:, 4 + i] = (b[:, 4 + i] & 0xF) | (((b[:, 8 + i] >> 2) & 3) << 4)
+        sc[:, 8 + i] = (b[:, i] >> 4) | (((b[:, 8 + i] >> 4) & 3) << 4)
+        sc[:, 12 + i] = (b[:, 4 + i] >> 4) | (((b[:, 8 + i] >> 6) & 3) << 4)
+    return sc
+
+
+def _q3k_pack_scales(sc: np.ndarray) -> np.ndarray:
+    """Inverse of _q3k_scales: [nb, 16] (0..63) -> [nb, 12]."""
+    out = np.zeros((sc.shape[0], 12), np.uint8)
+    for i in range(4):
+        out[:, i] = (sc[:, i] & 0xF) | ((sc[:, 8 + i] & 0xF) << 4)
+        out[:, 4 + i] = (sc[:, 4 + i] & 0xF) | ((sc[:, 12 + i] & 0xF) << 4)
+        out[:, 8 + i] = ((sc[:, i] >> 4) | ((sc[:, 4 + i] >> 4) << 2)
+                         | ((sc[:, 8 + i] >> 4) << 4)
+                         | ((sc[:, 12 + i] >> 4) << 6))
+    return out
+
+
+def decode_q3_k(raw, rows, row_len):
+    """Q3_K: hmask[32] qs[64] scales[12] d[f16]; 16 sub-blocks of 16,
+    6-bit scales - 32, w = d*(sc-32)*(q3 - 4) with q3 = 2-bit + hmask
+    high bit (hmask bit index = outer*4 + plane)."""
+    nb = rows * row_len // 256
+    blk = raw[: nb * 110].reshape(nb, 110)
+    hm = blk[:, :32]
+    qs = blk[:, 32:96]
+    sc6 = _q3k_scales(blk[:, 96:108])
+    d = _fp16(np.ascontiguousarray(blk[:, 108:110]))[:, 0]
+    codes = np.zeros((nb, 256), np.uint8)
+    for outer in range(2):
+        q = qs[:, 32 * outer: 32 * outer + 32]
+        for j in range(4):
+            base = 128 * outer + 32 * j
+            hbit = ((hm >> (4 * outer + j)) & 1).astype(np.uint8)
+            codes[:, base: base + 32] = ((q >> (2 * j)) & 3) | (hbit << 2)
+    scales = d[:, None] * (sc6.astype(np.float32) - 32.0)      # [nb, 16]
+    return (codes.reshape(rows, row_len),
+            scales.reshape(rows, row_len // 16), None)
+
+
 DECODERS = {
     GGML_Q4_0: (decode_q4_0, 4, 32, 8),
     GGML_Q4_1: (decode_q4_1, 4, 32, None),   # float offset
@@ -231,6 +376,13 @@ DECODERS = {
     GGML_Q5_1: (decode_q5_1, 5, 32, None),
     GGML_Q8_0: (decode_q8_0, 8, 32, 128),
     GGML_Q6_K: (decode_q6_k, 6, 16, 32),
+    # K-quants (the ecosystem's most common public GGUF files are
+    # Q4_K_M): per-sub-block float scale + float offset map onto the
+    # same QTensor convention as Q4_1/Q5_1; Q3_K is symmetric around 4
+    GGML_Q4_K: (decode_q4_k, 4, 32, None),
+    GGML_Q5_K: (decode_q5_k, 5, 32, None),
+    GGML_Q2_K: (decode_q2_k, 2, 16, None),
+    GGML_Q3_K: (decode_q3_k, 3, 16, 4),
 }
 
 
@@ -416,6 +568,102 @@ def encode_ggml(a: np.ndarray, ttype: int) -> bytes:
         out = np.zeros((nb, 34), np.uint8)
         out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
         out[:, 2:] = q.view(np.uint8)
+        return out.tobytes()
+    if ttype in (GGML_Q4_K, GGML_Q5_K):
+        # simple affine encoder (direct per-sub min/max; ggml's
+        # make_qkx2_quants search would land on slightly better grids but
+        # the FORMAT is identical): 8 sub-blocks of 32, 6-bit quantized
+        # scale/min vs the f16 super-scales d/dmin
+        qmax = 15 if ttype == GGML_Q4_K else 31
+        sb = a.reshape(-1, 8, 32)
+        nb = sb.shape[0]
+        vmin = np.minimum(sb.min(axis=2), 0.0)             # [nb, 8] <= 0
+        vmax = np.maximum(sb.max(axis=2), 0.0)
+        scale = (vmax - vmin) / qmax
+        mn = -vmin                                          # >= 0
+        d = scale.max(axis=1) / 63.0                        # [nb]
+        dmin = mn.max(axis=1) / 63.0
+        d16 = d.astype(np.float16).astype(np.float32)
+        dmin16 = dmin.astype(np.float16).astype(np.float32)
+        d_s = np.where(d16 == 0, 1.0, d16)
+        dm_s = np.where(dmin16 == 0, 1.0, dmin16)
+        scq = np.clip(np.round(scale / d_s[:, None]), 0, 63).astype(np.uint8)
+        mnq = np.clip(np.round(mn / dm_s[:, None]), 0, 63).astype(np.uint8)
+        eff_scale = d16[:, None] * scq                      # [nb, 8]
+        eff_min = dmin16[:, None] * mnq
+        es = np.where(eff_scale == 0, 1.0, eff_scale)
+        q = np.clip(np.round((sb + eff_min[:, :, None]) / es[:, :, None]),
+                    0, qmax).astype(np.uint8)               # [nb, 8, 32]
+        qf = q.reshape(nb, 256)
+        bsz = 144 if ttype == GGML_Q4_K else 176
+        out = np.zeros((nb, bsz), np.uint8)
+        out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+        out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+        out[:, 4:16] = _k4_pack_scale_min(scq, mnq)
+        qs_off = 16 if ttype == GGML_Q4_K else 48
+        for c in range(4):
+            lo = qf[:, 64 * c: 64 * c + 32]
+            hi = qf[:, 64 * c + 32: 64 * c + 64]
+            out[:, qs_off + 32 * c: qs_off + 32 * c + 32] = (
+                (lo & 0xF) | ((hi & 0xF) << 4))
+            if ttype == GGML_Q5_K:
+                out[:, 16:48] |= ((lo >> 4) << (2 * c)) | (
+                    (hi >> 4) << (2 * c + 1))
+        return out.tobytes()
+    if ttype == GGML_Q2_K:
+        sb = a.reshape(-1, 16, 16)
+        nb = sb.shape[0]
+        vmin = np.minimum(sb.min(axis=2), 0.0)
+        vmax = np.maximum(sb.max(axis=2), 0.0)
+        scale = (vmax - vmin) / 3.0
+        mn = -vmin
+        d = scale.max(axis=1) / 15.0
+        dmin = mn.max(axis=1) / 15.0
+        d16 = d.astype(np.float16).astype(np.float32)
+        dmin16 = dmin.astype(np.float16).astype(np.float32)
+        d_s = np.where(d16 == 0, 1.0, d16)
+        dm_s = np.where(dmin16 == 0, 1.0, dmin16)
+        scq = np.clip(np.round(scale / d_s[:, None]), 0, 15).astype(np.uint8)
+        mnq = np.clip(np.round(mn / dm_s[:, None]), 0, 15).astype(np.uint8)
+        eff_scale = d16[:, None] * scq
+        eff_min = dmin16[:, None] * mnq
+        es = np.where(eff_scale == 0, 1.0, eff_scale)
+        q = np.clip(np.round((sb + eff_min[:, :, None]) / es[:, :, None]),
+                    0, 3).astype(np.uint8).reshape(nb, 256)
+        out = np.zeros((nb, 84), np.uint8)
+        out[:, :16] = scq | (mnq << 4)
+        for outer in range(2):
+            for j in range(4):
+                base = 128 * outer + 32 * j
+                out[:, 16 + 32 * outer: 16 + 32 * outer + 32] |= (
+                    q[:, base: base + 32] << (2 * j))
+        out[:, 80:82] = d.astype(np.float16)[:, None].view(np.uint8)
+        out[:, 82:84] = dmin.astype(np.float16)[:, None].view(np.uint8)
+        return out.tobytes()
+    if ttype == GGML_Q3_K:
+        sb = a.reshape(-1, 16, 16)
+        nb = sb.shape[0]
+        amax = np.abs(sb).max(axis=2)                       # [nb, 16]
+        scale = amax / 4.0                                  # code-4 in [-4,3]
+        d = scale.max(axis=1) / 31.0                        # [nb]
+        d16 = d.astype(np.float16).astype(np.float32)
+        d_s = np.where(d16 == 0, 1.0, d16)
+        scq = np.clip(np.round(scale / d_s[:, None]) + 32, 0, 63).astype(
+            np.uint8)                                       # 6-bit, bias 32
+        eff = d16[:, None] * (scq.astype(np.float32) - 32.0)
+        es = np.where(eff == 0, 1.0, eff)
+        q3 = np.clip(np.round(sb / es[:, :, None]) + 4, 0, 7).astype(
+            np.uint8).reshape(nb, 256)
+        out = np.zeros((nb, 110), np.uint8)
+        for outer in range(2):
+            for j in range(4):
+                base = 128 * outer + 32 * j
+                blkq = q3[:, base: base + 32]
+                out[:, 32 + 32 * outer: 32 + 32 * outer + 32] |= (
+                    (blkq & 3) << (2 * j))
+                out[:, :32] |= (blkq >> 2) << (4 * outer + j)
+        out[:, 96:108] = _q3k_pack_scales(scq)
+        out[:, 108:110] = d.astype(np.float16)[:, None].view(np.uint8)
         return out.tobytes()
     raise ValueError(f"no encoder for ggml type {ttype}")
 
