@@ -25,6 +25,16 @@ from .runtime.engine import Engine
 from .runtime import serialization
 
 
+def _is_ggjt(path: str) -> bool:
+    """Sniff the NE 'ggjt' (or legacy 'ne') magic (model_types.h:53-56)."""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+    except OSError:
+        return False
+    return magic in (b"tjgg", b"lmgg")
+
+
 class Model:
     def __init__(self):
         self.engine: Optional[Engine] = None
@@ -121,10 +131,39 @@ class Model:
                       tp: int = 1, paged: bool = False,
                       page_size: int = 128, n_pages: Optional[int] = None,
                       prefix_cache: bool = False):
-        """Load a previously saved packed model (parity: init_from_bin)."""
+        """Load a previously saved packed model (parity: init_from_bin).
+        A reference-toolchain 'ggjt' .bin (model_files.h:246+) is detected
+        by magic and routed through convert.ne_bin — arch_cfg/tokenizer
+        come from the file itself in that case (pass None)."""
+        if _is_ggjt(bin_path):
+            return self.init_from_ne_bin(
+                bin_path, max_batch=max_batch, ctx_size=ctx_size,
+                kv_quantized=kv_quantized, tp=tp, paged=paged,
+                page_size=page_size, n_pages=n_pages,
+                prefix_cache=prefix_cache)
         self.cfg = arch_cfg
         self.tokenizer = tokenizer
         params = serialization.load_params(bin_path)
+        self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
+                          paged=paged, page_size=page_size, n_pages=n_pages,
+                          prefix_cache=prefix_cache)
+        return self
+
+    def init_from_ne_bin(self, bin_path: str, max_batch: int = 1,
+                         ctx_size: int = 2048, kv_quantized: bool = False,
+                         tp: int = 1, paged: bool = False,
+                         page_size: int = 128,
+                         n_pages: Optional[int] = None,
+                         prefix_cache: bool = False):
+        """Load a reference-produced NE 'ggjt' v1-v3 .bin (the reference's
+        native checkpoint format, written by its convert_llama.py)."""
+        from .convert import ne_bin
+
+        params, cfg, tok = ne_bin.load_ne_bin(bin_path)
+        self.cfg = cfg
+        self.tokenizer = tok
+        if tok is not None:
+            self.eos_id = tok.eos_token_id
         self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
                           paged=paged, page_size=page_size, n_pages=n_pages,
                           prefix_cache=prefix_cache)
@@ -483,6 +522,15 @@ class AudioModel:
             self.tokenizer = None
         return self
 
+    # whisper's 99 language codes (whisper.cpp g_lang map order)
+    LANGUAGES = (
+        "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he "
+        "uk el ms cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa "
+        "lv bn sr az sl kn et mk br eu is hy ne mn bs kk sq sw gl mr pa "
+        "si km sn yo so af oc ka be tg sd gu am yi lo uz fo ht ps tk nn "
+        "mt sa lb my bo tl mg as tt haw ln ha ba jw su"
+    ).split()
+
     def forced_ids(self, language: str = "en", task: str = "transcribe"):
         if self.tokenizer is None:
             return []
@@ -491,13 +539,45 @@ class AudioModel:
         )
         return [i for i in ids if i is not None and i >= 0]
 
+    def _lang_token_ids(self):
+        """(codes, vocab ids) for the language tokens present in the
+        tokenizer (tiny test tokenizers may carry a subset)."""
+        if self.tokenizer is None:
+            return [], []
+        codes, ids = [], []
+        unk = getattr(self.tokenizer, "unk_token_id", None)
+        for code in self.LANGUAGES:
+            i = self.tokenizer.convert_tokens_to_ids(f"<|{code}|>")
+            if i is not None and i >= 0 and i != unk:
+                codes.append(code)
+                ids.append(i)
+        return codes, ids
+
+    def detect_language(self, audio):
+        """Language auto-detect (parity: whisper_lang_auto_detect /
+        `params.language = nullptr`, reference whisper.cpp; option surface
+        whisper.h:204-230).  Returns (best_code, {code: prob})."""
+        if isinstance(audio, str):
+            audio = load_wav(audio)
+        codes, ids = self._lang_token_ids()
+        if not ids:
+            raise ValueError("tokenizer has no language tokens")
+        states, enc_lens = self.model.encode_audio(audio)
+        probs = self.model.detect_language(states, enc_lens, ids)
+        dist = dict(zip(codes, probs.tolist()))
+        return max(dist, key=dist.get), dist
+
     def transcribe(self, audio, language: str = "en",
                    task: str = "transcribe", max_new_tokens: int = 224,
                    timestamps: bool = False):
         """audio: float PCM @16kHz (numpy) or a .wav path.  With
-        `timestamps=True` returns [(start_s, end_s, text)] segments."""
+        `timestamps=True` returns [(start_s, end_s, text)] segments.
+        `language="auto"` runs language detection first (whisper.cpp
+        auto-detect semantics)."""
         if isinstance(audio, str):
             audio = load_wav(audio)
+        if language == "auto":
+            language, _ = self.detect_language(audio)
         forced = self.forced_ids(language, task)
         ts_begin = None
         if timestamps:
