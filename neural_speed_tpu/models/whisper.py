@@ -312,6 +312,30 @@ class WhisperModel:
         states, enc_lens = self.encode_audio(audio)
         return self.generate(states, enc_lens, forced_ids, max_new_tokens)
 
+    def detect_language(self, enc_states, enc_lens,
+                        lang_ids: List[int]) -> np.ndarray:
+        """Language auto-detect (parity: whisper.cpp
+        whisper_lang_auto_detect / whisper_full with params.language ==
+        nullptr, whisper.h:204-230): one decoder step from
+        <|startoftranscript|>, softmax restricted to the language tokens.
+        Returns probabilities aligned with `lang_ids`."""
+        cfg = self.cfg
+        b = enc_states.shape[0]
+        cache = kvc.init_cache(cfg.decoder_layers, b,
+                               cfg.max_target_positions, cfg.n_heads,
+                               cfg.head_dim, jnp.float32)
+        cross = tuple(cross_kv(self.params, cfg, enc_states))
+        toks = jnp.full((b, 1), cfg.decoder_start_token_id, jnp.int32)
+        pos = jnp.zeros((b, 1), jnp.int32)
+        kv_lens = jnp.ones((b,), jnp.int32)
+        logits, _ = decoder_forward(
+            self.params, cfg, toks, pos, cache, kv_lens, cross, enc_lens
+        )
+        lg = np.asarray(logits[0, 0], np.float32)[np.asarray(lang_ids)]
+        x = lg - lg.max()
+        p = np.exp(x)
+        return p / p.sum()
+
 
 # ---------------------------------------------------------------------------
 # HF converter

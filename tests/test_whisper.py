@@ -119,6 +119,30 @@ def test_audio_model_api(tmp_path, hf_whisper):
         assert len(out) >= 5  # prefix + some tokens
 
 
+def test_detect_language_matches_hf(hf_whisper, features):
+    """Language auto-detect (whisper.cpp whisper_lang_auto_detect parity):
+    the lang-token softmax from one SOT decoder step must match HF's
+    logits for the same step."""
+    m, params, cfg = hf_whisper
+    wm = W.WhisperModel(params, cfg)
+    states, enc_lens = jnp.asarray(features)[None], None
+    enc = W.encode(params, cfg, states)
+    enc_lens = jnp.full((1,), enc.shape[1], jnp.int32)
+    lang_ids = list(range(50259, 50259 + 99))  # <|en|>..<|su|>
+    probs = wm.detect_language(enc, enc_lens, lang_ids)
+    assert probs.shape == (99,) and abs(probs.sum() - 1.0) < 1e-5
+
+    with torch.no_grad():
+        out = m(input_features=torch.tensor(features)[None],
+                decoder_input_ids=torch.tensor(
+                    [[cfg.decoder_start_token_id]]))
+    ref = out.logits[0, 0].numpy()[np.asarray(lang_ids)]
+    ref = np.exp(ref - ref.max())
+    ref = ref / ref.sum()
+    np.testing.assert_allclose(probs, ref, atol=2e-3)
+    assert int(np.argmax(probs)) == int(np.argmax(ref))
+
+
 def test_timestamp_rules(hf_whisper, features):
     """Timestamp decoding obeys the whisper rules: pairs, monotone, text
     between pairs; segments() splits them."""
