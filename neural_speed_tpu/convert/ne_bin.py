@@ -185,9 +185,15 @@ def _unpermute_rows(n_head: int, rows: int):
 def _read_linear(r: NEBinReader, name: str, unpermute_heads: int = 0):
     info = r.tensors[name]
     if info.ne_type == NE_TYPE_BTLA:
-        raise NotImplementedError(
-            f"{name} is BTLA-packed (opaque serialized BesTLA storage); "
-            "re-quantize from the fp checkpoint or a GGUF export instead")
+        # serialized BesTLA storage (the reference's quantized q4_j-style
+        # tensors) — parsed bit-exactly by convert/btla.py; rope-row
+        # unpermute applies on the out-feature axis (the reference
+        # quantizes after the permute)
+        from .btla import btla_to_qtensor
+
+        perm = (None if not unpermute_heads
+                else _unpermute_rows(unpermute_heads, info.shape[1]))
+        return {"w": btla_to_qtensor(r.tensor_bytes(info), n_perm=perm)}
     ttype = _NE_TO_GGML[info.ne_type]
     raw = r.tensor_bytes(info)
     row_len, rows = info.shape[0], info.shape[1]
@@ -289,6 +295,12 @@ def _embed_from_quant(r: NEBinReader, name: str):
     """Embedding stored quantized (e.g. q4_0 ftype files): materialize to
     bf16 — gathers need a dense table."""
     info = r.tensors[name]
+    if info.ne_type == NE_TYPE_BTLA:
+        from .btla import BTLAStorage
+
+        st = BTLAStorage(np.asarray(r.tensor_bytes(info), np.uint8))
+        # BTLA stores [K=row_len, N=rows]; embedding table is [vocab, embd]
+        return jnp.asarray(st.dequant().T, jnp.bfloat16)
     ttype = _NE_TO_GGML[info.ne_type]
     raw = r.tensor_bytes(info)
     row_len, rows = info.shape[0], info.shape[1]
@@ -327,6 +339,21 @@ class NEBinWriter:
             self.f.write(struct.pack("<I", len(bs)))
             self.f.write(bs)
             self.f.write(struct.pack("<f", s))
+
+    def add_raw_tensor(self, name: str, shape, ne_type: int,
+                       payload: bytes):
+        """Write a pre-encoded tensor record (e.g. a serialized BTLA
+        storage blob, whose first u64 is its own size — the loader's
+        NE_TYPE_BTLA convention, model_files.h:1212-1216).  `shape` in
+        numpy row-major orientation [rows, row_len]."""
+        sname = name.encode("utf-8")
+        shape_rev = tuple(shape)[::-1]
+        self.f.write(struct.pack("<III", len(shape), len(sname), ne_type))
+        self.f.write(struct.pack("<" + "I" * len(shape_rev), *shape_rev))
+        self.f.write(sname)
+        pos = self.f.tell()
+        self.f.write(b"\0" * (((pos + 31) & ~31) - pos))
+        self.f.write(payload)
 
     def add_tensor(self, name: str, a: np.ndarray, ne_type: int):
         """`a` in numpy row-major [rows, row_len] (HF orientation)."""
