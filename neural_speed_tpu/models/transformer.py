@@ -307,12 +307,23 @@ def kv_append_mode() -> str:
     "fused" (ArchConfig.kv_append semantics).  Engines call this ONCE at
     construction and pin the result into their (static-jit-arg) cfg, so a
     flag flip between engine constructions genuinely retraces — reading
-    env inside traced code no-ops after the first trace (ADVICE r3)."""
+    env inside traced code no-ops after the first trace (ADVICE r3).
+
+    Default FUSED (round-4 certification: on-chip A/B 155.3 vs 152.2
+    tok/s B=1 and 1169 vs 1030 at B=16 ctx1024; kernelspot bit-identical
+    cache under real Mosaic aliasing; public-API greedy ids equal across
+    all three modes on chip).  NST_KV_APPEND picks explicitly;
+    NST_FUSED_APPEND=0 steps down to PLAIN — not to "defer", whose
+    read-then-write hazard makes XLA copy the whole cache per layer
+    (~66x at B=16; BENCH_NOTES round-4)."""
+    v = os.environ.get("NST_KV_APPEND")
+    if v in ("plain", "defer", "fused"):
+        return v
     if os.environ.get("NST_DEFER_APPEND", "1") == "0":
         return "plain"
-    if os.environ.get("NST_FUSED_APPEND", "0") != "0":
-        return "fused"
-    return "defer"
+    if os.environ.get("NST_FUSED_APPEND", "1") == "0":
+        return "plain"
+    return "fused"
 
 
 def _resolved_kv_append(cfg: ArchConfig) -> str:
@@ -449,20 +460,22 @@ def decoder_layer(
                     if glm_lens is not None else None),
     )
     if _defer_append(cfg, cache, t, glm_lens):
-        # deferred KV append (decode): attention takes the current
-        # token's k/v as OPERANDS (the flash kernel seeds its online
-        # softmax with the self column), so the append's read-modify-
-        # write windows leave the critical path.  Preferred form: the
-        # kernel ALSO writes the quantized row/scale itself through
-        # input_output-aliased cache buffers (fused append — zero
-        # separate append dispatches; their serialized DMA latency was
-        # 8% of the 6.64 ms decode step, BENCH_NOTES round-3 closing
-        # profile).  Default OFF: the round-3 fused kernel passed the
-        # stacked cache twice (streamed aliased operand + kold/vold
-        # window operands), forcing XLA into whole-cache defensive
-        # copies — driver bench collapsed 153.7 -> 16.0 tok/s
-        # (BENCH_r03.json / VERDICT r3).  kv_append="fused" /
-        # NST_FUSED_APPEND=1 opts in once an on-chip A/B certifies it.
+        # Decode KV-append off the critical path.  TWO forms:
+        #   "fused" — ONE pallas call does attention AND writes the
+        #     quantized new row/scale through input_output-aliased cache
+        #     buffers (the kernel seeds its online softmax from the
+        #     operand k/v).  Zero separate append dispatches, and —
+        #     crucially — no read-then-write hazard on the cache buffer.
+        #   "defer" — attention reads the cache with the new k/v as
+        #     operands, then a separate RMW append writes the SAME
+        #     buffer.  XLA guards that read-then-write with per-layer
+        #     defensive whole-cache copies ("data formatting",
+        #     ~1.6 ms/step/layer at B=16 ctx1024 — the round-4 B=16
+        #     defer collapse; at B=1 the same copies were the 0.53 ms
+        #     "async copy-done" in the round-3 closing profile).
+        # When the fused kernel cannot engage, fall back to PLAIN
+        # (append-first) — NOT to "defer", which would reintroduce the
+        # copy hazard.
         fused = None
         if _resolved_kv_append(cfg) == "fused":
             fused = attention_cache(
@@ -471,13 +484,19 @@ def decoder_layer(
             )
         if fused is not None:
             attn_out, cache = fused
-        else:
+        elif _resolved_kv_append(cfg) == "defer":
             attn_out = attention_cache(
                 q, cache, layer_idx, positions, kv_lens,
                 extra_kv=(k, v), **attn_kwargs,
             )
             cache = _cache_append(cache, layer_idx, k, v, positions,
                                   active)
+        else:
+            cache = _cache_append(cache, layer_idx, k, v, positions,
+                                  active)
+            attn_out = attention_cache(
+                q, cache, layer_idx, positions, kv_lens, **attn_kwargs,
+            )
     else:
         cache = _cache_append(cache, layer_idx, k, v, positions, active)
         attn_out = attention_cache(

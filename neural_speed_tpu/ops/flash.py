@@ -111,7 +111,9 @@ def _sel_scale(s_ref, h, h_blk: int, block_s: int):
     makes XLA relayout-copy the whole tensor per call); Mosaic forbids
     dynamic sublane slicing, so the row is picked with an iota mask-sum —
     h_blk rows of VPU work, no relayout anywhere."""
-    s_all = s_ref[...].reshape(h_blk, block_s)
+    # f32 in-kernel math regardless of the stored dtype (bf16 scales are
+    # the default cache layout: half the scale stream + footprint)
+    s_all = s_ref[...].reshape(h_blk, block_s).astype(jnp.float32)
     if h_blk == 1:
         return s_all
     row = jax.lax.rem(h, h_blk)
@@ -356,8 +358,10 @@ def _mha_kernel_hblk(
                 kout_ref.shape)
             vout_ref[...] = vwin.astype(vout_ref.dtype).reshape(
                 vout_ref.shape)
-            ksold = ks_ref[0, 0, :, pl.ds(ws, LANES)].reshape(hb, LANES)
-            vsold = vs_ref[0, 0, :, pl.ds(ws, LANES)].reshape(hb, LANES)
+            ksold = ks_ref[0, 0, :, pl.ds(ws, LANES)].reshape(
+                hb, LANES).astype(jnp.float32)
+            vsold = vs_ref[0, 0, :, pl.ds(ws, LANES)].reshape(
+                hb, LANES).astype(jnp.float32)
             lsel = jnp.logical_and(
                 jax.lax.broadcasted_iota(
                     jnp.int32, (1, LANES), 1) == off_s, ok)
@@ -377,8 +381,10 @@ def _mha_kernel_hblk(
         br, d = q_ref.shape[2], q_ref.shape[3]
         kc_all = k_ref[...].reshape(hb, block_s, d)
         vc_all = v_ref[...].reshape(hb, block_s, d)
-        ks_all = (ks_ref[...].reshape(hb, block_s) if quantized else None)
-        vs_all = (vs_ref[...].reshape(hb, block_s) if quantized else None)
+        ks_all = (ks_ref[...].reshape(hb, block_s).astype(jnp.float32)
+                  if quantized else None)
+        vs_all = (vs_ref[...].reshape(hb, block_s).astype(jnp.float32)
+                  if quantized else None)
         col = jax.lax.broadcasted_iota(jnp.int32, (br, block_s), 1) + (
             j * block_s
         )

@@ -85,15 +85,31 @@ class KVCache:
 
 def init_cache(layers: int, batch: int, max_len: int, kv_heads: int,
                head_dim: int, dtype=jnp.bfloat16,
-               quantized: bool = False) -> KVCache:
+               quantized: bool = False, scale_dtype=None) -> KVCache:
     """Parity: kv_cache_init (model_utils.cpp:61-194); `quantized=True` is
-    the analogue of KV_MEM_TYPE_AUTO choosing the BesTLA int8 layout."""
+    the analogue of KV_MEM_TYPE_AUTO choosing the BesTLA int8 layout.
+
+    `scale_dtype` (default bf16, NST_KV_SCALE_DTYPE=f32 restores f32):
+    the per-(token, head) scale arrays are [L, B, H, S] — at f32 they
+    cost HALF the int8 codes' footprint again (4.2 GB at B=16 ctx1024
+    32L: the round-4 fused-B16 OOM) and a quarter of the flash kernel's
+    scale stream.  Codes are always COMPUTED against the f32 scale and
+    only the stored copy rounds, identically in every writer (host
+    quantize_kv RMW paths and the fused in-kernel append), so caches
+    stay bit-identical across paths."""
     shape = (layers, batch, kv_heads, max_len, head_dim)
     if quantized:
+        if scale_dtype is None:
+            import os
+
+            scale_dtype = (jnp.float32
+                           if os.environ.get("NST_KV_SCALE_DTYPE", "bf16")
+                           in ("f32", "float32")
+                           else jnp.bfloat16)
         k = jnp.zeros(shape, jnp.int8)
         v = jnp.zeros(shape, jnp.int8)
-        ks = jnp.zeros(shape[:-1], jnp.float32)
-        vs = jnp.zeros(shape[:-1], jnp.float32)
+        ks = jnp.zeros(shape[:-1], scale_dtype)
+        vs = jnp.zeros(shape[:-1], scale_dtype)
     else:
         k = jnp.zeros(shape, dtype)
         v = jnp.zeros(shape, dtype)

@@ -135,7 +135,7 @@ class Engine:
                  max_batch: int = 1, max_len: int = 2048,
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
                  buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
-                 fuse: bool = True):
+                 fuse: bool = True, kv_scale_dtype=None):
         if fuse:
             from ..models.transformer import fuse_params
 
@@ -153,6 +153,11 @@ class Engine:
         self.max_len = max_len
         self.kv_dtype = kv_dtype
         self.kv_quantized = kv_quantized
+        # bf16 KV scales by default (half the scale footprint/stream);
+        # f32 pins bit-stable logits for strict-reproducibility use
+        # (near-tie argmax can differ between the m=1 GEMV and batched
+        # verify kernels at bf16-scale noise level)
+        self.kv_scale_dtype = kv_scale_dtype
         self.buckets = tuple(b for b in buckets if b <= max_len) or (max_len,)
         if self.buckets[-1] < max_len:
             self.buckets = self.buckets + (max_len,)
@@ -190,7 +195,7 @@ class Engine:
         return kvc.init_cache(
             self.cfg.n_layers, self.max_batch, self.max_len,
             self.cfg.n_kv_heads, self.cfg.head_dim, self.kv_dtype,
-            self.kv_quantized,
+            self.kv_quantized, scale_dtype=self.kv_scale_dtype,
         )
 
     # -- scheduler step methods -----------------------------------------

@@ -331,9 +331,9 @@ def test_fused_append_writes_cache():
 
 @pytest.mark.parametrize("fused", [False, True])
 def test_deferred_append_engine_equivalence(monkeypatch, fused):
-    """NST_DEFER_APPEND=1 end-to-end: the engine decode step's logits
-    match the append-first path within quantization tolerance of the
-    self column, and the cache ends up IDENTICAL (the append still
+    """Deferred/fused KV append end-to-end: the engine decode step's
+    logits match the append-first path within quantization tolerance of
+    the self column, and the cache ends up IDENTICAL (the append still
     happens, just off the critical path).  fused=True routes the append
     through the in-kernel aliased-row write instead of the RMW
     dispatches — same contract."""
@@ -349,14 +349,14 @@ def test_deferred_append_engine_equivalence(monkeypatch, fused):
     )
     params = synth_params(cfg, QSpec(QType.INT, 4, 64, True))
     prompt = [5, 9, 2, 44, 17, 3]
-    monkeypatch.setenv("NST_FUSED_APPEND", "1" if fused else "0")
+    mode = "fused" if fused else "defer"
 
     # fixed token stream: argmax feedback on a random tiny model would
     # diverge on near-tie logits and invalidate the cache comparison
     toks = [7, 21, 3, 90]
 
     def run(defer):
-        monkeypatch.setenv("NST_DEFER_APPEND", "1" if defer else "0")
+        monkeypatch.setenv("NST_KV_APPEND", mode if defer else "plain")
         eng = Engine(params, cfg, max_batch=1, max_len=128,
                      kv_quantized=True)
         eng.prefill([prompt])

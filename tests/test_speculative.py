@@ -233,8 +233,15 @@ def test_scheduler_speculative_quantized_kv():
     params = synth_params(cfg, named_qspec("int4", group_size=32))
 
     def eng():
+        # f32 KV scales: spec-vs-plain EXACT equality needs bit-stable
+        # logits — at bf16-scale noise the m=1 GEMV and batched verify
+        # kernels can break a near-tie argmax differently on this tiny
+        # random model (both outcomes are valid greedy; the strict
+        # contract is offered via Engine(kv_scale_dtype=jnp.float32))
+        import jax.numpy as jnp
+
         return Engine(params, cfg, max_batch=2, max_len=256,
-                      kv_quantized=True)
+                      kv_quantized=True, kv_scale_dtype=jnp.float32)
 
     prompts = [list(range(1, 9)) * 4, list(range(40, 48)) * 3]
     sp = SamplingParams(do_sample=False)
