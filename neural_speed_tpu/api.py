@@ -567,17 +567,41 @@ class AudioModel:
         dist = dict(zip(codes, probs.tolist()))
         return max(dist, key=dist.get), dist
 
+    @staticmethod
+    def _compression_ratio(data: bytes) -> float:
+        """zlib compression ratio of the decoded text — whisper.cpp's
+        repetition detector (highly repetitive loops compress absurdly
+        well)."""
+        import zlib
+
+        if not data:
+            return 0.0
+        return len(data) / max(len(zlib.compress(data)), 1)
+
     def transcribe(self, audio, language: str = "en",
                    task: str = "transcribe", max_new_tokens: int = 224,
-                   timestamps: bool = False):
+                   timestamps: bool = False,
+                   temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                   compression_ratio_threshold: float = 2.4,
+                   logprob_threshold: float = -1.0):
         """audio: float PCM @16kHz (numpy) or a .wav path.  With
         `timestamps=True` returns [(start_s, end_s, text)] segments.
         `language="auto"` runs language detection first (whisper.cpp
-        auto-detect semantics)."""
+        auto-detect semantics).
+
+        Temperature fallback (parity: whisper.cpp whisper_full's
+        `temperature`/`temperature_inc` ladder with the
+        compression-ratio and avg-logprob quality gates,
+        whisper.h:204-230): decode greedily first; if the output is
+        degenerate (compression ratio > threshold: repetition loop) or
+        low-confidence (avg logprob < threshold), retry at the next
+        temperature.  Pass a single float (or (t,)) to disable."""
         if isinstance(audio, str):
             audio = load_wav(audio)
         if language == "auto":
             language, _ = self.detect_language(audio)
+        if isinstance(temperature, (int, float)):
+            temperature = (float(temperature),)
         forced = self.forced_ids(language, task)
         ts_begin = None
         if timestamps:
@@ -588,8 +612,23 @@ class AudioModel:
             ts_begin = (self.tokenizer.convert_tokens_to_ids("<|0.00|>")
                         if self.tokenizer is not None else 50364)
         states, enc_lens = self.model.encode_audio(audio)
-        ids = self.model.generate(states, enc_lens, forced, max_new_tokens,
-                                  timestamp_begin=ts_begin)
+        ids = None
+        for ti, temp in enumerate(temperature):
+            ids = self.model.generate(states, enc_lens, forced,
+                                      max_new_tokens,
+                                      timestamp_begin=ts_begin,
+                                      temperature=temp, seed=ti)
+            if ti == len(temperature) - 1:
+                break
+            # quality gates (whisper.cpp decoder_should_retry semantics)
+            if self.model.last_avg_logprob < logprob_threshold:
+                continue
+            if self.tokenizer is not None:
+                text = self.tokenizer.decode(ids, skip_special_tokens=True)
+                if self._compression_ratio(
+                        text.encode()) > compression_ratio_threshold:
+                    continue
+            break
         if timestamps:
             segs = self.model.segments(ids, ts_begin)
             if self.tokenizer is None:

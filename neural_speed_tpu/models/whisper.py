@@ -218,15 +218,23 @@ class WhisperModel:
 
     def generate(self, enc_states, enc_lens, forced_ids: List[int],
                  max_new_tokens: int = 128,
-                 timestamp_begin: Optional[int] = None) -> List[int]:
-        """Greedy decode given the forced decoder prefix
-        (<|startoftranscript|> [lang] [task] ...).
+                 timestamp_begin: Optional[int] = None,
+                 temperature: float = 0.0,
+                 seed: int = 0) -> List[int]:
+        """Decode given the forced decoder prefix
+        (<|startoftranscript|> [lang] [task] ...) — greedy at
+        temperature 0, softmax sampling above (the whisper.cpp
+        temperature-fallback ladder's sampled rungs; whisper.h:204-230
+        `temperature` / `temperature_inc`).
 
         `timestamp_begin`: vocab id of <|0.00|> enables timestamp decoding
         with the whisper rules (parity: the reference's timestamp decoding,
         whisper.cpp): timestamps are emitted in non-decreasing pairs, and a
         timestamp is forced whenever the total timestamp probability
-        exceeds the best text token."""
+        exceeds the best text token.  Tracks per-token logprobs of the
+        chosen ids in `self.last_avg_logprob` (fallback quality gate)."""
+        self._rng = np.random.default_rng(seed)
+        self._logprobs: List[float] = []
         cfg = self.cfg
         b = enc_states.shape[0]
         cache = kvc.init_cache(cfg.decoder_layers, b,
@@ -244,7 +252,7 @@ class WhisperModel:
         )
         cache = kvc.set_lengths(cache, kv_lens)
         out = list(prefix)
-        tok = self._pick(logits[0, -1], out, timestamp_begin)
+        tok = self._pick(logits[0, -1], out, timestamp_begin, temperature)
         for _ in range(max_new_tokens):
             out.append(tok)
             if tok == cfg.eos_token_id:
@@ -257,26 +265,46 @@ class WhisperModel:
                 cache, kv_lens, cross, enc_lens
             )
             cache = kvc.set_lengths(cache, kv_lens)
-            tok = self._pick(logits[0, -1], out, timestamp_begin)
+            tok = self._pick(logits[0, -1], out, timestamp_begin,
+                             temperature)
+        self.last_avg_logprob = (float(np.mean(self._logprobs))
+                                 if self._logprobs else 0.0)
         return out
 
+    def _finish(self, lg: np.ndarray, temperature: float) -> int:
+        """Pick from rule-masked logits (greedy or sampled) and record
+        the chosen token's logprob under the UNTEMPERED distribution
+        (whisper.cpp's avg-logprob quality gate)."""
+        x = lg - lg.max()
+        logz = np.log(np.exp(x[np.isfinite(x)]).sum())
+        if temperature <= 0.0:
+            tok = int(np.argmax(lg))
+        else:
+            xt = (lg - lg.max()) / temperature
+            p = np.where(np.isfinite(xt), np.exp(xt), 0.0)
+            p = p / p.sum()
+            tok = int(self._rng.choice(len(p), p=p))
+        self._logprobs.append(float(x[tok] - logz))
+        return tok
+
     def _pick(self, logits, generated: List[int],
-              ts_begin: Optional[int]) -> int:
-        """Greedy argmax, with the whisper timestamp rules applied when
-        timestamp decoding is on."""
+              ts_begin: Optional[int], temperature: float = 0.0) -> int:
+        """Greedy argmax (or sampled at temperature > 0), with the whisper
+        timestamp rules applied when timestamp decoding is on."""
         if ts_begin is None:
-            return int(jnp.argmax(logits))
+            return self._finish(np.asarray(logits, np.float32).copy(),
+                                temperature)
         lg = np.asarray(logits, np.float32).copy()
         last_was_ts = bool(generated) and generated[-1] >= ts_begin
         penul_was_ts = len(generated) > 1 and generated[-2] >= ts_begin
         if last_was_ts and not penul_was_ts:
             # second of a pair: must be a timestamp (same or later)
             lg[: generated[-1]] = -np.inf
-            return int(np.argmax(lg))
+            return self._finish(lg, temperature)
         if last_was_ts and penul_was_ts:
             # a closed pair: next must be text or EOS
             lg[ts_begin:] = -np.inf
-            return int(np.argmax(lg))
+            return self._finish(lg, temperature)
         # monotonicity: never go back before the latest timestamp
         latest = max((t for t in generated if t >= ts_begin),
                      default=ts_begin)
@@ -286,7 +314,7 @@ class WhisperModel:
         probs = np.exp(x) / np.exp(x).sum()
         if probs[ts_begin:].sum() > probs[: ts_begin].max():
             lg[: ts_begin] = -np.inf
-        return int(np.argmax(lg))
+        return self._finish(lg, temperature)
 
     def segments(self, ids: List[int], timestamp_begin: int,
                  time_precision: float = 0.02):

@@ -87,15 +87,26 @@ class PagedKVCache:
 def init_paged_cache(layers: int, batch: int, max_len: int, kv_heads: int,
                      head_dim: int, n_pages: int, page_size: int = 128,
                      dtype=jnp.bfloat16,
-                     quantized: bool = False) -> PagedKVCache:
+                     quantized: bool = False,
+                     scale_dtype=None) -> PagedKVCache:
     assert max_len % page_size == 0
     n_blocks = max_len // page_size
     shape = (layers, kv_heads, n_pages, page_size, head_dim)
     if quantized:
+        if scale_dtype is None:
+            # same default as the contiguous cache (kv_cache.init_cache):
+            # bf16 scales halve the scale footprint/stream; every writer
+            # casts on store so pool contents stay path-consistent
+            import os
+
+            scale_dtype = (jnp.float32
+                           if os.environ.get("NST_KV_SCALE_DTYPE", "bf16")
+                           in ("f32", "float32")
+                           else jnp.bfloat16)
         k = jnp.zeros(shape, jnp.int8)
         v = jnp.zeros(shape, jnp.int8)
-        ks = jnp.zeros(shape[:3] + (1, page_size), jnp.float32)
-        vs = jnp.zeros(shape[:3] + (1, page_size), jnp.float32)
+        ks = jnp.zeros(shape[:3] + (1, page_size), scale_dtype)
+        vs = jnp.zeros(shape[:3] + (1, page_size), scale_dtype)
     else:
         k = jnp.zeros(shape, dtype)
         v = jnp.zeros(shape, dtype)

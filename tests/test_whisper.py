@@ -143,6 +143,52 @@ def test_detect_language_matches_hf(hf_whisper, features):
     assert int(np.argmax(probs)) == int(np.argmax(ref))
 
 
+def test_temperature_sampling_and_logprob(hf_whisper, features):
+    """Temperature > 0 samples (whisper.cpp fallback-ladder rungs);
+    temperature 0 stays greedy and records avg logprob of chosen ids."""
+    m, params, cfg = hf_whisper
+    wm = W.WhisperModel(params, cfg)
+    enc = W.encode(params, cfg, jnp.asarray(features)[None])
+    enc_lens = jnp.full((1,), enc.shape[1], jnp.int32)
+    dec_in = [50259, 50359, 50363]
+    g0 = wm.generate(enc, enc_lens, dec_in, 8, temperature=0.0)
+    g0b = wm.generate(enc, enc_lens, dec_in, 8, temperature=0.0)
+    assert g0 == g0b                       # greedy is deterministic
+    assert wm.last_avg_logprob <= 0.0      # a real logprob
+    s1 = wm.generate(enc, enc_lens, dec_in, 8, temperature=1.0, seed=1)
+    s2 = wm.generate(enc, enc_lens, dec_in, 8, temperature=1.0, seed=2)
+    # near-uniform random-model logits: different seeds should diverge
+    assert s1 != s2 or s1 != g0
+
+
+def test_transcribe_temperature_fallback(hf_whisper, tmp_path):
+    """AudioModel.transcribe retries at higher temperature when the
+    avg-logprob gate fails (logprob_threshold=0.0 always fails: every
+    rung runs; a permissive threshold accepts the greedy rung)."""
+    import neural_speed_tpu.api as api
+
+    m, params, cfg = hf_whisper
+    am = api.AudioModel()
+    am.model = W.WhisperModel(params, cfg)
+    am.tokenizer = None
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    greedy = am.transcribe(audio, language="en", max_new_tokens=6,
+                           temperature=0.0)
+    accepted = am.transcribe(audio, language="en", max_new_tokens=6,
+                             temperature=(0.0, 0.5),
+                             logprob_threshold=-1e9)
+    assert accepted == greedy              # gate passes -> greedy kept
+    forced_retry = am.transcribe(audio, language="en", max_new_tokens=6,
+                                 temperature=(0.0, 1.0),
+                                 logprob_threshold=0.0)
+    assert isinstance(forced_retry, list)  # ladder exhausted -> last rung
+    # compression-ratio helper: repetitive text compresses well
+    assert api.AudioModel._compression_ratio(b"ab" * 200) > 2.4
+    assert api.AudioModel._compression_ratio(
+        np.random.default_rng(0).bytes(400)) < 1.2
+
+
 def test_timestamp_rules(hf_whisper, features):
     """Timestamp decoding obeys the whisper rules: pairs, monotone, text
     between pairs; segments() splits them."""
