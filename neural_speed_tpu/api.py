@@ -522,13 +522,15 @@ class AudioModel:
             self.tokenizer = None
         return self
 
-    # whisper's 99 language codes (whisper.cpp g_lang map order)
+    # whisper's language codes (whisper.cpp g_lang map order; "yue" is
+    # the 100th language added with large-v3 tokenizers — probing a
+    # token the tokenizer lacks is harmless, _lang_token_ids filters)
     LANGUAGES = (
         "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he "
         "uk el ms cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa "
         "lv bn sr az sl kn et mk br eu is hy ne mn bs kk sq sw gl mr pa "
         "si km sn yo so af oc ka be tg sd gu am yi lo uz fo ht ps tk nn "
-        "mt sa lb my bo tl mg as tt haw ln ha ba jw su"
+        "mt sa lb my bo tl mg as tt haw ln ha ba jw su yue"
     ).split()
 
     def forced_ids(self, language: str = "en", task: str = "transcribe"):
@@ -598,10 +600,18 @@ class AudioModel:
         temperature.  Pass a single float (or (t,)) to disable."""
         if isinstance(audio, str):
             audio = load_wav(audio)
-        if language == "auto":
-            language, _ = self.detect_language(audio)
         if isinstance(temperature, (int, float)):
             temperature = (float(temperature),)
+        states = enc_lens = None
+        if language == "auto":
+            # encode ONCE and reuse the states for both detection and
+            # transcription (whisper.cpp reuses the encoder output too)
+            codes, ids_ = self._lang_token_ids()
+            if not ids_:
+                raise ValueError("tokenizer has no language tokens")
+            states, enc_lens = self.model.encode_audio(audio)
+            probs = self.model.detect_language(states, enc_lens, ids_)
+            language = codes[int(np.argmax(probs))]
         forced = self.forced_ids(language, task)
         ts_begin = None
         if timestamps:
@@ -611,7 +621,8 @@ class AudioModel:
                           "<|notimestamps|>")]
             ts_begin = (self.tokenizer.convert_tokens_to_ids("<|0.00|>")
                         if self.tokenizer is not None else 50364)
-        states, enc_lens = self.model.encode_audio(audio)
+        if states is None:
+            states, enc_lens = self.model.encode_audio(audio)
         ids = None
         for ti, temp in enumerate(temperature):
             ids = self.model.generate(states, enc_lens, forced,

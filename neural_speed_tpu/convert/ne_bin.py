@@ -95,9 +95,10 @@ class NEBinReader:
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as f:
-            data = f.read()
-        self._buf = np.frombuffer(data, np.uint8)
+        # mmap: a 7B q4 file is ~4 GB — materializing it up front would
+        # double peak load memory (reference model_mmap parity)
+        self._buf = np.memmap(path, np.uint8, mode="r")
+        data = memoryview(self._buf)
         off = 0
 
         def u32():
@@ -137,15 +138,19 @@ class NEBinReader:
         hp.sep_token_id = i32()
         self.hparams = hp
 
-        # vocab: n_vocab x (len u32, bytes, score f32)
+        # vocab: n_vocab x (len u32, bytes[, score f32]) — the score was
+        # added in GGMF v1; legacy un-versioned 'ne' files carry none
+        # (reference load_ne_vocab gates on file_version, model_files.h:
+        # 1166-1170: version 0 reads no score)
         self.tokens: List[str] = []
         self.scores: List[float] = []
         for _ in range(hp.n_vocab):
             ln = u32()
             word = data[off:off + ln]
             off += ln
-            self.tokens.append(word.decode("utf-8", errors="replace"))
-            self.scores.append(f32())
+            self.tokens.append(bytes(word).decode("utf-8",
+                                                  errors="replace"))
+            self.scores.append(f32() if self.version >= 1 else 0.0)
 
         # tensor directory (read_tensor_metadata): entries to EOF
         self.tensors: Dict[str, NETensorInfo] = {}
@@ -155,7 +160,7 @@ class NEBinReader:
             name_len = u32()
             ttype = u32()
             ne = [u32() for _ in range(n_dims)]
-            name = data[off:off + name_len].decode("utf-8")
+            name = bytes(data[off:off + name_len]).decode("utf-8")
             off += name_len
             if self.version >= 1:
                 off = (off + 31) & ~31  # 32-byte data alignment
@@ -395,7 +400,8 @@ def write_llama_ne_bin(path: str, state_dict, hf_cfg: dict,
         freq_base=hf_cfg.get("rope_theta", 10000.0), freq_scale=1.0,
         bos_token_id=hf_cfg.get("bos_token_id", 1),
         eos_token_id=hf_cfg.get("eos_token_id", 2),
-        pad_token_id=hf_cfg.get("pad_token_id", -1) or -1,
+        pad_token_id=(-1 if hf_cfg.get("pad_token_id") is None
+                      else hf_cfg["pad_token_id"]),
     )
     w = NEBinWriter(path, hp)
     w.write_vocab(tokens, scores or [0.0] * len(tokens))

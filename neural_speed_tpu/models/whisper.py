@@ -267,8 +267,12 @@ class WhisperModel:
             cache = kvc.set_lengths(cache, kv_lens)
             tok = self._pick(logits[0, -1], out, timestamp_begin,
                              temperature)
-        self.last_avg_logprob = (float(np.mean(self._logprobs))
-                                 if self._logprobs else 0.0)
+        # average ONLY the kept tokens' logprobs: when the loop exhausts
+        # max_new_tokens the trailing _pick's token is discarded, and its
+        # (already-recorded) logprob must not sway the fallback gate
+        kept = len(out) - len(prefix)
+        self.last_avg_logprob = (float(np.mean(self._logprobs[:kept]))
+                                 if kept > 0 else 0.0)
         return out
 
     def _finish(self, lg: np.ndarray, temperature: float) -> int:

@@ -49,6 +49,15 @@ LANES = 128
 from .kv_cache import KV_SCALE_EPS  # noqa: E402
 
 
+# Sweep knobs resolved ONCE at import (per-process): reading env inside
+# traced code silently no-ops after the first trace in a process (the
+# same failure class as the round-3 NST_DEFER_APPEND kill switch).  The
+# on-chip sweeps run each arm in a fresh process, which is also the only
+# way a change could take effect.
+FLASH_HB_MAX = int(os.environ.get("NST_FLASH_HB", "8"))
+FLASH_BS_OVERRIDE = os.environ.get("NST_FLASH_BS")
+
+
 def flash_mode() -> str:
     """'auto' (TPU only, default) | 'on' | 'off' | 'interpret'."""
     return os.environ.get("NST_FLASH", "auto")
@@ -632,7 +641,7 @@ def _mha_packed(
     # blocked entry); NST_FLASH_HB sweeps 16/32 — fewer, larger DMAs per
     # program, the remaining decode-MHA lever at B=1 (73% of the KV-read
     # roofline).  Only the decode (rp <= 8) launcher is affected.
-    hb_max = int(os.environ.get("NST_FLASH_HB", "8"))
+    hb_max = FLASH_HB_MAX
     hb = 1
     for cand in (32, 16, 8, 4, 2, 1):
         if cand <= hb_max and hkv % cand == 0:
@@ -727,7 +736,7 @@ def extra_kv_eligible(t: int, n_heads: int, n_kv_heads: int) -> bool:
     gates drift and silently send decode to the fallback)."""
     if t * (n_heads // n_kv_heads) > 8:
         return False
-    hb_max = int(os.environ.get("NST_FLASH_HB", "8"))
+    hb_max = FLASH_HB_MAX
     hb = 1
     for cand in (32, 16, 8, 4, 2):
         if cand <= hb_max and n_kv_heads % cand == 0:
@@ -813,7 +822,7 @@ def mha(
     # MHA at 73% of the KV roofline may be leaving the same win).
     if rp <= 8:
         bs_default = 2048 if k.dtype == jnp.int8 else 1024
-        bs_target = int(os.environ.get("NST_FLASH_BS", str(bs_default)))
+        bs_target = int(FLASH_BS_OVERRIDE or bs_default)
     else:
         bs_target = 512
     block_s = 128

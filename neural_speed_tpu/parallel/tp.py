@@ -325,7 +325,7 @@ class TPEngine(Engine):
     def __init__(self, params: Dict[str, Any], cfg: ArchConfig, mesh: Mesh,
                  max_batch: int = 1, max_len: int = 2048,
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
-                 buckets=None, fuse: bool = False):
+                 buckets=None, fuse: bool = False, kv_scale_dtype=None):
         from ..runtime.engine import DEFAULT_BUCKETS
 
         if cfg.rope_style == "chatglm":
@@ -344,7 +344,8 @@ class TPEngine(Engine):
         sharded, self._specs = shard_params(params, cfg, mesh)
         super().__init__(sharded, cfg, max_batch=max_batch, max_len=max_len,
                          kv_dtype=kv_dtype, kv_quantized=kv_quantized,
-                         buckets=buckets or DEFAULT_BUCKETS, fuse=False)
+                         buckets=buckets or DEFAULT_BUCKETS, fuse=False,
+                         kv_scale_dtype=kv_scale_dtype)
         self._step = make_tp_step(self.cfg, mesh, self._specs,
                                   paged=type(self).PAGED)
         self._step_params = self.params
@@ -492,7 +493,7 @@ class PagedTPEngine(TPEngine):
                  max_batch: int = 1, max_len: int = 2048,
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
                  buckets=None, n_pages=None, page_size: int = 128,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, kv_scale_dtype=None):
         from ..ops import paged_kv as pkv
 
         if mesh.shape.get("dp", 1) > 1:
@@ -514,7 +515,7 @@ class PagedTPEngine(TPEngine):
         super().__init__(params, cfg, mesh, max_batch=max_batch,
                          max_len=max_len, kv_dtype=kv_dtype,
                          kv_quantized=kv_quantized, buckets=buckets,
-                         fuse=False)
+                         fuse=False, kv_scale_dtype=kv_scale_dtype)
 
     def prefill(self, prompts):
         self.prepare_prefill(range(len(prompts)),

@@ -467,7 +467,7 @@ class PagedEngine(Engine):
                  kv_dtype=jnp.bfloat16, kv_quantized: bool = False,
                  buckets=DEFAULT_BUCKETS, fuse: bool = True,
                  n_pages: Optional[int] = None, page_size: int = 128,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, kv_scale_dtype=None):
         from ..ops import paged_kv as pkv
 
         self.page_size = page_size
@@ -496,7 +496,8 @@ class PagedEngine(Engine):
                     "KV depends on the full prompt, not just the prefix")
             self.prefix = pkv.PrefixPageCache(self._alloc, page_size)
         super().__init__(params, cfg, max_batch, max_len, kv_dtype,
-                         kv_quantized, buckets, fuse)
+                         kv_quantized, buckets, fuse,
+                         kv_scale_dtype=kv_scale_dtype)
 
     def new_cache(self):
         from ..ops import paged_kv as pkv
@@ -505,6 +506,7 @@ class PagedEngine(Engine):
             self.cfg.n_layers, self.max_batch, self.max_len,
             self.cfg.n_kv_heads, self.cfg.head_dim, self.n_pages,
             self.page_size, self.kv_dtype, self.kv_quantized,
+            scale_dtype=self.kv_scale_dtype,
         )
 
     def _sync_tables(self):
