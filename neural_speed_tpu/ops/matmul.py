@@ -33,6 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .qtypes import QSpec, QType, plane_widths
 from .quantize import QTensor, decode_lut, dequantize, unpack_plane
 
+# prefill M-block sweep knob, resolved once at import (env reads inside
+# traced code no-op after the first trace); 0 = default policy
+import os as _os
+
+GEMM_BM_OVERRIDE = int(_os.environ.get("NST_GEMM_BM", "0"))
+
 
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
@@ -558,13 +564,21 @@ def _gemv_bn(n: int, col_bytes: int) -> int:
 
 
 def _choose_bm(m: int, k: int) -> int:
-    """M block: bounded so the resident [bm, K] x block stays ~2MB (VMEM
-    scoped budget); qmatmul pads M to a 256-multiple beyond 256."""
-    cap = max(8, (2 * 1024 * 1024) // (k * 2))
-    if m <= min(cap, 256):
+    """M block for prefill GEMMs.  Every (m-block, n-block) grid cell
+    re-streams its weight block, so the whole weight is read M/bm times
+    — at 7B prefill M=2048, bm=512 (vs the old 256) halves that
+    re-streaming: 329.8 -> 288.9 ms prefill@1975 on-chip (round 4),
+    decode unchanged.  The x block stays <= ~12MB of VMEM (512 rows at
+    the 7B down-proj K=11264 = 11.5MB, compiled + measured fine on
+    v5e).  NST_GEMM_BM (import-time sweep knob) overrides."""
+    if GEMM_BM_OVERRIDE:
+        ceil_ = GEMM_BM_OVERRIDE  # explicit sweep value: trust the caller
+    else:
+        ceil_ = min(max(8, (12 * 1024 * 1024) // (k * 2)), 512)
+    if m <= ceil_:
         return m
-    for bm in (256, 128, 64, 32, 16, 8):
-        if m % bm == 0 and bm <= cap:
+    for bm in (512, 256, 128, 64, 32, 16, 8):
+        if bm <= ceil_ and m % bm == 0:
             return bm
     return min(m, 8)
 
