@@ -56,6 +56,8 @@ from .kv_cache import KV_SCALE_EPS  # noqa: E402
 # way a change could take effect.
 FLASH_HB_MAX = int(os.environ.get("NST_FLASH_HB", "8"))
 FLASH_BS_OVERRIDE = os.environ.get("NST_FLASH_BS")
+FLASH_BR = int(os.environ.get("NST_FLASH_BR", "256"))
+FLASH_PREFILL_BS = int(os.environ.get("NST_FLASH_PREFILL_BS", "1024"))
 
 
 def flash_mode() -> str:
@@ -624,7 +626,13 @@ def _mha_packed(
     s = k.shape[-2]
     quantized = k_scale_t is not None
     use_alibi = slope_rows is not None
-    br = min(rp, 256)  # q-row block; rp is padded to a multiple of br
+    # q-row block (prefill): NST_FLASH_BR sweeps it.  Round-4 on-chip
+    # sweep at 7B prefill@1975 (BR/BS -> ms): 256/1024 = 270 (default,
+    # best), 256/2048 = 272, 256/512 = 283, 128/1024 = 286, 128/512 =
+    # 298, 256/256 = 306, 128/256 = 338 — larger tiles win (grid-cell
+    # overhead dominates, NOT vreg pressure from the [BR, BS] f32
+    # score tile).
+    br = min(rp, FLASH_BR)
     n_s = s // block_s
 
     if slope_rows is None:
@@ -824,7 +832,7 @@ def mha(
         bs_default = 2048 if k.dtype == jnp.int8 else 1024
         bs_target = int(FLASH_BS_OVERRIDE or bs_default)
     else:
-        bs_target = 512
+        bs_target = FLASH_PREFILL_BS
     block_s = 128
     for cand in (2048, 1024, 512, 256, 128):
         if cand <= bs_target and s % cand == 0:
