@@ -41,6 +41,7 @@ DT_F16 = 16
 DT_BF16 = 16 | (1 << _SUBTYPE_SHIFT)
 DT_S8 = 8 | _TYPE_INT
 DT_S4_CLIP = 4 | _TYPE_INT
+DT_S2_CLIP = 2 | _TYPE_INT
 DT_S3_CLIP = 3 | _TYPE_INT
 DT_S5_CLIP = 5 | _TYPE_INT
 DT_S6_CLIP = 6 | _TYPE_INT
@@ -121,26 +122,78 @@ class BTLAStorage:
             raise NotImplementedError("double-quant (DQ8_BNB) BTLA storage")
 
     # -- decode ----------------------------------------------------------
+    def _bit4_plane(self, buf) -> np.ndarray:
+        """[n] low-4-bit values from a bit4x2 plane (x = even el, LSBs)."""
+        lo = (buf & 0xF).astype(np.uint8)
+        hi = (buf >> 4).astype(np.uint8)
+        out = np.empty(buf.size * 2, np.uint8)
+        out[0::2] = lo
+        out[1::2] = hi
+        return out
+
+    @staticmethod
+    def _bit2_plane(buf) -> np.ndarray:
+        """[n] 2-bit values from a bit2x4 plane (a..d = LSB-first)."""
+        out = np.empty(buf.size * 4, np.uint8)
+        for i in range(4):
+            out[i::4] = (buf >> (2 * i)) & 0x3
+        return out
+
+    @staticmethod
+    def _bit1_plane(buf) -> np.ndarray:
+        """[n] bits from a bit1x8 plane (a..h = LSB-first)."""
+        out = np.empty(buf.size * 8, np.uint8)
+        for i in range(8):
+            out[i::8] = (buf >> i) & 0x1
+        return out
+
     def codes(self) -> np.ndarray:
         """Un-reorder the quantized weights -> unsigned codes [K, N]
-        (code = stored + 2^(bits-1), matching our QTensor convention)."""
+        (code = stored + 2^(bits-1), matching our QTensor convention).
+
+        Odd widths are bit-PLANE compressed in the reordered stream
+        (kernel_ref.h compress_{2,3,5,6,7}bit; plane offsets per
+        bestla_prologue_b.h compressBit*Weight): S3 = bit2 plane +
+        bit1 plane at n/4 bytes; S5 = bit4 + bit1 at n/2; S6 = bit4 +
+        bit2 at n/2; S7 = bit4 + bit2 at n/2 + bit1 at 3n/4."""
         kp, np_, nt, p = self.kpad, self.npad, self.ntile, self.pack_row
         n_elems = kp * np_
+        q = self.qbuf
         if self.dtype == DT_S4_CLIP:
-            b = self.qbuf[: n_elems // 2]
-            lo = (b & 0xF).astype(np.uint8)
-            hi = (b >> 4).astype(np.uint8)
-            stream = np.empty(n_elems, np.uint8)
-            stream[0::2] = lo       # stored nibble = s8 + 8 already
-            stream[1::2] = hi
+            stream = self._bit4_plane(q[: n_elems // 2])
         elif self.dtype == DT_S8:
-            stream = (self.qbuf[:n_elems].view(np.int8).astype(np.int16)
+            stream = (q[:n_elems].view(np.int8).astype(np.int16)
                       + 128).astype(np.uint8)
+        elif self.dtype == DT_S3_CLIP:
+            b2 = self._bit2_plane(q[: n_elems // 4])
+            b1 = self._bit1_plane(q[n_elems // 4: n_elems // 4
+                                    + n_elems // 8])
+            stream = (b2 | (b1 << 2)).astype(np.uint8)
+        elif self.dtype == DT_S5_CLIP:
+            b4 = self._bit4_plane(q[: n_elems // 2])
+            b1 = self._bit1_plane(q[n_elems // 2: n_elems // 2
+                                    + n_elems // 8])
+            stream = (b4 | (b1 << 4)).astype(np.uint8)
+        elif self.dtype == DT_S6_CLIP:
+            b4 = self._bit4_plane(q[: n_elems // 2])
+            b2 = self._bit2_plane(q[n_elems // 2: n_elems // 2
+                                    + n_elems // 4])
+            stream = (b4 | (b2 << 4)).astype(np.uint8)
+        elif self.dtype == DT_S7_CLIP:
+            b4 = self._bit4_plane(q[: n_elems // 2])
+            b2 = self._bit2_plane(q[n_elems // 2: n_elems // 2
+                                    + n_elems // 4])
+            b1 = self._bit1_plane(
+                q[n_elems // 2 + n_elems // 4:
+                  n_elems // 2 + n_elems // 4 + n_elems // 8])
+            stream = (b4 | (b2 << 4) | (b1 << 6)).astype(np.uint8)
+        elif self.dtype == DT_S2_CLIP:
+            stream = self._bit2_plane(q[: n_elems // 4])
         else:
             raise NotImplementedError(
-                f"BTLA weight dtype {self.dtype:#x} (4/8-bit supported; "
-                "odd widths use bit-plane compression, re-quantize "
-                "instead)")
+                f"BTLA weight dtype {self.dtype:#x} (int 2-8 bit "
+                "supported; float f4/nf4/fp8 storages use LUT layouts — "
+                "re-quantize from the fp checkpoint instead)")
         # inverse of reorderWeight: [N/NTILE][KPad/P][NTILE][P] -> [K, N]
         arr = stream.reshape(np_ // nt, kp // p, nt, p)
         w = arr.transpose(1, 3, 0, 2).reshape(kp, np_)

@@ -54,5 +54,15 @@ int main() {
               BTLA_DTYPE::S4_CLIP, BTLA_DTYPE::F32, false);
   gen<I8Core>("s8_g128_sym_f32_vnni", 64, 256, 128,
               BTLA_DTYPE::S8, BTLA_DTYPE::F32, false);
+  gen<F32Core>("s3_g128_sym_f32_avx512f", 64, 256, 128,
+               BTLA_DTYPE::S3_CLIP, BTLA_DTYPE::F32, false);
+  gen<F32Core>("s5_g128_sym_f32_avx512f", 64, 256, 128,
+               BTLA_DTYPE::S5_CLIP, BTLA_DTYPE::F32, false);
+  gen<F32Core>("s6_g128_sym_f32_avx512f", 64, 256, 128,
+               BTLA_DTYPE::S6_CLIP, BTLA_DTYPE::F32, false);
+  gen<F32Core>("s7_g128_sym_f32_avx512f", 64, 256, 128,
+               BTLA_DTYPE::S7_CLIP, BTLA_DTYPE::F32, false);
+  gen<F32Core>("s2_g128_sym_f32_avx512f", 64, 256, 128,
+               BTLA_DTYPE::S2_CLIP, BTLA_DTYPE::F32, false);
   return 0;
 }

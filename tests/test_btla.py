@@ -25,6 +25,13 @@ FIXTURES = [
     ("s4_g128_sym_bf16_avx2", 24, 1, 128, False),
     ("s4_g128_sym_f32_vnni", 48, 4, 128, False),
     ("s8_g128_sym_f32_vnni", 48, 4, 128, False),
+    # odd widths: bit-plane compression (the reference's RECOMMENDED
+    # fastest next-token config is sym int3 g128, core/README.md:97-98)
+    ("s2_g128_sym_f32_avx512f", 48, 1, 128, False),
+    ("s3_g128_sym_f32_avx512f", 48, 1, 128, False),
+    ("s5_g128_sym_f32_avx512f", 48, 1, 128, False),
+    ("s6_g128_sym_f32_avx512f", 48, 1, 128, False),
+    ("s7_g128_sym_f32_avx512f", 48, 1, 128, False),
 ]
 
 
