@@ -393,3 +393,52 @@ def test_deferred_append_engine_equivalence(monkeypatch, fused):
     dk = np.abs(np.asarray(ref_cache.k, np.int32)
                 - np.asarray(got_cache.k, np.int32))
     assert dk.max() <= 2, f"layer>=1 codes drifted: max LSB delta {dk.max()}"
+
+
+def test_fused_append_engine_batched_mixed_slots(monkeypatch):
+    """Fused append with B=3 mixed-activity slots (the serving shape):
+    a spectator slot's cache must stay bit-identical to the plain path
+    and active slots' appends must land at their own rows."""
+    import jax
+
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.runtime.engine import Engine, decode_step
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(
+        name="llama", vocab_size=256, hidden_size=256, n_layers=2,
+        n_heads=8, n_kv_heads=4, intermediate_size=512,
+        max_position_embeddings=256,
+    )
+    params = synth_params(cfg, QSpec(QType.INT, 4, 64, True))
+    prompts = [[5, 9, 2, 44, 17, 3], [7, 21], [3, 3, 3, 8, 1, 9, 12]]
+    toks = jnp.array([11, 80, 200], jnp.int32)
+    # slot 1 is a spectator
+    active = jnp.array([True, False, True])
+
+    def run(mode):
+        monkeypatch.setenv("NST_KV_APPEND", mode)
+        eng = Engine(params, cfg, max_batch=3, max_len=128,
+                     kv_quantized=True)
+        eng.prefill(prompts)
+        for _ in range(3):
+            lg, eng.cache = decode_step(eng.params, eng.cfg, eng.cache,
+                                        toks, active)
+        return np.asarray(lg, np.float32), eng.cache
+
+    lg_p, c_p = run("plain")
+    lg_f, c_f = run("fused")
+    np.testing.assert_allclose(lg_f, lg_p, atol=6e-2, rtol=6e-2)
+    # spectator slot's whole cache is untouched and equal across paths
+    np.testing.assert_array_equal(np.asarray(c_p.k[:, 1]),
+                                  np.asarray(c_f.k[:, 1]))
+    np.testing.assert_array_equal(np.asarray(c_p.v[:, 1]),
+                                  np.asarray(c_f.v[:, 1]))
+    # layer-0 rows written by the active slots are bit-identical
+    np.testing.assert_array_equal(np.asarray(c_p.k[0, 0]),
+                                  np.asarray(c_f.k[0, 0]))
+    np.testing.assert_array_equal(np.asarray(c_p.k_scale[0, 2]),
+                                  np.asarray(c_f.k_scale[0, 2]))
+    np.testing.assert_array_equal(np.asarray(c_p.lengths),
+                                  np.asarray(c_f.lengths))
