@@ -344,12 +344,17 @@ def _defer_append(cfg: ArchConfig, cache, t: int, glm_lens) -> bool:
     flash.extra_kv_eligible — the single source of truth."""
     from ..ops import paged_kv as pkv
 
-    if _resolved_kv_append(cfg) == "plain":
+    mode = _resolved_kv_append(cfg)
+    if mode == "plain":
         return False
     if t != 1 or glm_lens is not None:
         return False
     if isinstance(cache, pkv.PagedKVCache):
-        return False
+        # the paged pool supports only the FUSED form (in-kernel aliased
+        # append through table-resolved windows) — plain "defer" would
+        # add the read-then-write copy hazard on top of the page scatter
+        if mode != "fused":
+            return False
     from ..ops import flash
 
     return (cache.quantized and flash.flash_enabled()

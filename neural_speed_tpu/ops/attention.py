@@ -178,6 +178,25 @@ def attention_cache(
     if isinstance(cache, pkv.PagedKVCache):
         if use_flash is None:
             use_flash = flash.flash_enabled()
+        if fused_append:
+            # paged twin of the contiguous fused path: one pallas call
+            # does attention AND writes the quantized new row/scale into
+            # the page pool through table-resolved aliased out windows
+            if not (cache.quantized and use_flash):
+                return None
+            res = flash.mha_paged(
+                q, cache, layer_idx, q_positions, kv_lens, scale=scale,
+                causal=causal, alibi=alibi, logit_softcap=logit_softcap,
+                out_dtype=out_dtype or q.dtype, extra_kv=extra_kv,
+                fused_append=True,
+            )
+            if res is None:
+                return None
+            out, (k2, v2, ks2, vs2) = res
+            import dataclasses
+
+            return out, dataclasses.replace(cache, k_pages=k2, v_pages=v2,
+                                            k_scale=ks2, v_scale=vs2)
         if use_flash:
             out = flash.mha_paged(
                 q, cache, layer_idx, q_positions, kv_lens, scale=scale,

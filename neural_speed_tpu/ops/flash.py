@@ -231,7 +231,7 @@ def _mha_kernel(
 def _mha_kernel_hblk(
     # scalar prefetch
     kvlen_ref,                    # [B] int32
-    # inputs
+    # inputs (paged=True: a table_ref scalar-prefetch arg precedes pos)
     pos_ref,                      # [1, BR, 1] int32
     slope_ref,                    # [HB, BR, 1] f32
     q_ref,                        # [1, HB, BR, D]
@@ -248,6 +248,7 @@ def _mha_kernel_hblk(
     hb: int,
     extra_kv: bool = False,
     fused_append: bool = False,
+    paged: bool = False,
 ):
     """Decode variant: HB KV heads per grid program.  One (HB x BS x D)
     DMA replaces HB tiny per-head fetches — at single-token decode the
@@ -260,7 +261,15 @@ def _mha_kernel_hblk(
     buffers are input_output-ALIASED, and this kernel quantizes the
     current token's k/v and writes the single new row + scale column
     through tiny aliased output blocks — the four per-layer RMW
-    dispatches disappear and their DMAs ride inside this call."""
+    dispatches disappear and their DMAs ride inside this call.
+
+    `paged`: the KV stream blocks come from the page pool
+    ([L, H, P, ps, D] / scales [L, H, P, 1, ps]) instead of the stacked
+    contiguous cache, so the fused-append window slices use the paged
+    block axis order; everything else (seeding, online softmax, window
+    patch math) is identical — block_s == page_size and grid step j is
+    the LOGICAL block index (the launcher's index maps resolve physical
+    pages via the scalar-prefetched table)."""
     knew_ref = vnew_ref = None
     if extra_kv:
         knew_ref, vnew_ref, *rest = rest
@@ -356,10 +365,16 @@ def _mha_kernel_hblk(
                               KV_SCALE_EPS) / 127.0
             kq = jnp.clip(jnp.round(kn / ksc), -127.0, 127.0)
             vq = jnp.clip(jnp.round(vn / vsc), -127.0, 127.0)
-            kold = k_ref[0, 0, :, pl.ds(wr, 8), :].reshape(
-                hb, 8, d_).astype(jnp.float32)
-            vold = v_ref[0, 0, :, pl.ds(wr, 8), :].reshape(
-                hb, 8, d_).astype(jnp.float32)
+            if paged:
+                kold = k_ref[0, :, 0, pl.ds(wr, 8), :].reshape(
+                    hb, 8, d_).astype(jnp.float32)
+                vold = v_ref[0, :, 0, pl.ds(wr, 8), :].reshape(
+                    hb, 8, d_).astype(jnp.float32)
+            else:
+                kold = k_ref[0, 0, :, pl.ds(wr, 8), :].reshape(
+                    hb, 8, d_).astype(jnp.float32)
+                vold = v_ref[0, 0, :, pl.ds(wr, 8), :].reshape(
+                    hb, 8, d_).astype(jnp.float32)
             rsel = jnp.logical_and(
                 jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) == off_r,
                 ok)
@@ -369,10 +384,16 @@ def _mha_kernel_hblk(
                 kout_ref.shape)
             vout_ref[...] = vwin.astype(vout_ref.dtype).reshape(
                 vout_ref.shape)
-            ksold = ks_ref[0, 0, :, pl.ds(ws, LANES)].reshape(
-                hb, LANES).astype(jnp.float32)
-            vsold = vs_ref[0, 0, :, pl.ds(ws, LANES)].reshape(
-                hb, LANES).astype(jnp.float32)
+            if paged:
+                ksold = ks_ref[0, :, 0, 0, pl.ds(ws, LANES)].reshape(
+                    hb, LANES).astype(jnp.float32)
+                vsold = vs_ref[0, :, 0, 0, pl.ds(ws, LANES)].reshape(
+                    hb, LANES).astype(jnp.float32)
+            else:
+                ksold = ks_ref[0, 0, :, pl.ds(ws, LANES)].reshape(
+                    hb, LANES).astype(jnp.float32)
+                vsold = vs_ref[0, 0, :, pl.ds(ws, LANES)].reshape(
+                    hb, LANES).astype(jnp.float32)
             lsel = jnp.logical_and(
                 jax.lax.broadcasted_iota(
                     jnp.int32, (1, LANES), 1) == off_s, ok)
@@ -969,14 +990,192 @@ def _mha_paged(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "softcap", "out_dtype", "interpret",
+                     "layer", "hb", "fused_append"),
+)
+def _mha_paged_hblk(
+    q4: jax.Array,                # [B, Hkv, Rp, D] bf16 (Rp <= 8)
+    k_pages: jax.Array,           # [L, Hkv, P, ps, D]
+    v_pages: jax.Array,
+    k_scale: Optional[jax.Array],     # [L, Hkv, P, 1, ps] or None
+    v_scale: Optional[jax.Array],
+    page_tables: jax.Array,       # [B, n_blocks] int32
+    pos_rows: jax.Array,          # [B, Rp, 1] int32
+    slope_rows: Optional[jax.Array],
+    kv_lens: jax.Array,           # [B] int32
+    *,
+    scale: float,
+    causal: bool,
+    softcap: float,
+    out_dtype,
+    interpret: bool,
+    layer: int,
+    hb: int,
+    k_new: Optional[jax.Array] = None,  # [B, Hkv, 1, D] f32
+    v_new: Optional[jax.Array] = None,
+    fused_append: bool = False,
+):
+    """Head-blocked PAGED decode launcher — the paged twin of
+    `_mha_packed_hblk`: HB KV heads per program (heads share the slot's
+    page table, so one (HB x ps x D) DMA per page), deferred-append
+    extra-kv seeding, and optional FUSED in-kernel append whose aliased
+    out windows resolve the physical page through the scalar-prefetched
+    table (the paged analogue of the contiguous fused append that won
+    +13.5% at B=16)."""
+    b, hkv, rp, d = q4.shape
+    ps = k_pages.shape[3]
+    n_blocks = page_tables.shape[1]
+    quantized = k_scale is not None
+    use_alibi = slope_rows is not None
+    if slope_rows is None:
+        slope_rows = jnp.zeros((hkv, rp, 1), jnp.float32)
+
+    grid = (b, hkv // hb, 1, n_blocks)
+    kv_spec = pl.BlockSpec(
+        (1, hb, 1, ps, d),
+        lambda bi, h, r, j, lens, tbl: (layer, h, tbl[bi, j], 0, 0),
+    )
+    sc_spec = pl.BlockSpec(
+        (1, hb, 1, 1, ps),
+        lambda bi, h, r, j, lens, tbl: (layer, h, tbl[bi, j], 0, 0),
+    )
+    in_specs = [
+        pl.BlockSpec((1, rp, 1), lambda bi, h, r, j, *_: (bi, 0, 0)),
+        pl.BlockSpec((hb, rp, 1), lambda bi, h, r, j, *_: (h, 0, 0)),
+        pl.BlockSpec((1, hb, rp, d),
+                     lambda bi, h, r, j, *_: (bi, h, 0, 0)),
+        kv_spec,
+        kv_spec,
+    ]
+    args = [pos_rows, slope_rows, q4, k_pages, v_pages]
+    if k_new is not None:
+        new_spec = pl.BlockSpec((1, hb, 1, d),
+                                lambda bi, h, r, j, *_: (bi, h, 0, 0))
+        in_specs += [new_spec, new_spec]
+        args += [k_new, v_new]
+    if quantized:
+        in_specs += [sc_spec, sc_spec]
+        args += [k_scale, v_scale]
+    n_prefetch = 2
+    if fused_append:
+        assert quantized and k_new is not None
+        # Window-target vector [B, 3] = (physical page, 8-row block,
+        # 128-lane block), PRECOMPUTED outside the kernel: active slots
+        # target their own tail page; spectators park on the reserved
+        # TRASH page (pool row P-1) — their table rows may alias pages
+        # now owned by OTHER slots (released/rebuilt tables), and a
+        # stale window write-back racing the owner's patch would corrupt
+        # it.  Identical semantics to pkv.append_decode's trash parking.
+        row = jnp.maximum(kv_lens - 1, 0).astype(jnp.int32)       # [B]
+        act = pos_rows[:, 0, 0].astype(jnp.int32) == (
+            kv_lens.astype(jnp.int32) - 1)
+        trash = k_pages.shape[2] - 1  # reserved trash page
+        phys = jnp.take_along_axis(
+            page_tables.astype(jnp.int32), (row // ps)[:, None],
+            axis=1)[:, 0]
+        win_idx = jnp.stack([
+            jnp.where(act, phys, trash),
+            jnp.where(act, jax.lax.rem(row, ps) // 8, 0),
+            jnp.where(act, jax.lax.rem(row, ps) // LANES, 0),
+        ], axis=1)
+        n_prefetch = 3
+
+        krow_spec = pl.BlockSpec(
+            (1, hb, 1, 8, d),
+            lambda bi, h, r, j, lens, tbl, win: (
+                layer, h, win[bi, 0], win[bi, 1], 0))
+        srow_spec = pl.BlockSpec(
+            (1, hb, 1, 1, LANES),
+            lambda bi, h, r, j, lens, tbl, win: (
+                layer, h, win[bi, 0], 0, win[bi, 2]))
+        # the streaming/pos/q/new specs must accept the extra prefetch
+        # ref (they take *_, so only kv/sc_spec need rebinding)
+        kv_spec = pl.BlockSpec(
+            (1, hb, 1, ps, d),
+            lambda bi, h, r, j, lens, tbl, win: (layer, h, tbl[bi, j],
+                                                 0, 0))
+        sc_spec = pl.BlockSpec(
+            (1, hb, 1, 1, ps),
+            lambda bi, h, r, j, lens, tbl, win: (layer, h, tbl[bi, j],
+                                                 0, 0))
+        in_specs[3] = kv_spec
+        in_specs[4] = kv_spec
+        in_specs[-2] = sc_spec
+        in_specs[-1] = sc_spec
+
+    def kernel(kvlen_ref, table_ref, *rest):
+        # table_ref (and win_idx when fused) feed the index maps only
+        if n_prefetch == 3:
+            _win_ref, *rest = rest
+        _mha_kernel_hblk(kvlen_ref, *rest, quantized=quantized,
+                         causal=causal, use_alibi=use_alibi,
+                         softcap=softcap, sm_scale=scale, block_s=ps,
+                         n_s=n_blocks, hb=hb, extra_kv=k_new is not None,
+                         fused_append=fused_append, paged=True)
+
+    out_specs = pl.BlockSpec(
+        (1, hb, rp, d), lambda bi, h, r, j, *_: (bi, h, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b, hkv, rp, d), out_dtype)
+    aliases = {}
+    if fused_append:
+        out_specs = (out_specs, krow_spec, krow_spec, srow_spec, srow_spec)
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        )
+        # flat inputs: lens, tables, pos, slope, q4, k, v, knew, vnew,
+        # ks, vs -> pool arrays appear exactly once; copy-free alias
+        aliases = {5: 1, 6: 2, 9: 3, 10: 4}
+    prefetch_args = [kv_lens.astype(jnp.int32),
+                     page_tables.astype(jnp.int32)]
+    if n_prefetch == 3:
+        prefetch_args.append(win_idx.astype(jnp.int32))
+        # alias indices shift by the extra prefetch operand
+        aliases = {k + 1: v for k, v in aliases.items()}
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((hb, rp, LANES), jnp.float32),
+                pltpu.VMEM((hb, rp, LANES), jnp.float32),
+                pltpu.VMEM((hb, rp, d), jnp.float32),
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*prefetch_args, *args)
+    return res
+
+
 def mha_paged(q, cache, layer: int, q_positions, kv_lens, *, scale,
-              causal=True, alibi=None, logit_softcap=0.0, out_dtype=None):
+              causal=True, alibi=None, logit_softcap=0.0, out_dtype=None,
+              extra_kv=None, fused_append: bool = False):
     """Flash attention over a PagedKVCache layer.  Same GQA row packing as
-    `mha`; KV blocks stream page by page via the prefetched page table."""
+    `mha`; KV blocks stream page by page via the prefetched page table.
+    `extra_kv`/`fused_append`: deferred / in-kernel paged append (decode
+    only — see `_mha_paged_hblk`); fused returns (out, (k', v', ks', vs'))."""
     b, t, h, d = q.shape
     hkv = cache.kv_heads
     if not _head_dim_ok(d) or cache.page_size % 128:
         warn_fallback("mha_paged", d, cache.page_size)
+        return None
+    if extra_kv is not None and not extra_kv_eligible(t, h, hkv):
+        return None
+    if fused_append and (extra_kv is None or cache.k_scale is None):
         return None
     n_rep = h // hkv
     r = n_rep * t
@@ -1000,6 +1199,33 @@ def mha_paged(q, cache, layer: int, q_positions, kv_lens, *, scale,
         if rp != r:
             sl = jnp.pad(sl, ((0, 0), (0, rp - r)))
         slope_rows = sl[..., None]
+
+    interpret = flash_mode() == "interpret"
+    if extra_kv is not None:
+        hb = 1
+        for cand in (32, 16, 8, 4, 2):
+            if cand <= FLASH_HB_MAX and hkv % cand == 0:
+                hb = cand
+                break
+        k_new = extra_kv[0].transpose(0, 2, 1, 3).astype(jnp.float32)
+        v_new = extra_kv[1].transpose(0, 2, 1, 3).astype(jnp.float32)
+        res = _mha_paged_hblk(
+            q4, cache.k_pages, cache.v_pages, cache.k_scale, cache.v_scale,
+            cache.page_tables, pos_rows, slope_rows, kv_lens,
+            scale=float(scale), causal=causal, softcap=float(logit_softcap),
+            out_dtype=out_dtype, interpret=interpret, layer=layer, hb=hb,
+            k_new=k_new, v_new=v_new, fused_append=fused_append,
+        )
+        cache_out = None
+        if fused_append:
+            out, *cache_out = res
+        else:
+            out = res
+        out = out[:, :, :r].reshape(b, hkv, n_rep, t, d)
+        out = out.transpose(0, 3, 1, 2, 4).reshape(b, t, h, d)
+        if fused_append:
+            return out, tuple(cache_out)
+        return out
 
     out = _mha_paged(
         q4, cache.k_pages, cache.v_pages, cache.k_scale, cache.v_scale,

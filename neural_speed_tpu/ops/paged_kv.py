@@ -408,8 +408,10 @@ def append_span(cache: PagedKVCache, layer: int, k_new: jax.Array,
         v = v.at[layer, hidx, ridx].set(vc)
         kscale = cache.k_scale.reshape(cache.layers, cache.kv_heads, 1, -1)
         vscale = cache.v_scale.reshape(cache.layers, cache.kv_heads, 1, -1)
-        kscale = kscale.at[layer, hidx, 0, ridx].set(ks[..., 0])
-        vscale = vscale.at[layer, hidx, 0, ridx].set(vs[..., 0])
+        kscale = kscale.at[layer, hidx, 0, ridx].set(
+            ks[..., 0].astype(kscale.dtype))
+        vscale = vscale.at[layer, hidx, 0, ridx].set(
+            vs[..., 0].astype(vscale.dtype))
         return dataclasses.replace(
             cache,
             k_pages=k.reshape(cache.k_pages.shape),

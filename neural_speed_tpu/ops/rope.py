@@ -114,18 +114,21 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
     rd = rot_dim or d
     half = rd // 2
     xr, xp = x[..., :rd], x[..., rd:]
-    # add head axis to cos/sin: [..., T, 1, half]
+    # add head axis to cos/sin: [..., T, 1, half].  The math runs in f32
+    # via dtype PROMOTION against the f32 cos/sin (bf16 inputs are exact
+    # in f32, so results are identical to an explicit upcast) — an
+    # explicit xr.astype(f32) materialized a whole-tensor f32 temp
+    # (2 x 128 MB at B=16 prefill: the round-4 bf16-KV bench16 OOM).
     c = cos[..., None, :].astype(jnp.float32)
     s = sin[..., None, :].astype(jnp.float32)
-    xf = xr.astype(jnp.float32)
     if style == "neox":
-        x1, x2 = xf[..., :half], xf[..., half:]
+        x1, x2 = xr[..., :half], xr[..., half:]
         out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
     elif style == "gptj":
-        x1, x2 = xf[..., 0::2], xf[..., 1::2]
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
         o1 = x1 * c - x2 * s
         o2 = x2 * c + x1 * s
-        out = jnp.stack([o1, o2], axis=-1).reshape(xf.shape)
+        out = jnp.stack([o1, o2], axis=-1).reshape(xr.shape)
     else:
         raise ValueError(f"unknown rope style {style}")
     out = out.astype(x.dtype)

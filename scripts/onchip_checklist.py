@@ -154,13 +154,19 @@ for name, cls, kw in [("contig", Engine, {}),
     prompts = [[1] * 64 for _ in range(B)]
     eng.prefill(prompts)
     import neural_speed_tpu.ops.kv_cache as kvc
-    toks = jnp.ones((B,), jnp.int32)
     act = jnp.ones((B,), bool)
+    seq = [0]
     def run(n):
+        # DATA-DEPENDENT token chain (argmax feedback + per-call seed):
+        # identical dispatches get deduped by the tunnel — the round-3/4
+        # leg runs with a fixed token printed impossible rates
+        seq[0] += 1
+        toks = jnp.full((B,), seq[0] % 1000 + 1, jnp.int32)
         t0 = time.time()
         for i in range(n):
             lg = eng.decode(toks, act)
-        lg.block_until_ready()
+            toks = jnp.argmax(lg, -1).astype(jnp.int32)
+        int(toks[0])
         return time.time() - t0
     run(4)
     t1, t2 = run(8), run(24)
@@ -379,6 +385,44 @@ else:
     print(f"fused append B=4 mixed: {neq} mismatched elements", flush=True)
     if neq:
         fails.append("fused append B=4 cache")
+
+# --- PAGED fused append (round 4): table-resolved aliased windows under
+# real Mosaic — mixed active/spectator slots, shuffled pages, pool must
+# match pkv.append_decode on every live page
+from neural_speed_tpu.ops import paged_kv as pkv
+Lp, bp, ps, npg, nblk = 2, 3, 128, 8, 2
+kfp = jnp.asarray(rng.standard_normal((Lp, hkv, npg, ps, d)), jnp.float32)
+vfp = jnp.asarray(rng.standard_normal((Lp, hkv, npg, ps, d)), jnp.float32)
+kcp, ksp = kvc.quantize_kv(kfp); vcp, vsp = kvc.quantize_kv(vfp)
+tables = jnp.asarray([[0, 1], [2, 3], [4, 5]], jnp.int32)  # 7 = trash
+pcache = pkv.PagedKVCache(kcp, vcp, ksp.transpose(0, 1, 2, 4, 3),
+                          vsp.transpose(0, 1, 2, 4, 3), tables,
+                          jnp.zeros((bp,), jnp.int32))
+qp = jnp.asarray(rng.standard_normal((bp, 1, h, d)), jnp.float32) * 0.3
+knp = jnp.asarray(rng.standard_normal((bp, 1, hkv, d)), jnp.float32)
+vnp = jnp.asarray(rng.standard_normal((bp, 1, hkv, d)), jnp.float32)
+kvl = jnp.array([101, 120, ps + 7], jnp.int32)
+posp = jnp.array([[100], [2 * ps - 1], [ps + 6]], jnp.int32)
+resp = flash.mha_paged(qp, pcache, 1, posp, kvl, scale=d ** -0.5,
+                       extra_kv=(knp, vnp), fused_append=True)
+if resp is None:
+    fails.append("paged fused append: kernel did not engage")
+else:
+    _, (k2p, v2p, ks2p, vs2p) = resp
+    expp = pkv.append_decode(pcache, 1, knp, vnp,
+                             jnp.maximum(kvl - 1, 0)[:, None],
+                             active=jnp.array([True, False, True]))
+    live = list(range(npg - 1))
+    neqp = sum(int(np.sum(np.asarray(g)[:, :, live] != np.asarray(e)[
+        :, :, live])) for g, e in ((k2p, expp.k_pages), (v2p, expp.v_pages)))
+    srel = max(float(np.max(np.abs(
+        np.asarray(g, np.float32)[:, :, live]
+        - np.asarray(e, np.float32)[:, :, live]))) for g, e in
+        ((ks2p, expp.k_scale), (vs2p, expp.v_scale)))
+    print(f"paged fused append: {neqp} code mismatches, scale maxdiff "
+          f"{srel:.2e}", flush=True)
+    if neqp or srel > 1e-6:
+        fails.append("paged fused append pool")
 
 print("KERNELSPOT:", "FAIL " + ", ".join(fails) if fails else "ALL OK",
       flush=True)

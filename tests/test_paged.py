@@ -489,3 +489,139 @@ def test_beam_paged_long_crosses_pages(monkeypatch):
     assert got == ref
     assert eng._alloc.available == eng.n_pages - 1
     assert not eng._alloc.refs
+
+
+def test_paged_fused_append_kernel(monkeypatch):
+    """Paged FUSED in-kernel append (interpret mode): the returned pool
+    equals pkv.append_decode bit-for-bit on active slots (shuffled
+    pages), a spectator slot's pages are untouched, and the attention
+    output matches the exact-new-token reference."""
+    monkeypatch.setenv("NST_FLASH", "interpret")
+    from neural_speed_tpu.ops import flash
+    from neural_speed_tpu.ops.attention import attention_ref
+
+    b, hkv, d, n_blocks, n_pages = 3, 4, 128, 2, 8
+    h = 8
+    cache, rng = _shuffled_setup(b, hkv, d, n_blocks, n_pages, layers=2,
+                                 quantized=True, seed=3)
+    # the LAST physical page is the reserved trash page (PagedEngine
+    # convention): spectator slots' fused windows park there, so tables
+    # must not hand it to a live slot
+    tables = jnp.asarray([[0, 1], [2, 3], [4, 5]], jnp.int32)
+    cache = pkv.PagedKVCache(cache.k_pages, cache.v_pages, cache.k_scale,
+                             cache.v_scale, tables, cache.lengths)
+    s = n_blocks * PS
+    # fill the pools with quantized noise so "untouched" is meaningful
+    kf = rng.standard_normal(cache.k_pages.shape).astype(np.float32)
+    vf = rng.standard_normal(cache.v_pages.shape).astype(np.float32)
+    from neural_speed_tpu.ops.kv_cache import quantize_kv
+
+    kc, ks = quantize_kv(jnp.asarray(kf))
+    vc, vs = quantize_kv(jnp.asarray(vf))
+    cache = pkv.PagedKVCache(kc, vc,
+                             ks.transpose(0, 1, 2, 4, 3),
+                             vs.transpose(0, 1, 2, 4, 3),
+                             cache.page_tables, cache.lengths)
+
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32) * 0.3
+    kn = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, 1, hkv, d)), jnp.float32)
+    # slots 0,2 active at different rows (0 mid-page-0, 2 in page 1);
+    # slot 1 spectator parked on the trash position
+    kv_lens = jnp.array([101, 120, PS + 7], jnp.int32)
+    pos = jnp.array([[100], [s - 1], [PS + 6]], jnp.int32)
+    layer = 1
+    res = flash.mha_paged(q, cache, layer, pos, kv_lens,
+                          scale=d ** -0.5, extra_kv=(kn, vn),
+                          fused_append=True)
+    assert res is not None
+    out, (k2, v2, ks2, vs2) = res
+    new_cache = pkv.PagedKVCache(k2, v2, ks2, vs2, cache.page_tables,
+                                 cache.lengths)
+
+    # expected pool: append_decode of the same rows for active slots
+    active = jnp.array([True, False, True])
+    exp = pkv.append_decode(cache, layer, kn, vn,
+                            jnp.maximum(kv_lens - 1, 0)[:, None],
+                            active=active)
+    # compare every page EXCEPT the trash page (spectator windows park
+    # garbage there by design; append_decode parks spectators there too
+    # but writes nothing under its blend)
+    live = list(range(n_pages - 1))
+    for got_a, exp_a in ((k2, exp.k_pages), (v2, exp.v_pages)):
+        np.testing.assert_array_equal(np.asarray(got_a)[:, :, live],
+                                      np.asarray(exp_a)[:, :, live])
+    # scales: in-kernel max-reduce order differs from the host layout by
+    # one f32 ULP on this synthetic f32-scale pool (the engine default
+    # stores bf16 scales, which absorb it — the engine-level test below
+    # asserts exact equality); codes above are bit-identical
+    for got_a, exp_a in ((ks2, exp.k_scale), (vs2, exp.v_scale)):
+        np.testing.assert_allclose(np.asarray(got_a)[:, :, live],
+                                   np.asarray(exp_a)[:, :, live],
+                                   rtol=2e-7, atol=0)
+
+    # attention vs gathered reference with the exact new rows merged
+    kg, vg = pkv.gathered_layer(new_cache, layer, jnp.float32)
+    # active slots' newest position uses the UNQUANTIZED operands
+    kg = np.asarray(kg).copy()
+    vg = np.asarray(vg).copy()
+    # gathered_layer returns the cache-native [B, H, S, D] layout
+    for bi, row in ((0, 100), (2, PS + 6)):
+        kg[bi, :, row] = np.asarray(kn)[bi, 0]
+        vg[bi, :, row] = np.asarray(vn)[bi, 0]
+    ref = attention_ref(q, jnp.asarray(kg).transpose(0, 2, 1, 3),
+                        jnp.asarray(vg).transpose(0, 2, 1, 3), pos,
+                        kv_lens)
+    mask = np.zeros((b, 1, h, d), bool)
+    mask[0] = mask[2] = True  # spectator rows attend over stale lens; skip
+    got = np.asarray(out)
+    refn = np.asarray(ref)
+    np.testing.assert_allclose(got[[0, 2]], refn[[0, 2]], atol=3e-2,
+                               rtol=3e-2)
+
+
+def test_paged_engine_fused_matches_plain(monkeypatch):
+    """Engine-level: PagedEngine decode with NST_KV_APPEND=fused equals
+    the plain path within self-column quantization noise, and the pool
+    ends bit-identical at layer 0."""
+    import dataclasses as _dc
+
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.runtime.engine import PagedEngine
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    monkeypatch.setenv("NST_FLASH", "interpret")
+    cfg = ArchConfig(
+        name="llama", vocab_size=256, hidden_size=256, n_layers=2,
+        n_heads=8, n_kv_heads=4, intermediate_size=512,
+        max_position_embeddings=256,
+    )
+    params = synth_params(cfg, QSpec(QType.INT, 4, 64, True))
+    prompts = [[5, 9, 2, 44, 17, 3], [7, 21, 3]]
+    toks = [11, 80, 200, 4]
+
+    def run(mode):
+        monkeypatch.setenv("NST_KV_APPEND", mode)
+        eng = PagedEngine(params, cfg, max_batch=2, max_len=256,
+                          kv_quantized=True, page_size=128)
+        eng.prefill(prompts)
+        import jax.numpy as jnp
+
+        active = jnp.ones((2,), bool)
+        outs = []
+        for t_ in toks:
+            lg = eng.decode(jnp.full((2,), t_, jnp.int32), active)
+            outs.append(np.asarray(lg, np.float32))
+        return outs, eng.cache
+
+    ref_outs, ref_cache = run("plain")
+    got_outs, got_cache = run("fused")
+    for a, b_ in zip(ref_outs, got_outs):
+        np.testing.assert_allclose(a, b_, atol=6e-2, rtol=6e-2)
+    assert any(np.any(a != b_) for a, b_ in zip(ref_outs, got_outs)), \
+        "identical logits: fused paged path did not engage"
+    np.testing.assert_array_equal(np.asarray(ref_cache.k_pages[0]),
+                                  np.asarray(got_cache.k_pages[0]))
+    np.testing.assert_array_equal(np.asarray(ref_cache.k_scale[0]),
+                                  np.asarray(got_cache.k_scale[0]))
