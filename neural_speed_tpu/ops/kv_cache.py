@@ -358,11 +358,16 @@ def shift_ring(cache: KVCache, n_keep: int, n_discard: int,
         mask = jnp.logical_and(mask, slot_mask[:, None])
     delta = jnp.where(mask, delta, 0)
     if out.quantized:
-        # dequantize -> rotate -> requantize the shifted span
-        kf = out.k.astype(jnp.float32) * out.k_scale[..., None]
+        # dequantize -> rotate -> requantize the shifted span.  Keep the
+        # cache's stored scale dtype (bf16 by default): returning the
+        # quantizer's f32 scales would silently flip the pytree dtype
+        # mid-stream (retrace + doubled scale memory).
+        kf = out.k.astype(jnp.float32) * out.k_scale[
+            ..., None].astype(jnp.float32)
         kr = _rotate_stack(kf, delta, inv_freq, style, rot_dim)
         kc, ks = quantize_kv(kr)
-        return dataclasses.replace(out, k=kc, k_scale=ks[..., 0])
+        return dataclasses.replace(
+            out, k=kc, k_scale=ks[..., 0].astype(out.k_scale.dtype))
     kr = _rotate_stack(out.k.astype(jnp.float32), delta, inv_freq, style,
                        rot_dim)
     return dataclasses.replace(out, k=kr.astype(out.k.dtype))

@@ -178,6 +178,16 @@ def test_kv_shift_ring_matches_reroped():
     np.testing.assert_allclose(np.asarray(k[0, :5]), np.asarray(expected),
                                atol=1e-4)
 
+    # quantized cache: the requantized K scales must KEEP the cache's
+    # stored dtype (a dtype flip mid-stream would retrace every jit and
+    # double the scale memory)
+    qcache = kvc.init_cache(1, 1, 8, 1, D, quantized=True)
+    qcache = kvc.append_layer(qcache, 0, roped, roped, pos)
+    qcache = kvc.set_lengths(qcache, jnp.asarray([8]))
+    qout = kvc.shift_ring(qcache, n_keep=0, n_discard=3, inv_freq=inv)
+    assert qout.k_scale.dtype == qcache.k_scale.dtype
+    assert qout.v_scale.dtype == qcache.v_scale.dtype
+
 
 # ------------------------------------------------------------------ attention
 
