@@ -625,3 +625,42 @@ def test_paged_engine_fused_matches_plain(monkeypatch):
                                   np.asarray(got_cache.k_pages[0]))
     np.testing.assert_array_equal(np.asarray(ref_cache.k_scale[0]),
                                   np.asarray(got_cache.k_scale[0]))
+
+
+def test_paged_fused_append_cow_fork_isolation(monkeypatch):
+    """After a copy-on-write beam fork, a FUSED decode on one beam must
+    not disturb the sibling that shares its full prompt pages (the fork
+    copies only the tail page; fused writes always land on private
+    pages, spectators park on the trash page)."""
+    monkeypatch.setenv("NST_FLASH", "interpret")
+    monkeypatch.setenv("NST_KV_APPEND", "fused")
+    import jax.numpy as jnp
+
+    from neural_speed_tpu.models.arch import ArchConfig
+    from neural_speed_tpu.ops.qtypes import QSpec, QType
+    from neural_speed_tpu.runtime.engine import PagedEngine
+    from neural_speed_tpu.utils.synthetic import synth_params
+
+    cfg = ArchConfig(name="llama", vocab_size=128, hidden_size=64,
+                     n_layers=2, n_heads=4, n_kv_heads=4,
+                     intermediate_size=128, max_position_embeddings=512)
+    params = synth_params(cfg, QSpec(QType.INT, 4, 32, True))
+    eng = PagedEngine(params, cfg, max_batch=2, max_len=384,
+                      kv_quantized=True, page_size=128)
+    # 150-token prompt: one full shared page + a 22-token tail
+    prompt = list(np.random.default_rng(0).integers(1, 100, size=150))
+    eng.prefill([prompt])
+    eng.reorder_slots([0, 0])  # fork slot 0 -> slot 1 (COW)
+    assert eng._tables[0, 0] == eng._tables[1, 0]      # shared full page
+    assert eng._tables[0, 1] != eng._tables[1, 1]      # private tails
+    sib_k, sib_v = pkv.gathered_layer(eng.cache, 0, jnp.float32)
+    sib_k = np.asarray(sib_k[1, :, :150]).copy()
+
+    # decode 3 tokens on slot 0 ONLY (slot 1 spectator)
+    active = jnp.array([True, False])
+    eng.prepare_decode(np.array([True, False]), 3)
+    for t_ in (5, 9, 2):
+        eng.decode(jnp.full((2,), t_, jnp.int32), active)
+
+    k_after, _ = pkv.gathered_layer(eng.cache, 0, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(k_after[1, :, :150]), sib_k)
