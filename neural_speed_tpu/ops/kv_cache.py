@@ -126,12 +126,21 @@ def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return codes.astype(jnp.int8), scale
 
 
-def _write_scale_window(dst, upd, layer: int, bi: int, start, keep):
-    """Blend-write upd [H, T] into dst [L, B, H, S] rows start.."""
+def _write_scale_window(dst, upd, layer: int, bi: int, start, keep,
+                        shift=None):
+    """Blend-write upd [H, T] into dst [L, B, H, S] rows start..  `shift`
+    (see _write_window): roll the update so real rows land at start+shift
+    and the first `shift` window rows keep their current contents."""
     h, t = upd.shape
     idx = (layer, bi, 0, start)
     cur = jax.lax.dynamic_slice(dst, idx, (1, 1, h, t))
-    new = jnp.where(keep, upd[None, None].astype(dst.dtype), cur)
+    row_keep = keep
+    if shift is not None:
+        upd = jax.lax.cond(shift > 0,
+                           lambda u: jnp.roll(u, shift, axis=1),
+                           lambda u: u, upd)
+        row_keep = keep & (jnp.arange(t) >= shift)
+    new = jnp.where(row_keep, upd[None, None].astype(dst.dtype), cur)
     return jax.lax.dynamic_update_slice(dst, new, idx)
 
 
@@ -212,16 +221,34 @@ def _append_scatter(cache: KVCache, layer: int, k_new: jax.Array,
 
 
 def _write_window(dst: jax.Array, upd: jax.Array, layer: int, bi: int,
-                  start, keep) -> jax.Array:
+                  start, keep, shift=None) -> jax.Array:
     """Blend-write `upd` [H, T, ...] into dst[layer, bi, :, start:start+T]
     via dynamic slices — stays IN PLACE under buffer donation, unlike the
     general scatter XLA emits for advanced indexing (which copied the
-    whole cache per layer: the dominant prefill cost before this)."""
+    whole cache per layer: the dominant prefill cost before this).
+
+    `shift` >= 0: the caller clipped the window start DOWN by `shift` rows
+    so the DUS stays in bounds (start_true + T > max_len happens when a
+    padded prefill bucket overhangs the cache end — e.g. StreamingLLM
+    re-eval at start=n_keep).  Roll the update so its real rows still land
+    at start_true = start + shift, and keep the window's first `shift`
+    rows' CURRENT contents (they sit below start_true — e.g. the
+    StreamingLLM sink — and must survive; without this the window slid
+    down and silently clobbered them)."""
     h, t = upd.shape[0], upd.shape[1]
     idx = (layer, bi, 0, start) + (0,) * (dst.ndim - 4)
     sizes = (1, 1, h, t) + upd.shape[2:]
     cur = jax.lax.dynamic_slice(dst, idx, sizes)
-    new = jnp.where(keep, upd[None, None].astype(dst.dtype), cur)
+    row_keep = keep
+    if shift is not None:
+        # cond: the roll (an extra window copy) only executes when the
+        # window actually overhangs — the common prefill pays nothing
+        upd = jax.lax.cond(shift > 0,
+                           lambda u: jnp.roll(u, shift, axis=1),
+                           lambda u: u, upd)
+        row_keep = keep & (jnp.arange(t) >= shift).reshape(
+            (1, 1, 1, t) + (1,) * (dst.ndim - 4))
+    new = jnp.where(row_keep, upd[None, None].astype(dst.dtype), cur)
     return jax.lax.dynamic_update_slice(dst, new, idx)
 
 
@@ -246,7 +273,14 @@ def append_layer(cache: KVCache, layer: int, k_new: jax.Array,
         # cache to S-major and back at the jit boundary — ~6ms/step)
         return _append_scatter(cache, layer, k_new, v_new, positions,
                                active)
+    # a padded bucket may overhang the cache end (start + t > max_len,
+    # e.g. StreamingLLM re-eval at start=n_keep with a full-size bucket):
+    # the window start clips down to keep the DUS in bounds and `shift`
+    # tells the writer to roll the update so real rows still land at the
+    # TRUE start while the underlying rows below it survive
+    start_true = jnp.maximum(positions[:, 0], 0)
     start = jnp.clip(positions[:, 0], 0, cache.max_len - t)
+    shift = start_true - start
     if active is None:
         active = jnp.ones((b,), bool)
     kt = k_new.transpose(0, 2, 1, 3)                    # [B, H, T, D]
@@ -257,17 +291,23 @@ def append_layer(cache: KVCache, layer: int, k_new: jax.Array,
         vc, vs = quantize_kv(vt)
         k_scale, v_scale = cache.k_scale, cache.v_scale
         for bi in range(b):
-            k = _write_window(k, kc[bi], layer, bi, start[bi], active[bi])
-            v = _write_window(v, vc[bi], layer, bi, start[bi], active[bi])
+            k = _write_window(k, kc[bi], layer, bi, start[bi], active[bi],
+                              shift[bi])
+            v = _write_window(v, vc[bi], layer, bi, start[bi], active[bi],
+                              shift[bi])
             k_scale = _write_scale_window(k_scale, ks[bi, ..., 0], layer,
-                                          bi, start[bi], active[bi])
+                                          bi, start[bi], active[bi],
+                                          shift[bi])
             v_scale = _write_scale_window(v_scale, vs[bi, ..., 0], layer,
-                                          bi, start[bi], active[bi])
+                                          bi, start[bi], active[bi],
+                                          shift[bi])
         return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
                                    v_scale=v_scale)
     for bi in range(b):
-        k = _write_window(k, kt[bi], layer, bi, start[bi], active[bi])
-        v = _write_window(v, vt[bi], layer, bi, start[bi], active[bi])
+        k = _write_window(k, kt[bi], layer, bi, start[bi], active[bi],
+                          shift[bi])
+        v = _write_window(v, vt[bi], layer, bi, start[bi], active[bi],
+                          shift[bi])
     return dataclasses.replace(cache, k=k, v=v)
 
 

@@ -939,10 +939,20 @@ class ContinuousBatchingScheduler:
         if not full.any():
             return
         if hasattr(eng, "page_size"):
-            raise NotImplementedError(
-                "StreamingLLM eviction is not supported on the paged KV "
-                "cache (docs/paged_attention.md); raise ctx or use the "
-                "contiguous cache")
+            if eng.shift_roped_k:
+                # shift-RoPE ring stays contiguous-only: the in-place K
+                # rotation kernel (kv_cache.shift_ring) walks a dense
+                # [B, H, T, D] block; on the page pool the slot's rows are
+                # scattered across refcount-shared physical pages, so an
+                # in-place rotation would corrupt prefix-cache/COW readers
+                # aliasing the same pages.  Discard-and-re-eval maps
+                # naturally onto page release instead (below).
+                raise NotImplementedError(
+                    "shift_roped_k requires the contiguous KV cache; the "
+                    "paged cache supports discard-and-re-eval eviction "
+                    "(docs/paged_attention.md)")
+            self._evict_paged(full, lengths, lookahead)
+            return
         n_keep = eng.n_keep
         nd = max(eng.discard_count(), lookahead)  # stay ahead of the chunk
         if eng.shift_roped_k:
@@ -973,6 +983,77 @@ class ContinuousBatchingScheduler:
             new_len = self._slot_len.astype(np.int32).copy()
             new_len[slot] = n_keep
             eng.cache = kvc.set_lengths(eng.cache, jnp.asarray(new_len))
+            ids = np.zeros((eng.max_batch, pad_to_bucket(
+                len(re_eval), eng.buckets)), np.int32)
+            lens = np.zeros((eng.max_batch,), np.int32)
+            start = np.zeros((eng.max_batch,), np.int32)
+            ids[slot, : len(re_eval)] = re_eval
+            lens[slot] = len(re_eval)
+            start[slot] = n_keep
+            _logits = eng.run_prefill(jnp.asarray(ids), jnp.asarray(lens),
+                                      jnp.asarray(start))
+            self._slot_len[slot] = n_keep + len(re_eval)
+
+    def _evict_paged(self, full: np.ndarray, lengths: np.ndarray,
+                     lookahead: int) -> None:
+        """StreamingLLM discard-and-re-eval on the paged cache, via page
+        release (parity: main_pybind.cpp:573-587 "infinite inference",
+        docs/infinite_inference.md:6-8 — the reference keeps `n_keep` sink
+        tokens, drops `n_discard`, and re-evaluates the remainder).
+
+        Page-pool mapping: the sink region [0, n_keep) stays in its
+        pages; every mapped page past the sink is RELEASED back to the
+        pool (refcounted — prefix-cache/COW sharers keep theirs), and the
+        re-evaluated suffix re-prefills into freshly claimed pages at
+        positions starting n_keep.  The partial sink page (n_keep % ps)
+        receives re-prefill writes, so when it is aliased it is first
+        copied out copy-on-write — sink KV must not mutate under other
+        readers."""
+        from ..ops import kv_cache as kvc
+        from ..ops import paged_kv as pkv
+
+        eng = self.engine
+        ps = eng.page_size
+        n_keep = eng.n_keep
+        nd = max(eng.discard_count(), lookahead)
+        sink_blocks = -(-n_keep // ps)
+        for slot in np.nonzero(full)[0]:
+            slot = int(slot)
+            seq = self.running.get(slot)
+            if seq is None:
+                continue
+            stored = (list(seq.prompt) + seq.generated[:-1])[-int(
+                lengths[slot]):]
+            re_eval = stored[n_keep + nd:]
+            # release every mapped page past the sink region
+            mapped = int(eng._mapped[slot])
+            if mapped > sink_blocks:
+                eng._alloc.free_pages(
+                    eng._tables[slot, sink_blocks:mapped].tolist())
+                eng._tables[slot, sink_blocks:mapped] = 0
+            eng._mapped[slot] = min(mapped, sink_blocks)
+            # COW the partial sink page out from under any sharers
+            if n_keep % ps and sink_blocks >= 1:
+                pg = int(eng._tables[slot, sink_blocks - 1])
+                if eng._alloc.refs.get(pg, 1) > 1:
+                    fresh = eng._alloc_page()
+                    if fresh is None:
+                        raise RuntimeError(
+                            "paged KV pool exhausted (eviction COW)")
+                    eng.cache = pkv.copy_pages(
+                        eng.cache, [fresh], [pg], pad_to=eng.max_batch)
+                    eng._alloc.free_pages([pg])
+                    eng._tables[slot, sink_blocks - 1] = fresh
+            # reset the slot to the sink, claim pages for the suffix, and
+            # re-prefill it at positions starting n_keep (other slots are
+            # spectators in the padded batch)
+            new_len = self._slot_len.astype(np.int32).copy()
+            new_len[slot] = n_keep
+            eng._lens[slot] = n_keep
+            eng.cache = kvc.set_lengths(eng.cache, jnp.asarray(new_len))
+            eng._ensure_pages(slot, n_keep + len(re_eval))
+            eng._lens[slot] = n_keep + len(re_eval)
+            eng._sync_tables()
             ids = np.zeros((eng.max_batch, pad_to_bucket(
                 len(re_eval), eng.buckets)), np.int32)
             lens = np.zeros((eng.max_batch,), np.int32)

@@ -118,6 +118,29 @@ def test_kv_append_read(quantized):
     assert np.asarray(k[:, T:]).max() == 0
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+def test_kv_append_window_overhang_preserves_sink(quantized):
+    """Regression (round 5): a padded window with start + T > max_len
+    (StreamingLLM re-eval at start=n_keep with a full-size bucket) used
+    to clip the DUS start down and silently clobber the rows BELOW start
+    — the sink tokens.  The writer now rolls the update by the clip
+    amount: sink rows survive, real rows land at the true start."""
+    cache = kvc.init_cache(1, 1, S, HKV, D, quantized=quantized)
+    sink = _q(11, (1, 4, HKV, D))
+    cache = kvc.append_layer(cache, 0, sink, sink,
+                             jnp.arange(4)[None, :])
+    # window of S rows at start=4 -> overhangs by 4
+    win = _q(12, (1, S, HKV, D))
+    pos = (4 + jnp.arange(S))[None, :]
+    cache = kvc.append_layer(cache, 0, win, win, pos)
+    k, _ = kvc.read_layer(cache, 0, jnp.float32)
+    tol = 0.03 if quantized else 1e-2
+    np.testing.assert_allclose(np.asarray(k[0, :4]), np.asarray(sink[0]),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(k[0, 4:]),
+                               np.asarray(win[0, : S - 4]), atol=tol)
+
+
 def test_kv_per_slot_positions():
     cache = kvc.init_cache(1, B, S, HKV, D)
     k_new = _q(5, (B, 1, HKV, D))

@@ -59,6 +59,69 @@ def test_shift_rope_requires_rotary():
     with pytest.raises(ValueError):
         sched.run_to_completion()
 
+def _paged_engine(n_keep: int = 4, prefix_cache: bool = False):
+    from neural_speed_tpu.runtime.engine import PagedEngine
+
+    cfg = ArchConfig(name="llama", vocab_size=128, hidden_size=128,
+                     n_layers=2, n_heads=2, n_kv_heads=2,
+                     intermediate_size=256, max_position_embeddings=CTX)
+    params = synth_params(cfg, named_qspec("int4", group_size=32))
+    eng = PagedEngine(params, cfg, max_batch=2, max_len=CTX, page_size=16,
+                      n_pages=12, prefix_cache=prefix_cache)
+    eng.n_keep = n_keep
+    eng.n_discard = 16
+    return eng
+
+
+def test_paged_reeval_eviction_generates_past_ctx():
+    """Discard-and-re-eval on the PAGED cache: pages past the sink are
+    released and the suffix re-prefills into fresh pages (parity:
+    main_pybind.cpp:573-587 on the page pool)."""
+    eng = _paged_engine()
+    gen = _generate_past_ctx(eng, n_new=CTX)
+    assert all(0 <= t < 128 for t in gen)
+    # no page leaked: the one running slot was released at completion
+    assert not eng._alloc.refs, eng._alloc.refs
+
+
+def test_paged_eviction_matches_contiguous():
+    """Eviction semantics are cache-layout independent: the paged
+    discard-and-re-eval must emit EXACTLY the contiguous path's greedy
+    tokens (same model, same n_keep/n_discard, same eviction points)."""
+    cont = _generate_past_ctx(_engine(shift=False), n_new=CTX)
+    paged = _generate_past_ctx(_paged_engine(), n_new=CTX)
+    assert cont == paged
+
+
+def test_paged_eviction_partial_sink_page_cow():
+    """n_keep not a page multiple + the sink page aliased by the prefix
+    cache: eviction must copy the partial sink page out before the
+    re-prefill writes into it, and the cached prefix must stay intact."""
+    eng = _paged_engine(n_keep=4, prefix_cache=True)
+    prompt = list(range(1, 40))
+    sched = ContinuousBatchingScheduler(eng, SamplingParams(do_sample=False))
+    sched.add_request(list(prompt), CTX)
+    done = sched.run_to_completion()
+    assert len(done[0].generated) == CTX
+    # the prefix cache still owns its indexed pages (refcount >= 1)
+    pages = list(eng.prefix.index.values())
+    assert pages and all(eng._alloc.refs.get(p, 0) >= 1 for p in pages)
+    # a repeated prompt still hits the intact cached prefix
+    n_cached, hit_pages = eng.prefix_lookup(prompt)
+    assert n_cached == (len(prompt) // eng.page_size) * eng.page_size
+
+
+def test_paged_shift_rope_raises():
+    eng = _paged_engine()
+    eng.shift_roped_k = True
+    sched = ContinuousBatchingScheduler(eng, SamplingParams(do_sample=False))
+    sched.add_request(list(range(1, 40)), CTX)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        sched.run_to_completion()
+
+
 def test_scheduler_stress_mixed_requests():
     """Many queued requests through few slots with chunked decode and
     evictions: every request must complete with exactly its budget."""
