@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -44,7 +44,7 @@ NF4_LUT = np.array(
         0.16093020141124725,
         0.24611230194568634,
         0.33791524171829224,
-        0.4407098889350891,
+        0.44070982933044434,
         0.5626170039176941,
         0.7229568362236023,
         1.0,
@@ -76,6 +76,13 @@ class QSpec:
     # Double quantization of scales (parity: DQ8_BNB, bestla.h / bestla_storage.h
     # ObjectQuantCorrection): scales stored int8 with a secondary fp32 scale.
     double_quant: bool = False
+    # Custom 16-entry code->value table for LUT qtypes (NF4/FP4), indexed
+    # by the RAW stored code.  Lets converters carry a foreign format's
+    # exact table (e.g. the reference's F4_BNB / F4_E2M1 trees,
+    # kernel_ref.h:1209-1446, whose subnormal differs from our canonical
+    # FP4_LUT) so ingest stays value-exact; None = the canonical table.
+    # A tuple keeps QSpec hashable for jit static args.
+    lut: Optional[Tuple[float, ...]] = None
 
     def __post_init__(self):
         if self.qtype == QType.INT:
@@ -91,6 +98,11 @@ class QSpec:
                 raise ValueError("FP8 requires bits=8")
         if self.group_size != -1 and self.group_size <= 0:
             raise ValueError(f"bad group_size {self.group_size}")
+        if self.lut is not None:
+            if self.qtype not in (QType.NF4, QType.FP4):
+                raise ValueError("custom lut is only valid for LUT qtypes")
+            if len(self.lut) != 16:
+                raise ValueError(f"lut must have 16 entries, got {len(self.lut)}")
 
     @property
     def is_lut(self) -> bool:

@@ -229,6 +229,10 @@ def unpack_codes(planes: Tuple[jax.Array, ...], bits: int, k: int,
 
 
 def _lut_for(spec: QSpec) -> np.ndarray:
+    if spec.lut is not None:
+        # foreign code->value table carried by a converter (e.g. the
+        # reference's F4_BNB/E2M1 trees) — value-exact ingest
+        return np.asarray(spec.lut, np.float32)
     return NF4_LUT if spec.qtype == QType.NF4 else FP4_LUT
 
 

@@ -32,6 +32,18 @@ FIXTURES = [
     ("s5_g128_sym_f32_avx512f", 48, 1, 128, False),
     ("s6_g128_sym_f32_avx512f", 48, 1, 128, False),
     ("s7_g128_sym_f32_avx512f", 48, 1, 128, False),
+    # round 5: NFloat LUT storages (StorageWeightKBlockNFloat,
+    # bestla_storage.h:836; WeightKBlockNFloat, bestla_prologue_b.h:1006)
+    # + DQ8_BNB double-quant scales (gen3.cpp fixtures)
+    ("nf4_g64_f32_avx512f", 48, 1, 64, False),
+    ("nf4_g32_bf16_avx512f", 48, 1, 32, False),
+    ("fp4e2m1_g32_f32_avx512f", 48, 1, 32, False),
+    ("fp4bnb_g32_f32_avx512f", 48, 1, 32, False),
+    ("nf4_g32_dq8_avx512f", 48, 1, 32, False),
+    ("fp8e4m3_g128_f32_avx512f", 48, 1, 128, False),
+    ("fp8e4m3_g128_e8m0_avx512f", 48, 1, 128, False),
+    ("fp8e5m2_g128_f32_avx512f", 48, 1, 128, False),
+    ("s4_g32_dq8_avx512f", 48, 1, 32, False),
 ]
 
 
@@ -56,6 +68,24 @@ def test_btla_qtensor_mapping(tag):
     qt = btla_to_qtensor(raw)
     ours = np.asarray(dequantize(qt), np.float32)
     np.testing.assert_allclose(ours, st.dequant(), rtol=1e-6, atol=1e-7)
+
+
+def test_btla_nfloat_lut_matmul():
+    """An ingested NFloat tensor must run through the quantized matmul —
+    the custom code->value table rides QSpec.lut into the kernels, so the
+    product equals x @ (reference dequant)."""
+    from neural_speed_tpu.ops.matmul import qmatmul
+
+    raw = np.fromfile(os.path.join(DATA, "nf4_g64_f32_avx512f.stor"),
+                      np.uint8)
+    st = BTLAStorage(raw)
+    qt = btla_to_qtensor(raw)
+    assert qt.spec.lut is not None and len(qt.spec.lut) == 16
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (4, st.k)), jnp.float32)
+    got = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32), np.float32)
+    want = np.asarray(x, np.float32) @ st.dequant()
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
 def test_btla_n_perm():
