@@ -127,6 +127,14 @@ def main():
 
     b = args.batch
     kv_q = args.kv == "int8"
+    # pre-flight HBM budget (round 5): refuse/flag over-budget configs at
+    # startup instead of an opaque mid-bench TPU Internal error
+    from neural_speed_tpu.utils.memory import preflight
+
+    est = preflight(params, cfg, b, args.ctx, jnp.bfloat16, kv_q,
+                    (args.prompt,), what="bench")
+    if est is not None:
+        log(est.describe())
     cache = kvc.init_cache(cfg.n_layers, b, args.ctx, cfg.n_kv_heads,
                            cfg.head_dim, jnp.bfloat16, quantized=kv_q)
 

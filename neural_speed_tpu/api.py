@@ -64,6 +64,7 @@ class Model:
         page_size: int = 128,
         n_pages: Optional[int] = None,
         prefix_cache: bool = False,
+        memory_dtype: str = "auto",
     ):
         """Convert + quantize an HF checkpoint (parity: Model.init,
         __init__.py:142-225).  `use_cache` reuses the packed .npz;
@@ -115,7 +116,8 @@ class Model:
                                                    lcfg)
         self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
                           paged=paged, page_size=page_size, n_pages=n_pages,
-                          prefix_cache=prefix_cache)
+                          prefix_cache=prefix_cache,
+                          memory_dtype=memory_dtype)
         return self
 
     def _convert(self, model_name: str, qspec: Optional[QSpec]):
@@ -130,7 +132,8 @@ class Model:
                       kv_quantized: bool = False, tokenizer=None,
                       tp: int = 1, paged: bool = False,
                       page_size: int = 128, n_pages: Optional[int] = None,
-                      prefix_cache: bool = False):
+                      prefix_cache: bool = False,
+                      memory_dtype: str = "auto"):
         """Load a previously saved packed model (parity: init_from_bin).
         A reference-toolchain 'ggjt' .bin (model_files.h:246+) is detected
         by magic and routed through convert.ne_bin — arch_cfg/tokenizer
@@ -140,13 +143,14 @@ class Model:
                 bin_path, max_batch=max_batch, ctx_size=ctx_size,
                 kv_quantized=kv_quantized, tp=tp, paged=paged,
                 page_size=page_size, n_pages=n_pages,
-                prefix_cache=prefix_cache)
+                prefix_cache=prefix_cache, memory_dtype=memory_dtype)
         self.cfg = arch_cfg
         self.tokenizer = tokenizer
         params = serialization.load_params(bin_path)
         self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
                           paged=paged, page_size=page_size, n_pages=n_pages,
-                          prefix_cache=prefix_cache)
+                          prefix_cache=prefix_cache,
+                          memory_dtype=memory_dtype)
         return self
 
     def init_from_ne_bin(self, bin_path: str, max_batch: int = 1,
@@ -154,26 +158,36 @@ class Model:
                          tp: int = 1, paged: bool = False,
                          page_size: int = 128,
                          n_pages: Optional[int] = None,
-                         prefix_cache: bool = False):
+                         prefix_cache: bool = False,
+                         memory_dtype: str = "auto",
+                         param_dtype: str = "bf16"):
         """Load a reference-produced NE 'ggjt' v1-v3 .bin (the reference's
-        native checkpoint format, written by its convert_llama.py)."""
+        native checkpoint format, written by its convert_llama.py).
+        `param_dtype` "f32" keeps FP tensors at file precision (strict
+        reference-parity runs); "bf16" is the TPU serving default."""
+        import jax.numpy as jnp
         from .convert import ne_bin
 
-        params, cfg, tok = ne_bin.load_ne_bin(bin_path)
+        params, cfg, tok = ne_bin.load_ne_bin(
+            bin_path,
+            param_dtype=jnp.float32 if param_dtype == "f32"
+            else jnp.bfloat16)
         self.cfg = cfg
         self.tokenizer = tok
         if tok is not None:
             self.eos_id = tok.eos_token_id
         self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
                           paged=paged, page_size=page_size, n_pages=n_pages,
-                          prefix_cache=prefix_cache)
+                          prefix_cache=prefix_cache,
+                          memory_dtype=memory_dtype)
         return self
 
     def init_from_gguf(self, gguf_path: str, max_batch: int = 1,
                        ctx_size: int = 2048, kv_quantized: bool = False,
                        tp: int = 1, paged: bool = False,
                        page_size: int = 128, n_pages: Optional[int] = None,
-                       prefix_cache: bool = False):
+                       prefix_cache: bool = False,
+                       memory_dtype: str = "auto"):
         from .convert import gguf as gguf_mod
 
         params, cfg, tok = gguf_mod.load_gguf_model(gguf_path)
@@ -183,13 +197,30 @@ class Model:
             self.eos_id = tok.eos_token_id
         self._make_engine(params, max_batch, ctx_size, kv_quantized, tp=tp,
                           paged=paged, page_size=page_size, n_pages=n_pages,
-                          prefix_cache=prefix_cache)
+                          prefix_cache=prefix_cache,
+                          memory_dtype=memory_dtype)
         return self
 
     def _make_engine(self, params, max_batch, ctx_size, kv_quantized,
                      tp: int = 1, paged: bool = False, page_size: int = 128,
                      n_pages: Optional[int] = None,
-                     prefix_cache: bool = False):
+                     prefix_cache: bool = False,
+                     memory_dtype: str = "auto"):
+        # KV memory dtype selection (parity: KV_MEM_TYPE_AUTO/F16/F32
+        # probing in model_init_from_file, model_utils.cpp:997-1141).
+        # auto = bf16 (the TPU-native half type; int8 via kv_quantized),
+        # f16 = bf16 alias, f32 = exact cache for strict-parity runs,
+        # int8 = the quantized cache (the reference's BTLA layout analog)
+        import jax.numpy as jnp
+
+        if memory_dtype in ("auto", "f16", "bf16"):
+            kv_dtype = jnp.bfloat16
+        elif memory_dtype == "f32":
+            kv_dtype = jnp.float32
+        elif memory_dtype == "int8":
+            kv_dtype, kv_quantized = jnp.bfloat16, True
+        else:
+            raise ValueError(f"unknown memory_dtype {memory_dtype!r}")
         if tp > 1:
             # multi-chip serving: shard per the Megatron split table and
             # drive the whole mesh from this process (parallel/tp.TPEngine)
@@ -201,11 +232,13 @@ class Model:
                     max_batch=max_batch, max_len=ctx_size,
                     kv_quantized=kv_quantized, page_size=page_size,
                     n_pages=n_pages, prefix_cache=prefix_cache,
+                    kv_dtype=kv_dtype,
                 )
                 return
             self.engine = TPEngine(
                 params, self.cfg, make_mesh(tp=tp), max_batch=max_batch,
                 max_len=ctx_size, kv_quantized=kv_quantized,
+                kv_dtype=kv_dtype,
             )
             return
         if paged:
@@ -215,11 +248,12 @@ class Model:
                 params, self.cfg, max_batch=max_batch, max_len=ctx_size,
                 kv_quantized=kv_quantized, page_size=page_size,
                 n_pages=n_pages, prefix_cache=prefix_cache,
+                kv_dtype=kv_dtype,
             )
             return
         self.engine = Engine(
             params, self.cfg, max_batch=max_batch, max_len=ctx_size,
-            kv_quantized=kv_quantized,
+            kv_quantized=kv_quantized, kv_dtype=kv_dtype,
         )
 
     # ------------------------------------------------------------------

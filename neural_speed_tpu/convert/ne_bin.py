@@ -187,7 +187,8 @@ def _unpermute_rows(n_head: int, rows: int):
     return idx.reshape(rows)
 
 
-def _read_linear(r: NEBinReader, name: str, unpermute_heads: int = 0):
+def _read_linear(r: NEBinReader, name: str, unpermute_heads: int = 0,
+                 fp_dtype=jnp.bfloat16):
     info = r.tensors[name]
     if info.ne_type == NE_TYPE_BTLA:
         # serialized BesTLA storage (the reference's quantized q4_j-style
@@ -208,7 +209,7 @@ def _read_linear(r: NEBinReader, name: str, unpermute_heads: int = 0):
         a = a.reshape(rows, row_len)
         if unpermute_heads:
             a = a[_unpermute_rows(unpermute_heads, rows)]
-        return {"w": jnp.asarray(a.T, jnp.bfloat16)}
+        return {"w": jnp.asarray(a.T, fp_dtype)}
     dec, bits, group, offset = G.DECODERS[ttype]
     codes, scales, m = G._decode(ttype, raw, rows, row_len)
     if unpermute_heads:
@@ -240,9 +241,14 @@ def _read_array(r: NEBinReader, name: str, dtype=jnp.float32):
     return jnp.asarray(a.reshape(info.shape[::-1]), dtype)
 
 
-def load_ne_bin(path: str):
+def load_ne_bin(path: str, param_dtype=jnp.bfloat16):
     """Load a reference-toolchain 'ggjt' .bin (llama-family tensor names,
-    convert_llama.py:120-140) -> (params, ArchConfig, GGUFTokenizer)."""
+    convert_llama.py:120-140) -> (params, ArchConfig, GGUFTokenizer).
+
+    `param_dtype` sets the storage dtype of FP tensors (embeddings, norms,
+    fp linears): bf16 is the TPU-native serving default; f32 keeps the
+    file's exact values for strict-parity runs (scripts/ref_crosscheck.py
+    vs the compiled reference, whose comp_fp32 path is f32 end-to-end)."""
     r = NEBinReader(path)
     hp = r.hparams
     head_dim = (hp.n_embd_head_k or hp.n_embd // hp.n_head)
@@ -265,12 +271,13 @@ def load_ne_bin(path: str):
     )
     params: Dict[str, Any] = {
         "embed": {"weight": _read_array(r, "tok_embeddings.weight",
-                                        jnp.bfloat16)
+                                        param_dtype)
                   if r.tensors["tok_embeddings.weight"].ne_type
                   in (NE_TYPE_F32, NE_TYPE_F16)
-                  else _embed_from_quant(r, "tok_embeddings.weight")},
+                  else _embed_from_quant(r, "tok_embeddings.weight",
+                                         param_dtype)},
         "final_norm": {"weight": _read_array(r, "norm.weight")},
-        "lm_head": _read_linear(r, "output.weight"),
+        "lm_head": _read_linear(r, "output.weight", fp_dtype=param_dtype),
         "layers": [],
     }
     for i in range(cfg.n_layers):
@@ -279,15 +286,22 @@ def load_ne_bin(path: str):
             "attn_norm": {"weight": _read_array(r, b + "attention_norm.weight")},
             "ffn_norm": {"weight": _read_array(r, b + "ffn_norm.weight")},
             "q": _read_linear(r, b + "attention.wq.weight",
-                              unpermute_heads=cfg.n_heads),
+                              unpermute_heads=cfg.n_heads,
+                              fp_dtype=param_dtype),
             "k": _read_linear(r, b + "attention.wk.weight",
-                              unpermute_heads=cfg.n_kv_heads),
-            "v": _read_linear(r, b + "attention.wv.weight"),
-            "o": _read_linear(r, b + "attention.wo.weight"),
+                              unpermute_heads=cfg.n_kv_heads,
+                              fp_dtype=param_dtype),
+            "v": _read_linear(r, b + "attention.wv.weight",
+                              fp_dtype=param_dtype),
+            "o": _read_linear(r, b + "attention.wo.weight",
+                              fp_dtype=param_dtype),
             "ffn": {
-                "gate": _read_linear(r, b + "feed_forward.w1.weight"),
-                "down": _read_linear(r, b + "feed_forward.w2.weight"),
-                "up": _read_linear(r, b + "feed_forward.w3.weight"),
+                "gate": _read_linear(r, b + "feed_forward.w1.weight",
+                                     fp_dtype=param_dtype),
+                "down": _read_linear(r, b + "feed_forward.w2.weight",
+                                     fp_dtype=param_dtype),
+                "up": _read_linear(r, b + "feed_forward.w3.weight",
+                                   fp_dtype=param_dtype),
             },
         }
         params["layers"].append(lp)
@@ -296,7 +310,7 @@ def load_ne_bin(path: str):
     return params, cfg, tok
 
 
-def _embed_from_quant(r: NEBinReader, name: str):
+def _embed_from_quant(r: NEBinReader, name: str, fp_dtype=jnp.bfloat16):
     """Embedding stored quantized (e.g. q4_0 ftype files): materialize to
     bf16 — gathers need a dense table."""
     info = r.tensors[name]
@@ -305,7 +319,7 @@ def _embed_from_quant(r: NEBinReader, name: str):
 
         st = BTLAStorage(np.asarray(r.tensor_bytes(info), np.uint8))
         # BTLA stores [K=row_len, N=rows]; embedding table is [vocab, embd]
-        return jnp.asarray(st.dequant().T, jnp.bfloat16)
+        return jnp.asarray(st.dequant().T, fp_dtype)
     ttype = _NE_TO_GGML[info.ne_type]
     raw = r.tensor_bytes(info)
     row_len, rows = info.shape[0], info.shape[1]
@@ -316,7 +330,7 @@ def _embed_from_quant(r: NEBinReader, name: str):
         a = (codes.astype(np.float32) - offset) * sf
     else:
         a = codes.astype(np.float32) * sf + np.repeat(m, group, axis=1)
-    return jnp.asarray(a, jnp.bfloat16)
+    return jnp.asarray(a, fp_dtype)
 
 
 # ---------------------------------------------------------------------------

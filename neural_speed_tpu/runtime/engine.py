@@ -170,6 +170,24 @@ class Engine:
         # 2-D positions + bidirectional-prefix mask through every step
         self.glm_lens = (np.zeros((max_batch,), np.int32)
                          if cfg.rope_style == "chatglm" else None)
+        # pre-flight HBM budget (round 5): the reference fails oversize
+        # configs at init via its scratch tables (llama.h llama_mem_req);
+        # warn/refuse here instead of an opaque mid-bench TPU Internal
+        # error (utils/memory.py; NST_HBM=strict|warn|off)
+        from ..utils.memory import preflight
+
+        # paged engines budget the real pool (n_pages * page_size rows);
+        # sharded engines (mesh set before super().__init__) budget the
+        # PER-CHIP share — params/KV divide across the mesh
+        kv_rows = (self.n_pages * self.page_size
+                   if hasattr(self, "n_pages") else None)
+        mesh = getattr(self, "mesh", None)
+        self.hbm_estimate = preflight(
+            params, cfg, max_batch, max_len, self.kv_dtype, kv_quantized,
+            self.buckets, scale_dtype=self.kv_scale_dtype,
+            what=type(self).__name__, kv_total_rows=kv_rows,
+            shards=(mesh.devices.size if mesh is not None else 1),
+        )
         self.cache = self.new_cache()
 
     def glm_arg(self) -> Optional[jax.Array]:

@@ -1,0 +1,247 @@
+"""End-to-end cross-validation against the COMPILED reference runtime.
+
+Drives the SAME ggjt .bin through (a) the reference's own C++ stack
+(scripts/refdrv.cpp linked against the build of /root/reference — the
+offline stand-in for pybind Model.evaluate, main_pybind.cpp:440,609) and
+(b) our TPU stack (Model.init_from_bin), then reports:
+
+  * greedy token identity (the reference acceptance style,
+    tests/test_python_api.py:26-110)
+  * per-step logit cosine under teacher forcing (cal_diff.py:23 style) —
+    the reference's greedy ids are fed to BOTH stacks so one near-tie
+    argmax flip cannot cascade.
+
+This certifies the one layer never cross-validated before round 5: the
+runtime math semantics (graph build, rope layout, q4_0 dequant, KV path)
+against the reference binary itself, with HF checkpoints unreachable.
+
+Usage:
+  python scripts/ref_crosscheck.py [--build] [--steps 16]
+
+--build compiles refdrv + the reference (cmake) if build_ref is absent.
+"""
+import argparse
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+BUILD = os.path.join(REPO, "build_ref")
+REF = "/root/reference"
+ONEDNN_X64 = ("/opt/venv/lib/python3.12/site-packages/tensorflow/include/"
+              "external/onednn/src/cpu/x64")
+PROMPT = [1, 5, 9, 42, 17, 33, 7, 21]
+
+
+def build_reference():
+    shim = os.path.join(BUILD, "xbyak_shim")
+    os.makedirs(shim, exist_ok=True)
+    with open(os.path.join(shim, "CMakeLists.txt"), "w") as f:
+        f.write("cmake_minimum_required(VERSION 3.12)\n"
+                "project(xbyak_shim)\nadd_library(xbyak INTERFACE)\n"
+                f"target_include_directories(xbyak INTERFACE {ONEDNN_X64})\n")
+    subprocess.check_call([
+        "cmake", "-S", REF, "-B", BUILD, "-G", "Ninja",
+        "-DNS_PYTHON_API=OFF", "-DNS_BUILD_APPLICATIONS=ON",
+        "-DCMAKE_BUILD_TYPE=Release",
+        f"-DFETCHCONTENT_SOURCE_DIR_XBYAK={shim}"])
+    subprocess.check_call(["ninja", "-C", BUILD])
+
+
+def build_refdrv(out="/tmp/refdrv"):
+    subprocess.check_call([
+        "g++", "-O2", "-std=c++17",
+        os.path.join(REPO, "scripts", "refdrv.cpp"), "-o", out,
+        f"-I{REF}/neural_speed", f"-I{REF}", f"-I{REF}/bestla",
+        f"-I{BUILD}",
+        os.path.join(BUILD, "lib", "libllama.a"),
+        os.path.join(BUILD, "lib", "libne_layers.so"),
+        os.path.join(BUILD, "lib", "libne_vec.a"),
+        os.path.join(BUILD, "lib", "libcpu_vec.a"),
+        "-lpthread", "-fopenmp"])
+    return out
+
+
+def write_tiny_model(path):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from neural_speed_tpu.convert import ne_bin as NE
+
+    # 22 layers: the smallest count in the reference's llama scratch
+    # table (llama.h:31-83 llama_mem_req asserts on anything smaller)
+    cfg = LlamaConfig(vocab_size=256, hidden_size=64, num_hidden_layers=22,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      intermediate_size=128, max_position_embeddings=128)
+    torch.manual_seed(3)
+    with torch.no_grad():
+        m = LlamaForCausalLM(cfg)
+    toks = ["<unk>", "<s>", "</s>"] + [f"t{i}" for i in range(253)]
+    NE.write_llama_ne_bin(path, dict(m.state_dict()), cfg.to_dict(), toks)
+    return path
+
+
+def run_reference(drv, model, steps, prefix="/tmp/refx"):
+    env = dict(os.environ, LD_LIBRARY_PATH=os.path.join(BUILD, "lib"))
+    subprocess.check_call(
+        [drv, model, ",".join(map(str, PROMPT)), str(steps), prefix],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    ids = [int(x) for x in open(prefix + ".ids")]
+    logits = np.fromfile(prefix + ".logits", np.float32).reshape(steps, -1)
+    return ids, logits
+
+
+def run_ours_leg(model, steps, ref_ids, platform, out_npz):
+    """Executed in a SUBPROCESS (platform choice is process-wide)."""
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from neural_speed_tpu.api import Model
+
+    # f32 KV to match refdrv's KV_MEM_TYPE_F32 (the bf16 default costs
+    # ~1e-2 relL2 against any f32 referee — measured round 5)
+    m = Model()
+    m.init_from_ne_bin(model, ctx_size=128, memory_dtype="f32",
+                       param_dtype="f32")
+    eng = m.engine
+    our_logits = []
+    lg = eng.prefill([list(PROMPT)])
+    our_logits.append(np.asarray(lg[0], np.float32))
+    active = jnp.zeros((eng.max_batch,), bool).at[0].set(True)
+    # teacher-force the REFERENCE's greedy path (so both stacks score the
+    # same sequence even if one near-tie argmax differs)
+    for t in ref_ids[:-1]:
+        lg = eng.decode(jnp.asarray([t] + [0] * (eng.max_batch - 1)), active)
+        our_logits.append(np.asarray(lg[0], np.float32))
+    # and an independent own-greedy pass for token identity
+    m2 = Model()
+    m2.init_from_ne_bin(model, ctx_size=128, memory_dtype="f32",
+                        param_dtype="f32")
+    # pure argmax: refdrv has no repetition penalty (generate() defaults
+    # to the reference Python API's 1.1)
+    out = m2.generate([list(PROMPT)], max_new_tokens=steps, do_sample=False,
+                      repetition_penalty=1.0, ignore_prompt=True)
+    np.savez(out_npz, ids=np.asarray([int(t) for t in out[0]], np.int32),
+             logits=np.stack(our_logits))
+
+
+def run_ours(model, steps, ref_ids, platform):
+    out = f"/tmp/ours_{platform}.npz"
+    subprocess.check_call(
+        [sys.executable, os.path.abspath(__file__), "--_leg", platform,
+         "--model", model, "--steps", str(steps),
+         "--_ref_ids", ",".join(map(str, ref_ids)), "--_out", out])
+    z = np.load(out)
+    return [int(t) for t in z["ids"]], z["logits"]
+
+
+def compare(tag, ref_ids, ref_logits, our_ids, our_logits):
+    n = min(len(ref_ids), len(our_ids))
+    match = sum(a == b for a, b in zip(ref_ids[:n], our_ids[:n]))
+    cos = [float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+           for a, b in zip(ref_logits, our_logits)]
+    rel = [float(np.linalg.norm(a - b) / np.linalg.norm(a))
+           for a, b in zip(ref_logits, our_logits)]
+    print(f"[{tag}] reference greedy ids:", ref_ids)
+    print(f"[{tag}] our greedy ids      :", our_ids)
+    print(f"[{tag}] greedy identity: {match}/{n}")
+    print(f"[{tag}] teacher-forced logit cosine per step:",
+          [round(c, 6) for c in cos])
+    print(f"[{tag}] min cosine {min(cos):.6f}  max relL2 {max(rel):.4f}")
+    return match, n, min(cos)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build", action="store_true")
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--model", default="/tmp/xval_tiny_q4_0.bin")
+    ap.add_argument("--_leg", default=None, help="internal: run one leg")
+    ap.add_argument("--_ref_ids", default=None)
+    ap.add_argument("--_out", default=None)
+    args = ap.parse_args()
+
+    if args._leg:
+        ref_ids = [int(x) for x in args._ref_ids.split(",")]
+        run_ours_leg(args.model, args.steps, ref_ids, args._leg, args._out)
+        return 0
+
+    if args.build and not os.path.isdir(BUILD):
+        build_reference()
+    drv = build_refdrv()
+
+    f32_bin = "/tmp/xval_tiny_f32.bin"
+    q4j_bin = "/tmp/xval_tiny_q4j.bin"
+    q40_bin = "/tmp/xval_tiny_q4_0.bin"
+    if not os.path.exists(f32_bin):
+        import torch  # noqa: F401  (write f32 variant)
+
+        from neural_speed_tpu.convert import ne_bin as NE
+
+        write_tiny_model(q40_bin)
+        # same weights, f32 tensors (write_tiny_model seeds torch)
+        import torch as _t
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig(vocab_size=256, hidden_size=64,
+                          num_hidden_layers=22, num_attention_heads=4,
+                          num_key_value_heads=2, intermediate_size=128,
+                          max_position_embeddings=128)
+        _t.manual_seed(3)
+        with _t.no_grad():
+            m = LlamaForCausalLM(cfg)
+        toks = ["<unk>", "<s>", "</s>"] + [f"t{i}" for i in range(253)]
+        NE.write_llama_ne_bin(f32_bin, dict(m.state_dict()), cfg.to_dict(),
+                              toks, ne_type=NE.NE_TYPE_F32)
+    if not os.path.exists(q4j_bin):
+        # the reference's own quantizer: q4_j sym g32 fp32-scale
+        # comp_fp32 BTLA storages (quant_utils.cpp:269-355) — both stacks
+        # then share the exact same effective weights, and our BTLA
+        # ingest is exercised end-to-end
+        subprocess.check_call(
+            [os.path.join(BUILD, "bin", "quant_llama"),
+             "--model_file", f32_bin, "--out_file", q4j_bin,
+             "--weight_dtype", "int4", "--alg", "sym",
+             "--group_size", "32", "--scale_dtype", "fp32",
+             "--compute_dtype", "fp32", "--model_name", "llama"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    # ---- STRICT legs: the reference-quantized q4_j BTLA file ----------
+    ref_ids, ref_logits = run_reference(drv, q4j_bin, args.steps, "/tmp/rq4j")
+    cpu_ids, cpu_logits = run_ours(q4j_bin, args.steps, ref_ids, "cpu")
+    m1, n1, c1 = compare("q4j cpu-f32", ref_ids, ref_logits,
+                         cpu_ids, cpu_logits)
+    tpu_ids, tpu_logits = run_ours(q4j_bin, args.steps, ref_ids, "axon")
+    m2, n2, c2 = compare("q4j tpu-bf16", ref_ids, ref_logits,
+                         tpu_ids, tpu_logits)
+
+    # ---- INFORMATIONAL leg: q4_0 (ggml path).  The reference
+    # dynamically quantizes ACTIVATIONS to Q8_0 before every vec_dot
+    # (data_types.h quantize_fns, ne_layers.c:265-330); our stack keeps
+    # activations in fp — a deliberate fidelity improvement, so ~1.5e-2
+    # relL2 against the reference is the REFERENCE's activation-quant
+    # noise, not an error.  Cosine bound only.
+    ref0_ids, ref0_logits = run_reference(drv, q40_bin, args.steps,
+                                          "/tmp/rq40")
+    cpu0_ids, cpu0_logits = run_ours(q40_bin, args.steps, ref0_ids, "cpu")
+    m3, n3, c3 = compare("q4_0 cpu-f32", ref0_ids, ref0_logits,
+                         cpu0_ids, cpu0_logits)
+
+    ok = (m1 == n1 and c1 > 0.99999 and m2 == n2 and c2 > 0.999
+          and c3 > 0.999)
+    print(f"CROSSCHECK {'PASS' if ok else 'FAIL'} "
+          f"(q4j cpu identity {m1}/{n1} min-cos {c1:.6f}; "
+          f"q4j tpu identity {m2}/{n2} min-cos {c2:.6f}; "
+          f"q4_0 cpu min-cos {c3:.6f} identity {m3}/{n3})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
