@@ -140,3 +140,90 @@ def test_quant_accuracy_matrix(arch, spec_id, spec, min_cos, max_rel):
     assert cos >= min_cos and rel <= max_rel, (
         f"{arch} x {spec_id}: cosine={cos:.5f} (min {min_cos}), "
         f"rel-L2={rel:.4f} (max {max_rel})")
+
+
+# ---------------------------------------------------------------------------
+# STRUCTURED-weight matrix (round 5, VERDICT r4 item 7)
+# ---------------------------------------------------------------------------
+# Real LLM layers are low-rank-dominated with per-channel variance and a
+# few large "outlier" input channels (the regime AWQ / GPTQ act-order
+# exist for).  Calibration 2026-08-20 found the OPPOSITE of the round-4
+# conjecture: structured weights make per-group absmax RTN look WORSE
+# than iid gaussian (outlier channels inflate their group's scale and
+# crush the other channels' resolution — int4-g128 worst cosine 0.86 vs
+# 0.95 random; int3 0.55 vs 0.78), while narrow groups / asym recover it
+# (int4-g32-asym 0.959) exactly as the reference's accuracy guidance
+# predicts (core/README.md:96-103: g32 ~ g128+cint8).  Keeping BOTH
+# matrices covers both regimes; thresholds here are set ~2-5% below the
+# measured llama cell (full sweep table in PARITY.md).
+
+STRUCTURED_GRID = [
+    ("int8_g-1", QSpec(QType.INT, 8, -1, True), 0.993, 0.11),
+    ("int4_g128", QSpec(QType.INT, 4, 128, True), 0.845, 0.62),
+    ("int4_g128_bf16s", QSpec(QType.INT, 4, 128, True,
+                              scale_dtype="bfloat16"), 0.845, 0.62),
+    ("int4_g32_asym", QSpec(QType.INT, 4, 32, False), 0.945, 0.31),
+    ("int4_g128_dq", QSpec(QType.INT, 4, 128, True, double_quant=True),
+     0.845, 0.62),
+    ("int5_g64_asym", QSpec(QType.INT, 5, 64, False), 0.965, 0.23),
+    ("int3_g128", QSpec(QType.INT, 3, 128, True), 0.53, 1.30),
+    ("nf4_g32", named_qspec("nf4", group_size=32), 0.96, 0.25),
+    ("fp4_g64", named_qspec("fp4", group_size=64), 0.875, 0.50),
+    ("fp8_e4m3_g-1", named_qspec("fp8_e4m3", group_size=-1), 0.993, 0.11),
+]
+
+
+def _structured_sd(sd, seed=0):
+    """Low-rank + per-channel-variance + outlier-channel weights."""
+    g = torch.Generator().manual_seed(seed)
+    out = {}
+    for k, t in sd.items():
+        if (t.ndim == 2 and min(t.shape) >= 32 and "embed" not in k
+                and "wte" not in k):
+            o, i = t.shape
+            r = max(4, min(o, i) // 16)
+            A = torch.randn(o, r, generator=g)
+            B = torch.randn(r, i, generator=g)
+            W = (A @ B) / r ** 0.5
+            W = W * torch.exp(torch.randn(i, generator=g) * 0.5)[None, :]
+            idx = torch.randperm(i, generator=g)[: max(1, i // 64)]
+            W[:, idx] *= 8.0
+            W = W * (0.02 / W.std())
+            out[k] = W.to(t.dtype)
+        else:
+            out[k] = t
+    return out
+
+
+_SCACHE = {}
+
+
+def _structured_case():
+    if not _SCACHE:
+        model_cls, config = _arch_case("llama")
+        torch.manual_seed(0)
+        with torch.no_grad():
+            m = model_cls(config)
+        m.eval()
+        m.load_state_dict(_structured_sd(dict(m.state_dict())))
+        with torch.no_grad():
+            logits = m(torch.tensor([PROMPT])).logits[0].float().numpy()
+        _SCACHE["llama"] = (config.to_dict(), dict(m.state_dict()), logits)
+    return _SCACHE["llama"]
+
+
+@pytest.mark.parametrize("spec_id,spec,min_cos,max_rel", STRUCTURED_GRID,
+                         ids=[s[0] for s in STRUCTURED_GRID])
+def test_quant_accuracy_structured(spec_id, spec, min_cos, max_rel):
+    cfg_dict, sd, fp_logits = _structured_case()
+    cfg = arch_from_hf_config(cfg_dict)
+    params = params_from_state_dict(sd, cfg, qspec=spec, dtype=jnp.float32)
+    eng = Engine(params, cfg, max_batch=1, max_len=128)
+    t = len(PROMPT)
+    logits, _ = forward(eng.params, cfg, jnp.asarray([PROMPT]),
+                        jnp.arange(t)[None, :], eng.new_cache(),
+                        jnp.asarray([t]))
+    cos, rel = _metrics(np.asarray(logits[0], np.float32), fp_logits)
+    assert cos >= min_cos and rel <= max_rel, (
+        f"structured llama x {spec_id}: cosine={cos:.5f} (min {min_cos}), "
+        f"rel-L2={rel:.4f} (max {max_rel})")
