@@ -58,6 +58,13 @@ FLASH_HB_MAX = int(os.environ.get("NST_FLASH_HB", "8"))
 FLASH_BS_OVERRIDE = os.environ.get("NST_FLASH_BS")
 FLASH_BR = int(os.environ.get("NST_FLASH_BR", "256"))
 FLASH_PREFILL_BS = int(os.environ.get("NST_FLASH_PREFILL_BS", "1024"))
+# int8-MXU score dot in the decode kernel (NST_FLASH_INT8=qk): quantize
+# q per row and feed the int8 KV block to the MXU DIRECTLY — the
+# int8->bf16 element converts of the whole K block were the kernel's
+# dominant VPU cost (decode MHA at 72% of the KV-read roofline).
+# q-row quantization replaces the bf16 dot's rounding with int8 rounding
+# of q (comparable ~0.4% relative); the dot itself is exact in int32.
+FLASH_INT8_DOT = os.environ.get("NST_FLASH_INT8", "off") == "qk"
 
 
 def flash_mode() -> str:
@@ -425,14 +432,31 @@ def _mha_kernel_hblk(
             valid = jnp.logical_and(valid, col <= pos)
         maskadd = jnp.where(valid, 0.0, MASK_VALUE)
         for hh in range(hb):
-            q = q_ref[0, hh].astype(jnp.bfloat16)      # [BR, D]
-            s = jax.lax.dot_general(
-                q, kc_all[hh].astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                          # [BR, BS]
-            if quantized:
+            if quantized and FLASH_INT8_DOT:
+                # int8 MXU path: K stays int8 (no per-element convert of
+                # the [BS, D] block); q rows quantize to int8 with a per-
+                # row scale folded back into s
+                qf = q_ref[0, hh].astype(jnp.float32)  # [BR, D]
+                qsc = jnp.maximum(
+                    jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                    1e-6) / 127.0                      # [BR, 1]
+                qi = jnp.clip(jnp.round(qf / qsc),
+                              -127.0, 127.0).astype(jnp.int8)
+                s = jax.lax.dot_general(
+                    qi, kc_all[hh],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * qsc            # [BR, BS]
                 s = s * ks_all[hh][None, :]
+            else:
+                q = q_ref[0, hh].astype(jnp.bfloat16)  # [BR, D]
+                s = jax.lax.dot_general(
+                    q, kc_all[hh].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # [BR, BS]
+                if quantized:
+                    s = s * ks_all[hh][None, :]
             s = s * sm_scale
             if softcap > 0.0:
                 s = softcap * jnp.tanh(s / softcap)

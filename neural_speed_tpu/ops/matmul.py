@@ -533,8 +533,13 @@ def _compute_dtype(x_dtype, m: int):
 
 
 def _choose_bn(n: int) -> int:
+    """512-lane N blocks (measured best on v5e; NST_GEMV_BN_MAX caps the
+    first choice for on-chip sweeps of finer pipelines)."""
+    import os
+
+    cap = int(os.environ.get("NST_GEMV_BN_MAX", "512"))
     for bn in (512, 256, 128):
-        if n % bn == 0:
+        if bn <= cap and n % bn == 0:
             return bn
     return n
 

@@ -497,6 +497,61 @@ for label, kw in (("window=64 (default)", {}),
 """
 
 
+MULTISERVE = r"""
+# Multi-request serving record (VERDICT r4 item 3): 8 concurrent requests
+# with MIXED prompt lengths through the CB scheduler — aggregate tok/s +
+# p50/p90 TTFT, contiguous AND paged (the reference's continuous batching
+# exists for concurrency; scheduler.cpp step semantics + the percentile
+# reporting of tests/model-test/calculate_percentiles.py).
+import time, numpy as np, jax.numpy as jnp
+from neural_speed_tpu.ops.qtypes import QSpec, QType
+from neural_speed_tpu.ops.sampling import SamplingParams
+from neural_speed_tpu.runtime.engine import Engine, PagedEngine
+from neural_speed_tpu.runtime.scheduler import ContinuousBatchingScheduler
+from neural_speed_tpu.utils.synthetic import synth_params, llama2_7b_arch
+cfg = llama2_7b_arch()
+params = synth_params(cfg, QSpec(QType.INT, 4, 128, True,
+                                 scale_dtype="bfloat16"))
+B, CTX, NNEW, REPS = 8, 1024, 128, 3
+PLENS = [128, 192, 256, 320, 384, 448, 512, 576]
+rng = np.random.default_rng(0)
+PROMPTS = [list(rng.integers(5, 30000, size=n)) for n in PLENS]
+for label, cls, kw in (("contiguous", Engine, {}),
+                       ("paged", PagedEngine,
+                        {"page_size": 128, "n_pages": B * CTX // 128 + 8})):
+    eng = cls(params, cfg, max_batch=B, max_len=CTX, kv_quantized=True,
+              **kw)
+    sched = ContinuousBatchingScheduler(
+        eng, SamplingParams(do_sample=False), chunk_size=16)
+    sched.warmup(prompt_len=max(PLENS))
+    aggs, ttfts = [], []
+    for rep in range(REPS + 1):
+        first = {}
+        t0 = time.time()
+        for i, p in enumerate(PROMPTS):
+            rid = sched.add_request(
+                list(p), NNEW,
+                streamer=(lambda t, i=i: first.setdefault(
+                    i, time.time())))
+            del rid
+        done = sched.run_to_completion()
+        dt = time.time() - t0
+        assert len(done) == B and all(
+            len(s.generated) == NNEW for s in done)
+        if rep == 0:
+            continue  # rep 0 pays the jit compiles; stats from warm reps
+        aggs.append(B * NNEW / dt)
+        ttfts.extend(v - t0 for v in first.values())
+    aggs.sort(); ttfts.sort()
+    p50 = ttfts[len(ttfts) // 2]
+    p90 = ttfts[int(len(ttfts) * 0.9)]
+    print(f"{label}: aggregate {aggs[len(aggs)//2]:.0f} tok/s "
+          f"(spread {aggs[0]:.0f}-{aggs[-1]:.0f}, {B} reqs x {NNEW} new, "
+          f"prompts {PLENS[0]}-{PLENS[-1]}); "
+          f"TTFT p50 {p50*1e3:.0f} ms p90 {p90*1e3:.0f} ms", flush=True)
+"""
+
+
 LEGS = {
     "probe": (PROBE, 240),
     "smoke": ("import subprocess,sys; sys.exit(subprocess.call("
@@ -518,6 +573,7 @@ LEGS = {
     "kernelspot": (KERNELSPOT, 1200),
     "paged32": (PAGED32, 1200),
     "serving": (SERVING, 1500),
+    "multiserve": (MULTISERVE, 2400),
     "gemvbn": (GEMVBN, 1800),
     "prefixcache": (PREFIX, 1500),
 }
