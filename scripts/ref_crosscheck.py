@@ -222,6 +222,26 @@ def main():
     m2, n2, c2 = compare("q4j tpu-bf16", ref_ids, ref_logits,
                          tpu_ids, tpu_logits)
 
+    # ---- STRICT leg: nf4 (NFloat BTLA storages).  The reference's own
+    # quant_llama --weight_dtype nf4 output loads through our NFloat
+    # ingest (convert/btla.py LUT decode riding QSpec.lut) — the
+    # "reference-produced nf4 checkpoint" VERDICT r4 missing item, at
+    # MODEL level.
+    nf4_bin = "/tmp/xval_tiny_nf4.bin"
+    if not os.path.exists(nf4_bin):
+        subprocess.check_call(
+            [os.path.join(BUILD, "bin", "quant_llama"),
+             "--model_file", f32_bin, "--out_file", nf4_bin,
+             "--weight_dtype", "nf4", "--alg", "sym",
+             "--group_size", "32", "--scale_dtype", "fp32",
+             "--compute_dtype", "fp32", "--model_name", "llama"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    refn_ids, refn_logits = run_reference(drv, nf4_bin, args.steps,
+                                          "/tmp/rnf4")
+    nf4_ids, nf4_logits = run_ours(nf4_bin, args.steps, refn_ids, "cpu")
+    m4, n4, c4 = compare("nf4 cpu-f32", refn_ids, refn_logits,
+                         nf4_ids, nf4_logits)
+
     # ---- INFORMATIONAL leg: q4_0 (ggml path).  The reference
     # dynamically quantizes ACTIVATIONS to Q8_0 before every vec_dot
     # (data_types.h quantize_fns, ne_layers.c:265-330); our stack keeps
@@ -235,10 +255,11 @@ def main():
                          cpu0_ids, cpu0_logits)
 
     ok = (m1 == n1 and c1 > 0.99999 and m2 == n2 and c2 > 0.999
-          and c3 > 0.999)
+          and m4 == n4 and c4 > 0.99999 and c3 > 0.999)
     print(f"CROSSCHECK {'PASS' if ok else 'FAIL'} "
           f"(q4j cpu identity {m1}/{n1} min-cos {c1:.6f}; "
           f"q4j tpu identity {m2}/{n2} min-cos {c2:.6f}; "
+          f"nf4 cpu identity {m4}/{n4} min-cos {c4:.6f}; "
           f"q4_0 cpu min-cos {c3:.6f} identity {m3}/{n3})")
     return 0 if ok else 1
 
