@@ -3,6 +3,7 @@ docs/infinite_inference.md — discard-and-re-eval and shift-RoPE ring)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from neural_speed_tpu.models.arch import ArchConfig
 from neural_speed_tpu.ops.qtypes import named_qspec
@@ -109,6 +110,22 @@ def test_paged_eviction_partial_sink_page_cow():
     # a repeated prompt still hits the intact cached prefix
     n_cached, hit_pages = eng.prefix_lookup(prompt)
     assert n_cached == (len(prompt) // eng.page_size) * eng.page_size
+
+
+@pytest.mark.parametrize("mode", ["speculative", "mixed"])
+def test_paged_eviction_other_sched_modes(mode):
+    """_maybe_evict's other call sites (speculative verify reservation,
+    mixed prefill+decode) must also handle the paged pool, releasing
+    every page at completion."""
+    kw = (dict(speculative=True) if mode == "speculative"
+          else dict(mixed_prefill=True, mixed_chunk=16))
+    eng = _paged_engine()
+    sched = ContinuousBatchingScheduler(
+        eng, SamplingParams(do_sample=False), **kw)
+    sched.add_request(list(range(1, 40)), CTX)
+    done = sched.run_to_completion()
+    assert len(done[0].generated) == CTX
+    assert not eng._alloc.refs, eng._alloc.refs
 
 
 def test_paged_shift_rope_raises():
