@@ -144,8 +144,11 @@ def _mha_kernel(
     kvlen_ref,                    # [B] int32
     # inputs
     pos_ref,                      # [1, BR, 1] int32 (query row positions)
+                                  # nat layout: [1, BT, 1] token positions
     slope_ref,                    # [1, BR, 1] f32 (alibi slopes per row)
+                                  # nat layout: [1, n_rep] per-group slopes
     q_ref,                        # [1, 1, BR, D]
+                                  # nat layout: [1, BT, n_rep, D]
     k_ref,                        # [1, 1, BS, D]  (bf16/f32 or int8 codes)
     v_ref,                        # [1, 1, BS, D]
     *rest,                        # [ks_ref, vs_ref,] o_ref, m, l, acc
@@ -157,6 +160,11 @@ def _mha_kernel(
     block_s: int,
     n_s: int,
     h_blk: int = 1,               # heads per scale block (see _sel_scale)
+    nat_rep: int = 0,             # >0: NATURAL-layout prefill (q/out stay
+                                  # [B, T, H, D]; rows = t*n_rep + g —
+                                  # row order is free in attention, and
+                                  # this kills the two 16MB q-pack/out-
+                                  # unpack relayouts per layer)
 ):
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
@@ -175,7 +183,13 @@ def _mha_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     kv_len = kvlen_ref[b]
-    pos = pos_ref[0]                                   # [BR, 1] int32
+    if nat_rep:
+        bt = q_ref.shape[1]
+        pos = jnp.broadcast_to(
+            pos_ref[0].reshape(bt, 1, 1), (bt, nat_rep, 1)
+        ).reshape(bt * nat_rep, 1)                     # [BR, 1] int32
+    else:
+        pos = pos_ref[0]                               # [BR, 1] int32
     run = (j * block_s) < kv_len
     if causal:
         # skip blocks entirely above the causal diagonal for every row
@@ -183,8 +197,13 @@ def _mha_kernel(
 
     @pl.when(run)
     def _block():
-        br, d = q_ref.shape[2], q_ref.shape[3]
-        q = q_ref[0, 0].astype(jnp.bfloat16)           # [BR, D]
+        if nat_rep:
+            bt, d = q_ref.shape[1], q_ref.shape[3]
+            br = bt * nat_rep
+            q = q_ref[...].reshape(br, d).astype(jnp.bfloat16)
+        else:
+            br, d = q_ref.shape[2], q_ref.shape[3]
+            q = q_ref[0, 0].astype(jnp.bfloat16)       # [BR, D]
         kc = k_ref[...].reshape(block_s, d)            # [BS, D]
         s = jax.lax.dot_general(
             q, kc.astype(jnp.bfloat16),
@@ -204,7 +223,13 @@ def _mha_kernel(
         if causal:
             valid = jnp.logical_and(valid, col <= pos)
         if use_alibi:
-            slope = slope_ref[0]                       # [BR, 1] f32
+            if nat_rep:
+                bt = q_ref.shape[1]
+                slope = jnp.broadcast_to(
+                    slope_ref[...].reshape(1, nat_rep, 1),
+                    (bt, nat_rep, 1)).reshape(br, 1)   # [BR, 1] f32
+            else:
+                slope = slope_ref[0]                   # [BR, 1] f32
             s = s + slope * (col.astype(jnp.float32) - pos.astype(jnp.float32))
         s = s + jnp.where(valid, 0.0, MASK_VALUE)
 
@@ -232,7 +257,11 @@ def _mha_kernel(
     def _finalize():
         l = l_ref[:, :1]
         inv = jnp.where(l == 0.0, 0.0, 1.0 / l)        # masked rows -> 0
-        o_ref[0, 0] = (acc_ref[:] * inv).astype(o_ref.dtype)
+        out = (acc_ref[:] * inv).astype(o_ref.dtype)
+        if nat_rep:
+            o_ref[...] = out.reshape(o_ref.shape)
+        else:
+            o_ref[0, 0] = out
 
 
 def _mha_kernel_hblk(
@@ -779,6 +808,122 @@ def _mha_packed(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "softcap", "out_dtype", "block_s",
+                     "interpret", "layer"),
+)
+def _mha_packed_nat(
+    q: jax.Array,                 # [B, T, H, D] bf16 — NATURAL layout
+    k: jax.Array,                 # [(L,) B, Hkv, S, D]
+    v: jax.Array,
+    k_scale_t: Optional[jax.Array],
+    v_scale_t: Optional[jax.Array],
+    positions: jax.Array,         # [B, T, 1] int32
+    slopes: Optional[jax.Array],  # [Hkv, n_rep] f32 or None
+    kv_lens: jax.Array,
+    *,
+    scale: float,
+    causal: bool,
+    softcap: float,
+    out_dtype,
+    block_s: int,
+    interpret: bool,
+    layer: Optional[int] = None,
+):
+    """Prefill launcher over q/out in their NATURAL [B, T, H, D] layout:
+    the q block [1, BT, n_rep, D] spans one KV-head group's heads for BT
+    tokens (row = t*n_rep + g inside the kernel — row order is free in
+    attention, so outputs are bit-identical per (b, t, h) to the packed
+    launcher's).  Removes the [B,T,H,D]->[B,Hkv,R,D] q-pack and the
+    inverse out-unpack — two full-tensor relayout copies per layer that
+    the round-4 prefill decomposition charged to 'glue'."""
+    b, t, h, d = q.shape
+    hkv = k.shape[-3]
+    n_rep = h // hkv
+    s = k.shape[-2]
+    quantized = k_scale_t is not None
+    use_alibi = slopes is not None
+    bt = max(FLASH_BR // n_rep, 8)
+    br = bt * n_rep
+    n_s = s // block_s
+    grid = (b, hkv, t // bt, n_s)
+    h_blk = 1
+    for cand in (8, 4, 2, 1):
+        if hkv % cand == 0:
+            h_blk = cand
+            break
+    if slopes is None:
+        slopes = jnp.zeros((hkv, n_rep), jnp.float32)
+    if layer is None:
+        kv_spec = pl.BlockSpec((1, 1, block_s, d),
+                               lambda bi, hh, r, j, *_: (bi, hh, j, 0))
+        sc_spec = pl.BlockSpec(
+            (1, h_blk, block_s),
+            lambda bi, hh, r, j, *_: (bi, hh // h_blk, j))
+    else:
+        kv_spec = pl.BlockSpec(
+            (1, 1, 1, block_s, d),
+            lambda bi, hh, r, j, *_: (layer, bi, hh, j, 0))
+        sc_spec = pl.BlockSpec(
+            (1, 1, h_blk, block_s),
+            lambda bi, hh, r, j, *_: (layer, bi, hh // h_blk, j))
+    in_specs = [
+        pl.BlockSpec((1, bt, 1), lambda bi, hh, r, j, *_: (bi, r, 0)),
+        pl.BlockSpec((1, n_rep), lambda bi, hh, r, j, *_: (hh, 0)),
+        pl.BlockSpec((1, bt, n_rep, d),
+                     lambda bi, hh, r, j, *_: (bi, r, hh, 0)),
+        kv_spec,
+        kv_spec,
+    ]
+    args = [positions, slopes, q, k, v]
+    if quantized:
+        in_specs += [sc_spec, sc_spec]
+        args += [k_scale_t, v_scale_t]
+    kernel = functools.partial(
+        _mha_kernel,
+        quantized=quantized,
+        causal=causal,
+        use_alibi=use_alibi,
+        softcap=softcap,
+        sm_scale=scale,
+        block_s=block_s,
+        n_s=n_s,
+        h_blk=h_blk,
+        nat_rep=n_rep,
+    )
+    kv_bytes = block_s * d * (1 if quantized else 2)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * b * h * t * s * d,
+        bytes_accessed=b * hkv * n_s * (2 * kv_bytes) + b * h * t * d * 4,
+        transcendentals=b * h * t * s,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, bt, n_rep, d), lambda bi, hh, r, j, *_: (bi, r, hh, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((br, LANES), jnp.float32),   # m
+                pltpu.VMEM((br, LANES), jnp.float32),   # l
+                pltpu.VMEM((br, d), jnp.float32),       # acc
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, h, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), *args)
+    return out
+
+
 def extra_kv_eligible(t: int, n_heads: int, n_kv_heads: int) -> bool:
     """Single source of truth for when the deferred-append extra-kv column
     of the head-blocked decode kernel engages: all packed GQA rows must fit
@@ -843,6 +988,35 @@ def mha(
     # larger ones to the 256-row block the launcher tiles with
     rp = _round_up(r, 8) if r <= 256 else _round_up(r, 256)
     out_dtype = out_dtype or q.dtype
+
+    # NATURAL-layout prefill (round 5): when the token count tiles the
+    # row block exactly, q/out stay [B, T, H, D] — no q-pack/out-unpack
+    # relayouts (prefill glue).  Exact: row order inside a block is free.
+    bt_nat = max(FLASH_BR // n_rep, 8)
+    # default OFF until the Mosaic compile + perf A/B run on the real
+    # chip (interpret mode can't catch Mosaic layout restrictions on the
+    # strided [1, BT, n_rep, D] q blocks); bit-identity vs the packed
+    # launcher is already certified (test_prefill_natural_layout_*)
+    if (r > 8 and extra_kv is None and not fused_append
+            and t % bt_nat == 0 and FLASH_BR % n_rep == 0
+            and os.environ.get("NST_FLASH_NATQ", "0") != "0"):
+        bs_target = FLASH_PREFILL_BS
+        block_sn = 128
+        for cand in (2048, 1024, 512, 256, 128):
+            if cand <= bs_target and s % cand == 0:
+                block_sn = cand
+                break
+        slopes_nat = None
+        if alibi is not None:
+            slopes_nat = alibi.astype(jnp.float32).reshape(hkv, n_rep)
+        return _mha_packed_nat(
+            q.astype(jnp.bfloat16), k, v, k_scale, v_scale,
+            q_positions.astype(jnp.int32)[..., None], slopes_nat, kv_lens,
+            scale=float(scale), causal=causal,
+            softcap=float(logit_softcap), out_dtype=out_dtype,
+            block_s=block_sn, interpret=flash_mode() == "interpret",
+            layer=layer,
+        )
 
     # pack GQA rows: [B,T,H,D] -> [B,Hkv,n_rep*T,D], row = g*T + t
     q4 = q.reshape(b, t, hkv, n_rep, d).transpose(0, 2, 3, 1, 4)

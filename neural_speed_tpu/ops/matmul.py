@@ -579,10 +579,15 @@ def _choose_bm(m: int, k: int) -> int:
     if GEMM_BM_OVERRIDE:
         ceil_ = GEMM_BM_OVERRIDE  # explicit sweep value: trust the caller
     else:
-        ceil_ = min(max(8, (12 * 1024 * 1024) // (k * 2)), 512)
+        # ceiling 1024 (was 512, round 5): at K<=6144 the [bm, K] bf16 x
+        # block stays <=12MB, and every halving of M/bm halves how many
+        # times the whole weight re-streams — qkv/o/gate-up at 7B
+        # prefill M=2048 drop from 4 weight reads to 2 (the down-proj
+        # K=11264 still lands at 512 via the VMEM formula)
+        ceil_ = min(max(8, (12 * 1024 * 1024) // (k * 2)), 1024)
     if m <= ceil_:
         return m
-    for bm in (512, 256, 128, 64, 32, 16, 8):
+    for bm in (1024, 512, 256, 128, 64, 32, 16, 8):
         if bm <= ceil_ and m % bm == 0:
             return bm
     return min(m, 8)

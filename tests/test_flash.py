@@ -59,6 +59,45 @@ def test_prefill_causal_gqa():
     _compare(out, ref, pos, kv_lens)
 
 
+@pytest.mark.parametrize("hkv,quant,alibi_on", [
+    (8, False, False),   # n_rep=1 (llama-7B class): bt = 256
+    (2, False, False),   # GQA n_rep=4: bt = 64
+    (2, True, False),    # GQA + int8 KV scales
+    (2, False, True),    # GQA + alibi slopes per group
+])
+def test_prefill_natural_layout_matches_packed(hkv, quant, alibi_on,
+                                               monkeypatch):
+    """Round 5: the NATURAL-layout prefill launcher (q/out stay
+    [B,T,H,D]; rows = t*n_rep+g) must equal the packed launcher
+    bit-for-bit per (b,t,h) — row order inside a block is free."""
+    import neural_speed_tpu.ops.attention as attn
+
+    b, h, d, s = 1, 8, 128, 512
+    t = 256 if hkv == 8 else 64 * 2  # multiple of bt = 256//n_rep
+    q, k, v = _mk(b, t, h, hkv, d, s, seed=3)
+    ks = vs = None
+    if quant:
+        rng = np.random.default_rng(5)
+        k = jnp.asarray(rng.integers(-127, 127, (b, s, hkv, d)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 127, (b, s, hkv, d)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.1, (b, s, hkv, 1)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.01, 0.1, (b, s, hkv, 1)), jnp.float32)
+    al = attn.alibi_slopes(h) if alibi_on else None
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t)).astype(jnp.int32)
+    kv_lens = jnp.full((b,), t, jnp.int32)
+    args = dict(scale=1.0 / np.sqrt(d), causal=True, alibi=al)
+    monkeypatch.setenv("NST_FLASH_NATQ", "1")
+    out_nat = _mha(q, k, v, ks, vs, pos, kv_lens, **args)
+    monkeypatch.setenv("NST_FLASH_NATQ", "0")
+    out_packed = _mha(q, k, v, ks, vs, pos, kv_lens, **args)
+    assert out_nat is not None and out_packed is not None
+    np.testing.assert_array_equal(np.asarray(out_nat, np.float32),
+                                  np.asarray(out_packed, np.float32))
+    if not quant:
+        ref = attention_ref(q, k, v, pos, kv_lens, **args)
+        _compare(out_nat, ref, pos, kv_lens)
+
+
 def test_decode_single_token():
     b, t, h, hkv, d, s = 4, 1, 8, 8, 128, 512
     q, k, v = _mk(b, t, h, hkv, d, s, seed=1)
