@@ -291,7 +291,7 @@ class BTLAStorage:
     def scales(self) -> np.ndarray:
         """[ceil(K/block), N] float32 (double-quant DQ8_BNB scales are
         decoded to their exact float values)."""
-        nk = self.kpad // self.block_size
+        nk = -(-self.kpad // self.block_size)
         if self.scale_t == DT_F32:
             s = self.scale_buf.view(np.float32).reshape(nk, self.cstep)
         elif self.scale_t == DT_BF16:
@@ -340,7 +340,7 @@ class BTLAStorage:
         or None for symmetric."""
         if self.zp_buf is None:
             return None
-        nk = self.kpad // self.block_size
+        nk = -(-self.kpad // self.block_size)
         z = self.zp_buf.view(np.int8).reshape(nk, self.cstep)
         rows = -(-self.k // self.block_size)
         bits = self.dtype & 0xFF
@@ -400,6 +400,10 @@ def btla_to_qtensor(raw: np.ndarray, n_perm: Optional[np.ndarray] = None):
 
     st = BTLAStorage(np.asarray(raw, np.uint8))
     bits = st.dtype & 0xFF
+    # a block spanning all of K (the reference stores the nominal block
+    # even when block >= K, e.g. g128 quant of a K=64 linear) maps to
+    # our group -1 convention (QSpec.groups validates divisibility)
+    group = -1 if st.block_size >= st.k else st.block_size
     # E8M0/DQ8_BNB scales decode to exact f32 values (scales() above), so
     # the QTensor carries materialized float32 scales for those storages
     scale_np = (jnp.bfloat16 if st.scale_t == DT_BF16 else jnp.float32)
@@ -420,7 +424,7 @@ def btla_to_qtensor(raw: np.ndarray, n_perm: Optional[np.ndarray] = None):
         # swapped-0/-1 table, kernel_ref.h:1369-1371)
         qt_map = {DT_F4_NF4: QType.NF4, DT_F4_BNB: QType.FP4,
                   DT_F4_E2M1: QType.FP4}
-        spec = QSpec(qt_map[st.dtype], 4, st.block_size, True,
+        spec = QSpec(qt_map[st.dtype], 4, group, True,
                      "bfloat16" if st.scale_t == DT_BF16 else "float32",
                      lut=tuple(float(v) for v in lut))
         data = pack_codes(jnp.asarray(np.ascontiguousarray(codes)), 4)
@@ -433,12 +437,12 @@ def btla_to_qtensor(raw: np.ndarray, n_perm: Optional[np.ndarray] = None):
         e4 = st.dtype == DT_F8_E4M3
         vals = st._f8_values(codes, 4 if e4 else 5)
         spec = QSpec(QType.FP8_E4M3 if e4 else QType.FP8_E5M2, 8,
-                     st.block_size, True,
+                     group, True,
                      "bfloat16" if st.scale_t == DT_BF16 else "float32")
         dt = jnp.float8_e4m3fn if e4 else jnp.float8_e5m2
         data = (jnp.asarray(np.ascontiguousarray(vals)).astype(dt),)
         return QTensor(data, scales_j, None, None, spec, (st.k, st.n))
-    spec = QSpec(QType.INT, bits, st.block_size,
+    spec = QSpec(QType.INT, bits, group,
                  symmetric=st.zp_buf is None,
                  scale_dtype="bfloat16" if st.scale_t == DT_BF16
                  else "float32")

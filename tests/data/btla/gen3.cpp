@@ -80,5 +80,8 @@ int main() {
                   BTLA_DTYPE::F8_E5M2, BTLA_DTYPE::F32);
   gen_int_dq<F32Core>("s4_g32_dq8_avx512f", 64, 256, 32,
                       BTLA_DTYPE::S4_CLIP);
+  // block > K (the reference keeps the nominal block): one spanning group
+  gen_nf<F32Core>("nf4_g128_k64_f32_avx512f", 64, 64, 128,
+                  BTLA_DTYPE::F4_NF4, BTLA_DTYPE::F32);
   return 0;
 }

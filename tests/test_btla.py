@@ -44,6 +44,9 @@ FIXTURES = [
     ("fp8e4m3_g128_e8m0_avx512f", 48, 1, 128, False),
     ("fp8e5m2_g128_f32_avx512f", 48, 1, 128, False),
     ("s4_g32_dq8_avx512f", 48, 1, 32, False),
+    # block > K: one spanning scale group (nk via updiv — the round-5
+    # fp8-model ingest found kpad//block truncating to 0 rows)
+    ("nf4_g128_k64_f32_avx512f", 48, 1, 128, False),
 ]
 
 
