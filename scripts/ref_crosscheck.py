@@ -242,6 +242,23 @@ def main():
     m4, n4, c4 = compare("nf4 cpu-f32", refn_ids, refn_logits,
                          nf4_ids, nf4_logits)
 
+    # ---- STRICT leg: fp8_e4m3 weights + fp8 (E8M0 shared-exponent)
+    # scales — the other NFloat storage family.
+    fp8_bin = "/tmp/xval_tiny_fp8.bin"
+    if not os.path.exists(fp8_bin):
+        subprocess.check_call(
+            [os.path.join(BUILD, "bin", "quant_llama"),
+             "--model_file", f32_bin, "--out_file", fp8_bin,
+             "--weight_dtype", "fp8_e4m3", "--scale_dtype", "fp8",
+             "--group_size", "128", "--compute_dtype", "fp32",
+             "--model_name", "llama"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    reff_ids, reff_logits = run_reference(drv, fp8_bin, args.steps,
+                                          "/tmp/rfp8")
+    fp8_ids, fp8_logits = run_ours(fp8_bin, args.steps, reff_ids, "cpu")
+    m5, n5, c5 = compare("fp8-e8m0 cpu-f32", reff_ids, reff_logits,
+                         fp8_ids, fp8_logits)
+
     # ---- INFORMATIONAL leg: q4_0 (ggml path).  The reference
     # dynamically quantizes ACTIVATIONS to Q8_0 before every vec_dot
     # (data_types.h quantize_fns, ne_layers.c:265-330); our stack keeps
@@ -255,11 +272,13 @@ def main():
                          cpu0_ids, cpu0_logits)
 
     ok = (m1 == n1 and c1 > 0.99999 and m2 == n2 and c2 > 0.999
-          and m4 == n4 and c4 > 0.99999 and c3 > 0.999)
+          and m4 == n4 and c4 > 0.99999 and m5 == n5 and c5 > 0.99999
+          and c3 > 0.999)
     print(f"CROSSCHECK {'PASS' if ok else 'FAIL'} "
           f"(q4j cpu identity {m1}/{n1} min-cos {c1:.6f}; "
           f"q4j tpu identity {m2}/{n2} min-cos {c2:.6f}; "
           f"nf4 cpu identity {m4}/{n4} min-cos {c4:.6f}; "
+          f"fp8-e8m0 cpu identity {m5}/{n5} min-cos {c5:.6f}; "
           f"q4_0 cpu min-cos {c3:.6f} identity {m3}/{n3})")
     return 0 if ok else 1
 
