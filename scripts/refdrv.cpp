@@ -21,6 +21,14 @@ int main(int argc, char** argv) {
             argv[0]);
     return 1;
   }
+  // optional beam mode: refdrv --beam N MODEL ids N_PREDICT OUT —
+  // cross-validates beam_search_flow (model_utils.h:440, the heap +
+  // length-penalty semantics our runtime/beam.py mirrors)
+  int beam = 0;
+  if (std::string(argv[1]) == "--beam") {
+    beam = atoi(argv[2]);
+    argv += 2;
+  }
   gpt_params params;
   params.model_arch = MODEL_LLAMA;
   params.model_name = "llama";
@@ -31,6 +39,12 @@ int main(int argc, char** argv) {
   params.warmup = false;
   params.use_mmap = false;
   params.memory_type = KV_MEM_TYPE_F32;
+  if (beam > 1) {
+    params.beam_search = true;
+    params.beam_size = beam;
+    params.length_penalty = 1.0f;
+    params.do_early_stopping = false;
+  }
 
   std::vector<model_token> ids;
   {
@@ -48,6 +62,29 @@ int main(int argc, char** argv) {
     return 2;
   }
   const int n_vocab = model_n_vocab(ctx);
+
+  if (beam > 1) {
+    // beam_search (model_utils.h:527) drives beam_search_flow::loop
+    ctx->generation_conf.min_new_tokens = 0;
+    model_input in{};
+    in.tokens = ids.data();
+    in.n_tokens = (uint32_t)ids.size();
+    in.n_prompt_tokens = (uint32_t)ids.size();
+    in.n_past = 0;
+    in.n_total = 0;
+    in.request_idx = 0;
+    in.beam_idx = 0;
+    in.padding_side = 0;
+    in.n_padding = 0;
+    std::vector<model_input> inputs = {in};
+    auto res = beam_search(ctx, n_predict, inputs, params.n_threads);
+    FILE* fids = fopen((prefix + ".ids").c_str(), "w");
+    for (auto tok : res[0]) fprintf(fids, "%d\n", tok);
+    fclose(fids);
+    printf("ok beam=%d len=%zu\n", beam, res[0].size());
+    model_free(ctx);
+    return 0;
+  }
 
   FILE* flog = fopen((prefix + ".logits").c_str(), "wb");
   FILE* fids = fopen((prefix + ".ids").c_str(), "w");
